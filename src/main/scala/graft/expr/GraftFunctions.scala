@@ -1,0 +1,286 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** SQL + Column API surface of the engine's geodetic functions.
+  *
+  * Every function is a StaticInvoke of a static kernel in [[K]] — fully
+  * codegen'd inside whole-stage codegen, null-propagating, and foldable when
+  * all arguments are literals (so datum constants fold at plan time).
+  * `register(spark)` installs them into the session's FunctionRegistry; the
+  * Column wrappers below then work via call_function and plain SQL works too.
+  */
+object GraftFunctions {
+
+  private val Wgs84A = 6378137.0
+  private val Wgs84F = 1.0 / 298.257223563
+
+  // ---- result schemas ----------------------------------------------------
+
+  val PointT: StructType = new StructType()
+    .add("lat", DoubleType).add("lon", DoubleType)
+  val GeoHT: StructType = new StructType()
+    .add("lat", DoubleType).add("lon", DoubleType).add("h", DoubleType)
+  val UtmT: StructType = new StructType()
+    .add("zone", IntegerType).add("hemisphere", StringType)
+    .add("easting", DoubleType).add("northing", DoubleType)
+    .add("convergence", DoubleType).add("scale", DoubleType)
+  val UtmShortT: StructType = new StructType()
+    .add("zone", IntegerType).add("hemisphere", StringType)
+    .add("easting", DoubleType).add("northing", DoubleType)
+  val MgrsT: StructType = new StructType()
+    .add("zone", IntegerType).add("band", StringType)
+    .add("e100k", StringType).add("n100k", StringType)
+    .add("easting", DoubleType).add("northing", DoubleType)
+  val EcefT: StructType = new StructType()
+    .add("x", DoubleType).add("y", DoubleType).add("z", DoubleType)
+  val BoxT: StructType = new StructType()
+    .add("south", DoubleType).add("west", DoubleType)
+    .add("north", DoubleType).add("east", DoubleType)
+  val OlcAreaT: StructType = new StructType()
+    .add("south", DoubleType).add("west", DoubleType)
+    .add("north", DoubleType).add("east", DoubleType).add("length", IntegerType)
+  val TileT: StructType = new StructType()
+    .add("z", IntegerType).add("x", LongType).add("y", LongType)
+
+  // ---- builder helpers ----------------------------------------------------
+
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+  private def int(e: Expression): Expression = Cast(e, IntegerType)
+  private def lng(e: Expression): Expression = Cast(e, LongType)
+  private def str(e: Expression): Expression = Cast(e, StringType)
+
+  private def si(dt: DataType, method: String, args: Seq[Expression],
+                 nullable: Boolean = true): Expression =
+    StaticInvoke(K.getClass, dt, method, args,
+      inputTypes = Nil, propagateNull = true, returnNullable = nullable)
+
+  private val litA = Literal(Wgs84A)
+  private val litF = Literal(Wgs84F)
+
+  /** name -> (builder, expected arity description). */
+  private def fail(name: String, n: Int): Nothing =
+    throw new IllegalArgumentException(s"$name: unexpected argument count $n")
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // parsing
+    "st_parse_point" -> ((a: Seq[Expression]) => si(PointT, "parsePoint", Seq(str(a.head)))),
+    "st_parse_point_compat" -> ((a: Seq[Expression]) => si(PointT, "parsePointCompat", Seq(str(a.head)))),
+    "st_parse_coord" -> ((a: Seq[Expression]) => si(DoubleType, "parseCoord", Seq(str(a.head)))),
+    "st_parse_utm" -> ((a: Seq[Expression]) => si(UtmShortT, "parseUtm", Seq(str(a.head)))),
+    "st_parse_mgrs" -> ((a: Seq[Expression]) => si(MgrsT, "parseMgrs", Seq(str(a.head)))),
+    // geohash
+    "st_geohash" -> ((a: Seq[Expression]) =>
+      si(StringType, "geohashEncode", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
+    "st_geohash_decode" -> ((a: Seq[Expression]) => si(PointT, "geohashDecode", Seq(str(a.head)))),
+    "st_geohash_bounds" -> ((a: Seq[Expression]) => si(BoxT, "geohashBounds", Seq(str(a.head)))),
+    "st_geohash_adjacent" -> ((a: Seq[Expression]) =>
+      si(StringType, "geohashAdjacent", Seq(str(a(0)), str(a(1))))),
+    "st_geohash_neighbors" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "geohashNeighbors", Seq(str(a.head)))),
+    // cells / tiles
+    "st_cell" -> ((a: Seq[Expression]) =>
+      si(StringType, "cellOf", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
+    "st_cell_long" -> ((a: Seq[Expression]) =>
+      si(LongType, "cellLongOf", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
+    "st_cell_to_long" -> ((a: Seq[Expression]) => si(LongType, "cellToLongOf", Seq(str(a.head)))),
+    "st_cell_parent" -> ((a: Seq[Expression]) =>
+      si(StringType, "cellParentOf", Seq(str(a(0)), int(a(1))))),
+    "st_cell_disk" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "cellDiskOf", Seq(str(a(0)), int(a(1))))),
+    "st_cell_ring" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "cellRingOf", Seq(str(a(0)), int(a(1))))),
+    "st_cover_cells" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "coverCells", Seq(a(0), int(a(1))))),
+    "st_cover_box" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "coverBoxCells",
+        Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), int(a(4))))),
+    "st_tile_id" -> ((a: Seq[Expression]) =>
+      si(LongType, "tileIdOf", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
+    "st_tile" -> ((a: Seq[Expression]) =>
+      si(TileT, "tileXyz", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
+    "st_tile_bounds" -> ((a: Seq[Expression]) =>
+      si(BoxT, "tileBoundsOf", Seq(int(a(0)), lng(a(1)), lng(a(2))))),
+    "st_tile_polyfill" -> ((a: Seq[Expression]) =>
+      si(ArrayType(LongType), "tilePolyfill", Seq(a(0), int(a(1))))),
+    // predicates
+    "st_point_in_polygon" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "pointInPolygon", Seq(dbl(a(0)), dbl(a(1)), a(2)))),
+    "st_box_contains" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "boxContains",
+        Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))), nullable = false)),
+    // conversions (2-arg / n-arg forms default to WGS84)
+    "st_geo_to_utm" -> ((a: Seq[Expression]) => a.length match {
+      case 2 => si(UtmT, "geoToUtm", Seq(dbl(a(0)), dbl(a(1)), litA, litF))
+      case 4 => si(UtmT, "geoToUtm", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))
+      case n => fail("st_geo_to_utm", n)
+    }),
+    "st_utm_to_geo" -> ((a: Seq[Expression]) => a.length match {
+      case 4 => si(PointT, "utmToGeo", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF))
+      case 6 => si(PointT, "utmToGeo",
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))))
+      case n => fail("st_utm_to_geo", n)
+    }),
+    "st_utm_to_mgrs" -> ((a: Seq[Expression]) => a.length match {
+      case 4 => si(MgrsT, "utmToMgrs", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF))
+      case 6 => si(MgrsT, "utmToMgrs",
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))))
+      case n => fail("st_utm_to_mgrs", n)
+    }),
+    "st_mgrs_to_utm" -> ((a: Seq[Expression]) => a.length match {
+      case 6 => si(UtmShortT, "mgrsToUtm",
+        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), litA, litF))
+      case 8 => si(UtmShortT, "mgrsToUtm",
+        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)), dbl(a(7))))
+      case n => fail("st_mgrs_to_utm", n)
+    }),
+    "st_geo_to_mgrs" -> ((a: Seq[Expression]) => a.length match {
+      case 2 => si(MgrsT, "geoToMgrs", Seq(dbl(a(0)), dbl(a(1)), litA, litF))
+      case 4 => si(MgrsT, "geoToMgrs", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))
+      case n => fail("st_geo_to_mgrs", n)
+    }),
+    "st_mgrs_to_geo" -> ((a: Seq[Expression]) => a.length match {
+      case 6 => si(PointT, "mgrsToGeo",
+        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), litA, litF))
+      case 8 => si(PointT, "mgrsToGeo",
+        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)), dbl(a(7))))
+      case n => fail("st_mgrs_to_geo", n)
+    }),
+    "st_band" -> ((a: Seq[Expression]) => si(StringType, "latBandOf", Seq(dbl(a.head)))),
+    "st_band_to_hemisphere" -> ((a: Seq[Expression]) =>
+      si(StringType, "bandToHemisphereOf", Seq(str(a.head)))),
+    "st_utm_zone" -> ((a: Seq[Expression]) =>
+      si(IntegerType, "utmZoneOf", Seq(dbl(a(0)), dbl(a(1))))),
+    "st_geo_to_ecef" -> ((a: Seq[Expression]) => a.length match {
+      case 3 => si(EcefT, "geoToEcef", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litA, litF))
+      case 5 => si(EcefT, "geoToEcef", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))
+      case n => fail("st_geo_to_ecef", n)
+    }),
+    "st_ecef_to_geo" -> ((a: Seq[Expression]) => a.length match {
+      case 3 => si(GeoHT, "ecefToGeo", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litA, litF))
+      case 5 => si(GeoHT, "ecefToGeo", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))
+      case n => fail("st_ecef_to_geo", n)
+    }),
+    // datum transforms
+    "st_helmert3" -> ((a: Seq[Expression]) =>
+      si(EcefT, "helmert3", a.take(6).map(dbl))),
+    "st_helmert7" -> ((a: Seq[Expression]) =>
+      si(EcefT, "helmert7", a.take(10).map(dbl))),
+    "st_molodensky_badekas" -> ((a: Seq[Expression]) =>
+      si(EcefT, "molodenskyBadekas", a.take(13).map(dbl))),
+    "st_datum_shift" -> ((a: Seq[Expression]) =>
+      si(EcefT, "datumShiftToWgs84", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), str(a(3))))),
+    "st_ellipsoid_a" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidA", Seq(str(a.head)))),
+    "st_ellipsoid_f" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidF", Seq(str(a.head)))),
+    // OLC
+    "olc_encode" -> ((a: Seq[Expression]) => a.length match {
+      case 2 => si(StringType, "olcEncode", Seq(dbl(a(0)), dbl(a(1)), Literal(10)))
+      case 3 => si(StringType, "olcEncode", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))
+      case n => fail("olc_encode", n)
+    }),
+    "olc_decode" -> ((a: Seq[Expression]) => si(OlcAreaT, "olcDecode", Seq(str(a.head)))),
+    "olc_shorten" -> ((a: Seq[Expression]) =>
+      si(StringType, "olcShorten", Seq(str(a(0)), dbl(a(1)), dbl(a(2))))),
+    "olc_recover" -> ((a: Seq[Expression]) =>
+      si(StringType, "olcRecover", Seq(str(a(0)), dbl(a(1)), dbl(a(2))))),
+    "olc_is_valid" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "olcIsValid", Seq(str(a.head)), nullable = false)),
+    "olc_is_short" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "olcIsShort", Seq(str(a.head)), nullable = false)),
+    "olc_is_full" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "olcIsFull", Seq(str(a.head)), nullable = false)),
+    "olc_is_padded" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "olcIsPadded", Seq(str(a.head)), nullable = false)),
+    // distances / wraps
+    "st_haversine" -> ((a: Seq[Expression]) =>
+      si(DoubleType, "haversine", a.take(4).map(dbl), nullable = false)),
+    "st_vincenty" -> ((a: Seq[Expression]) => a.length match {
+      case 4 => si(DoubleType, "vincenty", a.take(4).map(dbl) ++ Seq(litA, litF))
+      case 6 => si(DoubleType, "vincenty", a.take(6).map(dbl))
+      case n => fail("st_vincenty", n)
+    }),
+    "st_wrap90" -> ((a: Seq[Expression]) => si(DoubleType, "wrap90", Seq(dbl(a.head)), nullable = false)),
+    "st_wrap180" -> ((a: Seq[Expression]) => si(DoubleType, "wrap180", Seq(dbl(a.head)), nullable = false)),
+    "st_wrap360" -> ((a: Seq[Expression]) => si(DoubleType, "wrap360", Seq(dbl(a.head)), nullable = false))
+  )
+
+  @volatile private var registered: Set[Int] = Set.empty
+
+  /** Install all functions into the session's FunctionRegistry (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark.sessionState.functionRegistry)
+    if (registered.contains(key)) return
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(K.getClass.getName, name),
+        (exprs: Seq[Expression]) => builder(exprs))
+    }
+    synchronized { registered += key }
+  }
+
+  // ---- Column API (requires register(spark) once per session) -------------
+
+  def st_parse_point(text: Column): Column = call_function("st_parse_point", text)
+  def st_parse_coord(text: Column): Column = call_function("st_parse_coord", text)
+  def st_parse_utm(text: Column): Column = call_function("st_parse_utm", text)
+  def st_parse_mgrs(text: Column): Column = call_function("st_parse_mgrs", text)
+  def st_geohash(lat: Column, lon: Column, precision: Column): Column =
+    call_function("st_geohash", lat, lon, precision)
+  def st_geohash_decode(h: Column): Column = call_function("st_geohash_decode", h)
+  def st_geohash_bounds(h: Column): Column = call_function("st_geohash_bounds", h)
+  def st_geohash_adjacent(h: Column, dir: Column): Column =
+    call_function("st_geohash_adjacent", h, dir)
+  def st_geohash_neighbors(h: Column): Column = call_function("st_geohash_neighbors", h)
+  def st_cell(lat: Column, lon: Column, level: Column): Column =
+    call_function("st_cell", lat, lon, level)
+  def st_cell_long(lat: Column, lon: Column, level: Column): Column =
+    call_function("st_cell_long", lat, lon, level)
+  def st_cell_parent(cell: Column, level: Column): Column =
+    call_function("st_cell_parent", cell, level)
+  def st_cell_disk(cell: Column, k: Column): Column = call_function("st_cell_disk", cell, k)
+  def st_cell_ring(cell: Column, k: Column): Column = call_function("st_cell_ring", cell, k)
+  def st_cover_cells(ring: Column, level: Column): Column =
+    call_function("st_cover_cells", ring, level)
+  def st_tile_id(lat: Column, lon: Column, z: Column): Column =
+    call_function("st_tile_id", lat, lon, z)
+  def st_tile(lat: Column, lon: Column, z: Column): Column =
+    call_function("st_tile", lat, lon, z)
+  def st_tile_polyfill(ring: Column, z: Column): Column =
+    call_function("st_tile_polyfill", ring, z)
+  def st_point_in_polygon(lat: Column, lon: Column, ring: Column): Column =
+    call_function("st_point_in_polygon", lat, lon, ring)
+  def st_box_contains(s: Column, w: Column, n: Column, e: Column,
+                      lat: Column, lon: Column): Column =
+    call_function("st_box_contains", s, w, n, e, lat, lon)
+  def st_geo_to_utm(lat: Column, lon: Column): Column =
+    call_function("st_geo_to_utm", lat, lon)
+  def st_utm_to_geo(zone: Column, hemisphere: Column, e: Column, n: Column): Column =
+    call_function("st_utm_to_geo", zone, hemisphere, e, n)
+  def st_utm_to_mgrs(zone: Column, hemisphere: Column, e: Column, n: Column): Column =
+    call_function("st_utm_to_mgrs", zone, hemisphere, e, n)
+  def st_geo_to_mgrs(lat: Column, lon: Column): Column =
+    call_function("st_geo_to_mgrs", lat, lon)
+  def st_geo_to_ecef(lat: Column, lon: Column, h: Column): Column =
+    call_function("st_geo_to_ecef", lat, lon, h)
+  def st_ecef_to_geo(x: Column, y: Column, z: Column): Column =
+    call_function("st_ecef_to_geo", x, y, z)
+  def st_haversine(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    call_function("st_haversine", lat1, lon1, lat2, lon2)
+  def st_vincenty(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    call_function("st_vincenty", lat1, lon1, lat2, lon2)
+  def olc_encode(lat: Column, lon: Column, len: Column): Column =
+    call_function("olc_encode", lat, lon, len)
+  def olc_decode(code: Column): Column = call_function("olc_decode", code)
+  def olc_shorten(code: Column, lat: Column, lon: Column): Column =
+    call_function("olc_shorten", code, lat, lon)
+  def olc_recover(code: Column, lat: Column, lon: Column): Column =
+    call_function("olc_recover", code, lat, lon)
+  def olc_is_valid(code: Column): Column = call_function("olc_is_valid", code)
+}

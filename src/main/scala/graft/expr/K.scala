@@ -1,0 +1,406 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core._
+
+/** Catalyst bridge kernels: static methods over Catalyst runtime types
+  * (UTF8String / InternalRow / ArrayData / primitives), invoked from
+  * expressions via StaticInvoke so every function participates in
+  * whole-stage codegen. Null returns become SQL NULL (relaxed mode — the
+  * reference throws typed exceptions; see exceptions.d).
+  *
+  * Methods are not overloaded (StaticInvoke resolves by name).
+  */
+object K {
+
+  private val Wgs84A = 6378137.0
+  private val Wgs84F = 1.0 / 298.257223563
+
+  @inline private def utf8(s: String): UTF8String =
+    if (s == null) null else UTF8String.fromString(s)
+
+  /** array<struct<lat,lon>> column -> packed flat ring [lat0,lon0,lat1,...]. */
+  private def ringOf(ad: ArrayData): Array[Double] = {
+    if (ad == null) return null
+    val n = ad.numElements()
+    val out = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      val r = ad.getStruct(i, 2)
+      out(2 * i) = r.getDouble(0)
+      out(2 * i + 1) = r.getDouble(1)
+      i += 1
+    }
+    out
+  }
+
+  // ---- parsing ----------------------------------------------------------
+
+  /** st_parse_point: free text -> struct<lat,lon>; null if unparseable. */
+  def parsePoint(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val p = Parsers.parsePoint(text.toString)
+    if (p == null) null else new GenericInternalRow(Array[Any](p(0), p(1)))
+  }
+
+  /** Compat-mode parse (reference quirk Q1: east flips sign). */
+  def parsePointCompat(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val p = Parsers.parsePoint(text.toString, compat = true)
+    if (p == null) null else new GenericInternalRow(Array[Any](p(0), p(1)))
+  }
+
+  /** st_parse_coord: single coordinate text -> double; null if unparseable. */
+  def parseCoord(text: UTF8String): java.lang.Double = {
+    if (text == null) return null
+    val v = Parsers.parseCoord(text.toString)
+    if (v.isNaN) null else java.lang.Double.valueOf(v)
+  }
+
+  /** st_parse_utm -> struct<zone:int, hemisphere:string, easting, northing>.
+    * The letter is interpreted as band when not N/S (band->hemisphere rule). */
+  def parseUtm(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val t = Parsers.parseUtm(text.toString)
+    if (t == null) return null
+    val letter = t._2
+    val hemisphere =
+      if (letter == 'N' || letter == 'S') letter else Utm.bandToHemisphere(letter)
+    new GenericInternalRow(Array[Any](t._1, utf8(hemisphere.toString), t._3, t._4))
+  }
+
+  /** st_parse_mgrs -> struct<zone:int, band, e100k, n100k, easting, northing>. */
+  def parseMgrs(text: UTF8String): InternalRow = {
+    if (text == null) return null
+    val t = Parsers.parseMgrs(text.toString)
+    if (t == null || t._3.length != 2) return null
+    new GenericInternalRow(Array[Any](
+      t._1, utf8(t._2.toString), utf8(t._3.substring(0, 1)), utf8(t._3.substring(1)),
+      t._4, t._5))
+  }
+
+  // ---- geohash ----------------------------------------------------------
+
+  def geohashEncode(lat: Double, lon: Double, precision: Int): UTF8String = {
+    if (lat < -90 || lat > 90 || lat.isNaN || lon.isNaN) return null
+    utf8(Geohash.encode(lat, GeoMath.wrap180(lon), precision))
+  }
+
+  def geohashDecode(hash: UTF8String): InternalRow = {
+    if (hash == null) return null
+    val c = Geohash.decode(hash.toString)
+    if (c == null) null else new GenericInternalRow(Array[Any](c(0), c(1)))
+  }
+
+  def geohashBounds(hash: UTF8String): InternalRow = {
+    if (hash == null) return null
+    val b = Geohash.bounds(hash.toString)
+    if (b == null) null else new GenericInternalRow(Array[Any](b(0), b(1), b(2), b(3)))
+  }
+
+  def geohashAdjacent(hash: UTF8String, direction: UTF8String): UTF8String = {
+    if (hash == null || direction == null || direction.numChars() < 1) return null
+    utf8(Geohash.adjacent(hash.toString, direction.toString.charAt(0)))
+  }
+
+  def geohashNeighbors(hash: UTF8String): ArrayData = {
+    if (hash == null) return null
+    val n = Geohash.neighbours(hash.toString)
+    if (n == null) null else new GenericArrayData(n.map(utf8(_)).asInstanceOf[Array[Any]])
+  }
+
+  // ---- cells / tiles ----------------------------------------------------
+
+  def cellOf(lat: Double, lon: Double, level: Int): UTF8String =
+    geohashEncode(lat, lon, level)
+
+  def cellLongOf(lat: Double, lon: Double, level: Int): java.lang.Long = {
+    if (lat < -90 || lat > 90 || lat.isNaN || lon.isNaN) return null
+    java.lang.Long.valueOf(Cells.cellLong(lat, GeoMath.wrap180(lon), level))
+  }
+
+  def cellToLongOf(hash: UTF8String): java.lang.Long = {
+    if (hash == null) return null
+    val v = Cells.cellToLong(hash.toString)
+    if (v < 0) null else java.lang.Long.valueOf(v)
+  }
+
+  def cellParentOf(hash: UTF8String, level: Int): UTF8String =
+    if (hash == null) null else utf8(Cells.cellParent(hash.toString, level))
+
+  def cellDiskOf(cell: UTF8String, k: Int): ArrayData = {
+    if (cell == null) return null
+    val d = Cells.cellDisk(cell.toString, k)
+    if (d == null) null else new GenericArrayData(d.map(utf8(_)).asInstanceOf[Array[Any]])
+  }
+
+  def cellRingOf(cell: UTF8String, k: Int): ArrayData = {
+    if (cell == null) return null
+    val d = Cells.cellRing(cell.toString, k)
+    if (d == null) null else new GenericArrayData(d.map(utf8(_)).asInstanceOf[Array[Any]])
+  }
+
+  /** st_cover_cells(ring, level): geohash cells intersecting the polygon. */
+  def coverCells(ring: ArrayData, level: Int): ArrayData = {
+    val r = ringOf(ring)
+    if (r == null || r.length < 6) return null
+    val cells = Cells.coverRing(r, level)
+    if (cells == null) null
+    else new GenericArrayData(cells.map(utf8(_)).asInstanceOf[Array[Any]])
+  }
+
+  def coverBoxCells(s: Double, w: Double, n: Double, e: Double, level: Int): ArrayData = {
+    val cells = Cells.coverBox(s, w, n, e, level)
+    if (cells == null) null
+    else new GenericArrayData(cells.map(utf8(_)).asInstanceOf[Array[Any]])
+  }
+
+  def tileIdOf(lat: Double, lon: Double, z: Int): java.lang.Long = {
+    if (lat.isNaN || lon.isNaN) return null
+    java.lang.Long.valueOf(Cells.tileId(lat, GeoMath.wrap180(lon), z))
+  }
+
+  /** st_tile(lat, lon, z) -> struct<z:int, x:long, y:long>. */
+  def tileXyz(lat: Double, lon: Double, z: Int): InternalRow = {
+    if (lat.isNaN || lon.isNaN) return null
+    val lw = GeoMath.wrap180(lon)
+    new GenericInternalRow(Array[Any](z, Cells.tileX(lw, z), Cells.tileY(lat, z)))
+  }
+
+  /** st_tile_bounds(z,x,y) -> struct<south,west,north,east>. */
+  def tileBoundsOf(z: Int, x: Long, y: Long): InternalRow = {
+    val b = Cells.tileBounds(z, x, y)
+    new GenericInternalRow(Array[Any](b(0), b(1), b(2), b(3)))
+  }
+
+  /** st_tile_polyfill(ring, z) -> array<long> of packed tile ids. */
+  def tilePolyfill(ring: ArrayData, z: Int): ArrayData = {
+    val r = ringOf(ring)
+    if (r == null || r.length < 6) return null
+    val t = Cells.tilePolyfill(r, z)
+    if (t == null) null else new GenericArrayData(t.asInstanceOf[Array[Any]])
+  }
+
+  // ---- predicates -------------------------------------------------------
+
+  /** st_point_in_polygon(lat, lon, ring). */
+  def pointInPolygon(lat: Double, lon: Double, ring: ArrayData): java.lang.Boolean = {
+    val r = ringOf(ring)
+    if (r == null || r.length < 6) return null
+    java.lang.Boolean.valueOf(Pip.contains(lat, lon, r))
+  }
+
+  def boxContains(south: Double, west: Double, north: Double, east: Double,
+                  lat: Double, lon: Double): Boolean =
+    Pip.boxContains(lat, lon, south, west, north, east)
+
+  // ---- UTM / MGRS / ECEF ------------------------------------------------
+
+  /** st_geo_to_utm(lat, lon, a, f) -> struct<zone:int, hemisphere:string,
+    * easting, northing, convergence, scale>. */
+  def geoToUtm(lat: Double, lon: Double, a: Double, f: Double): InternalRow = {
+    if (lat < -90 || lat > 90 || lon < -180 || lon > 180 || lat.isNaN || lon.isNaN) return null
+    val u = Utm.geoToUtm(lat, lon, a, f)
+    new GenericInternalRow(Array[Any](
+      u.zone, utf8(u.hemisphere.toString), u.easting, u.northing, u.convergence, u.scale))
+  }
+
+  /** st_utm_to_geo(zone, hemisphere, easting, northing, a, f) -> struct<lat,lon>. */
+  def utmToGeo(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double,
+               a: Double, f: Double): InternalRow = {
+    if (hemisphere == null || hemisphere.numChars() < 1) return null
+    val h = Character.toUpperCase(hemisphere.toString.charAt(0))
+    if (h != 'N' && h != 'S') return null
+    val g = Utm.utmToGeo(zone, h, easting, northing, a, f)
+    if (g == null) null else new GenericInternalRow(Array[Any](g(0), g(1)))
+  }
+
+  /** st_utm_to_mgrs -> struct<zone:int, band, e100k, n100k, easting, northing>. */
+  def utmToMgrs(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double,
+                a: Double, f: Double): InternalRow = {
+    if (hemisphere == null || hemisphere.numChars() < 1) return null
+    val h = Character.toUpperCase(hemisphere.toString.charAt(0))
+    if (h != 'N' && h != 'S') return null
+    val m = Utm.utmToMgrs(zone, h, easting, northing, a, f)
+    if (m == null) return null
+    new GenericInternalRow(Array[Any](
+      m.zone, utf8(m.band.toString), utf8(m.e100k.toString), utf8(m.n100k.toString),
+      m.easting, m.northing))
+  }
+
+  /** st_mgrs_to_utm(zone, band, e100k, n100k, easting, northing, a, f). */
+  def mgrsToUtm(zone: Int, band: UTF8String, e100k: UTF8String, n100k: UTF8String,
+                easting: Double, northing: Double, a: Double, f: Double): InternalRow = {
+    if (band == null || e100k == null || n100k == null) return null
+    if (band.numChars() < 1 || e100k.numChars() < 1 || n100k.numChars() < 1) return null
+    val u = Utm.mgrsToUtm(zone, band.toString.charAt(0), e100k.toString.charAt(0),
+      n100k.toString.charAt(0), easting, northing, a, f)
+    if (u == null) return null
+    new GenericInternalRow(Array[Any](
+      u.zone, utf8(u.hemisphere.toString), u.easting, u.northing))
+  }
+
+  /** st_geo_to_mgrs(lat, lon, a, f): composition geo->utm->mgrs (conv.d:354-356). */
+  def geoToMgrs(lat: Double, lon: Double, a: Double, f: Double): InternalRow = {
+    if (lat < -90 || lat > 90 || lon < -180 || lon > 180 || lat.isNaN || lon.isNaN) return null
+    val u = Utm.geoToUtm(lat, lon, a, f)
+    val m = Utm.utmToMgrs(u.zone, u.hemisphere, u.easting, u.northing, a, f)
+    if (m == null) return null
+    new GenericInternalRow(Array[Any](
+      m.zone, utf8(m.band.toString), utf8(m.e100k.toString), utf8(m.n100k.toString),
+      m.easting, m.northing))
+  }
+
+  /** st_mgrs_to_geo: composition mgrs->utm->geo (conv.d:359-361). */
+  def mgrsToGeo(zone: Int, band: UTF8String, e100k: UTF8String, n100k: UTF8String,
+                easting: Double, northing: Double, a: Double, f: Double): InternalRow = {
+    if (band == null || e100k == null || n100k == null) return null
+    if (band.numChars() < 1 || e100k.numChars() < 1 || n100k.numChars() < 1) return null
+    val u = Utm.mgrsToUtm(zone, band.toString.charAt(0), e100k.toString.charAt(0),
+      n100k.toString.charAt(0), easting, northing, a, f)
+    if (u == null) return null
+    val g = Utm.utmToGeo(u.zone, u.hemisphere, u.easting, u.northing, a, f)
+    if (g == null) null else new GenericInternalRow(Array[Any](g(0), g(1)))
+  }
+
+  /** st_band(lat): MGRS latitude band letter; null outside -80..84. */
+  def latBandOf(lat: Double): UTF8String = {
+    if (lat.isNaN) return null
+    val b = Utm.latBand(lat)
+    if (b == '?') null else utf8(b.toString)
+  }
+
+  def bandToHemisphereOf(band: UTF8String): UTF8String = {
+    if (band == null || band.numChars() < 1) return null
+    utf8(Utm.bandToHemisphere(band.toString.charAt(0)).toString)
+  }
+
+  def utmZoneOf(lat: Double, lon: Double): java.lang.Integer = {
+    if (lat.isNaN || lon.isNaN || lat < -90 || lat > 90) return null
+    java.lang.Integer.valueOf(Utm.zoneFor(lat, GeoMath.wrap180(lon)))
+  }
+
+  /** st_geo_to_ecef(lat, lon, h, a, f) -> struct<x,y,z>. */
+  def geoToEcef(lat: Double, lon: Double, h: Double, a: Double, f: Double): InternalRow = {
+    if (lat < -90 || lat > 90 || lat.isNaN || lon.isNaN) return null
+    val e = Ecef.geoToEcef(lat, lon, h, a, f)
+    new GenericInternalRow(Array[Any](e(0), e(1), e(2)))
+  }
+
+  /** st_ecef_to_geo(x, y, z, a, f) -> struct<lat,lon,h>. */
+  def ecefToGeo(x: Double, y: Double, z: Double, a: Double, f: Double): InternalRow = {
+    if (x.isNaN || y.isNaN || z.isNaN) return null
+    val g = Ecef.ecefToGeo(x, y, z, a, f)
+    new GenericInternalRow(Array[Any](g(0), g(1), g(2)))
+  }
+
+  // ---- datum transforms ---------------------------------------------------
+
+  /** st_helmert7(x,y,z, dx,dy,dz, rx,ry,rz, ds_ppm) -> struct<x,y,z>
+    * (position-vector convention; ds in ppm). */
+  def helmert7(x: Double, y: Double, z: Double,
+               dx: Double, dy: Double, dz: Double,
+               rx: Double, ry: Double, rz: Double, dsPpm: Double): InternalRow = {
+    val r = Transform.helmert7Ppm(x, y, z, dx, dy, dz, rx, ry, rz, dsPpm)
+    new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
+  }
+
+  def helmert3(x: Double, y: Double, z: Double,
+               dx: Double, dy: Double, dz: Double): InternalRow = {
+    val r = Transform.helmert3(x, y, z, dx, dy, dz)
+    new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
+  }
+
+  def molodenskyBadekas(x: Double, y: Double, z: Double,
+                        dx: Double, dy: Double, dz: Double,
+                        rx: Double, ry: Double, rz: Double,
+                        ox: Double, oy: Double, oz: Double,
+                        dsPpm: Double): InternalRow = {
+    val r = Transform.molodenskyBadekas(x, y, z, dx, dy, dz, rx, ry, rz, ox, oy, oz,
+      1.0 + dsPpm * 1e-6)
+    new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
+  }
+
+  /** st_datum_shift(x,y,z, datum_name): Helmert-7 to WGS84 using the
+    * registry's parameter table; null for unknown datum. */
+  def datumShiftToWgs84(x: Double, y: Double, z: Double, datum: UTF8String): InternalRow = {
+    if (datum == null) return null
+    val d = Registry.resolveDatum(datum.toString).orNull
+    if (d == null) return null
+    val p = Registry.helmert7ByDatum.get(d.epsg).orNull
+    if (p == null) return null
+    val r = Transform.helmert7Ppm(x, y, z, p.dx, p.dy, p.dz, p.rx, p.ry, p.rz, p.ds)
+    new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
+  }
+
+  // ---- ellipsoid / registry lookups (foldable at plan time) ---------------
+
+  def ellipsoidA(nameOrEpsg: UTF8String): java.lang.Double = {
+    if (nameOrEpsg == null) return null
+    ellipsoidOf(nameOrEpsg.toString).map(e => java.lang.Double.valueOf(e.a)).orNull
+  }
+
+  def ellipsoidF(nameOrEpsg: UTF8String): java.lang.Double = {
+    if (nameOrEpsg == null) return null
+    ellipsoidOf(nameOrEpsg.toString).map(e => java.lang.Double.valueOf(e.f)).orNull
+  }
+
+  private def ellipsoidOf(s0: String): Option[Ellipsoid] = {
+    val s = s0.trim.toLowerCase.stripPrefix("epsg:")
+    val direct =
+      if (s.nonEmpty && s.forall(_.isDigit)) Registry.ellipsoidByEpsg.get(s.toLong)
+      else Registry.ellipsoidByName.get(s)
+    direct.orElse(Registry.resolveDatum(s0).flatMap(d =>
+      Registry.ellipsoidByEpsg.get(d.ellipsoidEpsg)))
+  }
+
+  // ---- OLC ----------------------------------------------------------------
+
+  def olcEncode(lat: Double, lon: Double, len: Int): UTF8String = {
+    if (lat.isNaN || lon.isNaN) return null
+    utf8(Olc.encode(lat, lon, len))
+  }
+
+  /** olc_decode -> struct<south,west,north,east,length:int>. */
+  def olcDecode(code: UTF8String): InternalRow = {
+    if (code == null) return null
+    Olc.decode(code.toString) match {
+      case Some(a) => new GenericInternalRow(Array[Any](a.south, a.west, a.north, a.east, a.codeLength))
+      case None => null
+    }
+  }
+
+  def olcShorten(code: UTF8String, lat: Double, lon: Double): UTF8String = {
+    if (code == null) return null
+    utf8(Olc.shorten(code.toString, lat, lon).orNull)
+  }
+
+  def olcRecover(code: UTF8String, lat: Double, lon: Double): UTF8String = {
+    if (code == null) return null
+    utf8(Olc.recoverNearest(code.toString, lat, lon).orNull)
+  }
+
+  def olcIsValid(code: UTF8String): Boolean = code != null && Olc.isValid(code.toString)
+  def olcIsShort(code: UTF8String): Boolean = code != null && Olc.isShort(code.toString)
+  def olcIsFull(code: UTF8String): Boolean = code != null && Olc.isFull(code.toString)
+  def olcIsPadded(code: UTF8String): Boolean = code != null && Olc.isPadded(code.toString)
+
+  // ---- distances / math ----------------------------------------------------
+
+  def haversine(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double =
+    Dist.haversine(lat1, lon1, lat2, lon2)
+
+  def vincenty(lat1: Double, lon1: Double, lat2: Double, lon2: Double,
+               a: Double, f: Double): java.lang.Double = {
+    val d = Dist.vincenty(lat1, lon1, lat2, lon2, a, f)
+    if (d.isNaN) null else java.lang.Double.valueOf(d)
+  }
+
+  def wrap90(d: Double): Double = GeoMath.wrap90(d)
+  def wrap180(d: Double): Double = GeoMath.wrap180(d)
+  def wrap360(d: Double): Double = GeoMath.wrap360(d)
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.GraftFunctions
+
+/** Expression-layer tests: SQL registration, null propagation, struct
+  * results, and codegen (factoryMode=CODEGEN_ONLY makes a non-codegen
+  * expression fail loudly instead of silently falling back). */
+class ExprSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-expr-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+
+  test("st_geohash + decode round trip via SQL, codegen only") {
+    val rows = spark.sql(
+      """SELECT st_geohash(52.205, 0.119, 7) AS h,
+        |       st_geohash_decode('u120fxw').lat AS lat,
+        |       st_geohash_adjacent('gbsuv', 'n') AS adj,
+        |       st_geohash(NULL, 0.119, 7) AS nullh
+        |""".stripMargin).collect()
+    assert(rows(0).getString(0) == "u120fxw")
+    assert(math.abs(rows(0).getDouble(1) - 52.205) < 0.001)
+    assert(rows(0).getString(2) == "gbsvj")
+    assert(rows(0).isNullAt(3))
+  }
+
+  test("olc functions via SQL") {
+    val r = spark.sql(
+      """SELECT olc_encode(20.3701125, 2.782234375, 11) AS c,
+        |       olc_decode('7FG49Q00+').south AS s,
+        |       olc_is_valid('8FWC2345+G6') AS v,
+        |       olc_is_valid('garbage') AS iv,
+        |       olc_shorten('9C3W9QCJ+2VX', 51.3701125, -1.217765625) AS sh,
+        |       olc_recover('CJ+2VX', 51.3708675, -1.217765625) AS rec
+        |""".stripMargin).collect()(0)
+    assert(r.getString(0) == "7FG49QCJ+2VX")
+    assert(r.getDouble(1) == 20.35)
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getString(4) == "+2VX")
+    assert(r.getString(5) == "9C3W9QCJ+2VX")
+  }
+
+  test("utm/mgrs conversions via SQL") {
+    val r = spark.sql(
+      """SELECT st_geo_to_utm(43.642566667, -79.387138889) AS u,
+        |       st_utm_to_mgrs(31, 'N', 448251d, 5411932d) AS m,
+        |       st_mgrs_to_utm(31, 'U', 'D', 'Q', 48251d, 11932d) AS mu,
+        |       st_utm_zone(60.0, 4.0) AS nor,
+        |       st_band(52.2) AS band
+        |""".stripMargin).collect()(0)
+    val u = r.getStruct(0)
+    assert(u.getInt(0) == 17 && u.getString(1) == "N")
+    assert(math.abs(u.getDouble(2) - 630084) < 1.0)
+    val m = r.getStruct(1)
+    assert(m.getInt(0) == 31 && m.getString(1) == "U" && m.getString(2) == "D" && m.getString(3) == "Q")
+    val mu = r.getStruct(2)
+    assert(math.abs(mu.getDouble(2) - 448251) < 1e-6)
+    assert(r.getInt(3) == 32) // Norway exception live
+    assert(r.getString(4) == "U")
+  }
+
+  test("parse functions and null propagation on garbage") {
+    val df = spark.createDataFrame(Seq(
+      (1, "13.453056,-16.5775"),
+      (2, "N 14° 29.8586', W 4°11.9383'"),
+      (3, "not a coordinate"),
+      (4, "95.0, 0.0"))).toDF("id", "txt")
+    df.createOrReplaceTempView("texts")
+    val got = spark.sql(
+      "SELECT id, st_parse_point(txt) AS pt FROM texts ORDER BY id").collect()
+    assert(got(0).getStruct(1).getDouble(0) == 13.453056)
+    assert(math.abs(got(1).getStruct(1).getDouble(1) + (4 + 11.9383 / 60)) < 1e-9)
+    assert(got(2).isNullAt(1))
+    assert(got(3).isNullAt(1)) // out-of-bounds lat -> null
+  }
+
+  test("point in polygon + cover cells over array<struct> column") {
+    val r = spark.sql(
+      """SELECT st_point_in_polygon(1.0, 1.0,
+        |         array(named_struct('lat', 0d, 'lon', 0d),
+        |               named_struct('lat', 0d, 'lon', 3d),
+        |               named_struct('lat', 3d, 'lon', 3d),
+        |               named_struct('lat', 3d, 'lon', 0d))) AS inside,
+        |       st_point_in_polygon(5.0, 5.0,
+        |         array(named_struct('lat', 0d, 'lon', 0d),
+        |               named_struct('lat', 0d, 'lon', 3d),
+        |               named_struct('lat', 3d, 'lon', 3d),
+        |               named_struct('lat', 3d, 'lon', 0d))) AS outside,
+        |       size(st_cover_cells(
+        |         array(named_struct('lat', 48d, 'lon', 10d),
+        |               named_struct('lat', 48d, 'lon', 12d),
+        |               named_struct('lat', 49.5d, 'lon', 12d),
+        |               named_struct('lat', 49.5d, 'lon', 10d)), 4)) AS ncells,
+        |       st_cell_disk('gbsuv', 1) AS disk
+        |""".stripMargin).collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getInt(2) > 0)
+    assert(r.getSeq[String](3).length == 9)
+  }
+
+  test("distances, tiles, wraps, helmert via SQL") {
+    val r = spark.sql(
+      """SELECT st_haversine(0d, 0d, 1d, 0d) AS hav,
+        |       st_vincenty(0d, 0d, 0d, 1d) AS vin,
+        |       st_tile_id(52.2, 0.12, 10) AS tid,
+        |       st_tile(52.2, 0.12, 10).x AS tx,
+        |       st_wrap90(-315d) AS w90,
+        |       st_helmert7(4156305.34, 671404.31, 4774508.25,
+        |                   -581.99, -105.01, -414.00, 1.04, 0.35, -3.08, -8.3).x AS hx,
+        |       st_ellipsoid_a('wgs84') AS wa,
+        |       st_geo_to_ecef(0d, 0d, 0d).x AS ex
+        |""".stripMargin).collect()(0)
+    assert(math.abs(r.getDouble(0) - 111195.0) < 10)
+    assert(math.abs(r.getDouble(1) - 111319.49) < 1.0)
+    assert(r.getLong(2) == ((10L << 58) | (512L << 29) | 337L))
+    assert(r.getLong(3) == 512L)
+    assert(r.getDouble(4) == 45.0)
+    assert(math.abs(r.getDouble(5) - 4155670.725617266) < 1e-6)
+    assert(r.getDouble(6) == 6378137.0)
+    assert(math.abs(r.getDouble(7) - 6378137.0) < 1e-6)
+  }
+
+  test("column API works and folds literals at plan time") {
+    import graft.expr.GraftFunctions._
+    val df = spark.range(1).select(
+      st_geohash(lit(57.64911), lit(10.40744), lit(11)).as("h"),
+      st_haversine(lit(0), lit(0), lit(1), lit(0)).as("d"))
+    val row = df.collect()(0)
+    assert(row.getString(0) == "u4pruydqqvj")
+    // literal-only call must constant-fold (no StaticInvoke left in the plan)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("staticinvoke"), s"not folded:\n$optimized")
+  }
+}
