@@ -1,0 +1,136 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One span of an interleaved text+media document (schema exactly per the
+  * driver's input hint: doc_id + array<struct<kind,text,media_ref,offset>>). */
+final case class Span(kind: String, text: String, media_ref: String, offset: Int)
+final case class Doc(doc_id: String, spans: Seq[Span])
+final case class PointLL(lat: Double, lon: Double)
+final case class Poly(poly_id: String, ring: Seq[PointLL])
+
+/** Deterministic synthetic corpus of interleaved text+media documents whose
+  * text spans carry embedded coordinates in the reference's parseable
+  * grammars (decimal, decimal-degree, DMS with cardinals, decimal-comma),
+  * plus poison values to exercise null paths.
+  *
+  * Generation is per-doc seeded (seed ^ doc index) so the corpus is identical
+  * under any partitioning/parallelism — the basis for the scale-invariance
+  * tests. 80% of coordinates cluster around 20 fixed hotspots (sigma 0.05
+  * deg) to force hot-cell skew; 20% are uniform.
+  */
+object Corpus {
+
+  val Seed = 42L
+
+  /** 20 fixed hotspot centres (lat, lon) — major-city-like, deterministic. */
+  val Hotspots: Array[(Double, Double)] = Array(
+    (40.7128, -74.0060), (51.5074, -0.1278), (35.6762, 139.6503), (48.8566, 2.3522),
+    (-33.8688, 151.2093), (19.4326, -99.1332), (55.7558, 37.6173), (-23.5505, -46.6333),
+    (1.3521, 103.8198), (52.5200, 13.4050), (37.7749, -122.4194), (31.2304, 121.4737),
+    (28.6139, 77.2090), (-26.2041, 28.0473), (41.0082, 28.9784), (59.3293, 18.0686),
+    (25.2048, 55.2708), (-34.6037, -58.3816), (43.6532, -79.3832), (13.7563, 100.5018))
+
+  private def mix(seed: Long, i: Long): Long = {
+    var h = seed ^ (i * 0x9E3779B97F4A7C15L)
+    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
+    h = (h ^ (h >>> 27)) * 0x94D049BB133111EBL
+    h ^ (h >>> 31)
+  }
+
+  /** Coordinate for doc-local rng: 80% hotspot-clustered, 20% uniform. */
+  private def samplePoint(rng: java.util.Random): (Double, Double) = {
+    if (rng.nextDouble() < 0.8) {
+      val (cLat, cLon) = Hotspots(rng.nextInt(Hotspots.length))
+      val lat = math.max(-85.0, math.min(85.0, cLat + rng.nextGaussian() * 0.05))
+      val lon = graft.core.GeoMath.wrap180(cLon + rng.nextGaussian() * 0.05)
+      (lat, lon)
+    } else {
+      (rng.nextDouble() * 170 - 85, rng.nextDouble() * 360 - 180)
+    }
+  }
+
+  /** Render a coordinate in one of the reference-parseable grammars. */
+  private def renderCoord(rng: java.util.Random, lat: Double, lon: Double): String = {
+    def dms(v: Double, pos: Char, neg: Char): String = {
+      val c = if (v >= 0) pos else neg
+      val av = math.abs(v)
+      val d = av.toInt
+      val mFull = (av - d) * 60
+      val m = mFull.toInt
+      val s = (mFull - m) * 60
+      f"$d%d° $m%d' $s%2.3f'' $c%c"
+    }
+    rng.nextInt(5) match {
+      case 0 => f"$lat%.6f, $lon%.6f"
+      case 1 => f"$lat%.6f°, $lon%.6f°"
+      case 2 => dms(lat, 'N', 'S') + ", " + dms(lon, 'E', 'W')
+      case 3 => // decimal-comma pair: "13,453056, -16,5775"
+        (f"$lat%.6f, $lon%.6f").replace('.', ',')
+      case 4 => // cardinal suffix decimals
+        f"${math.abs(lat)}%.6f ${if (lat >= 0) "N" else "S"}, ${math.abs(lon)}%.6f ${if (lon >= 0) "E" else "W"}"
+    }
+  }
+
+  /** Deterministic doc for a given index — independent of partitioning. */
+  def genDoc(i: Long): Doc = {
+    val rng = new java.util.Random(mix(Seed, i))
+    val nSpans = 1 + rng.nextInt(8)
+    var offset = 0
+    val spans = (0 until nSpans).map { _ =>
+      offset += 1 + rng.nextInt(50)
+      if (rng.nextDouble() < 0.3) {
+        // media span: opaque ref + caption
+        Span("media", s"caption ${rng.nextInt(1000)}",
+          f"media://${mix(rng.nextLong(), i)}%016x", offset)
+      } else {
+        val r = rng.nextDouble()
+        val text =
+          if (r < 0.08) "no coordinates in this span at all" // plain prose
+          else if (r < 0.10) { // poison: unparseable / out of bounds
+            if (rng.nextBoolean()) "garbage text 999 not, a coord"
+            else f"${95 + rng.nextInt(40)}%d.5, ${200 + rng.nextInt(40)}%d.1"
+          } else {
+            val (lat, lon) = samplePoint(rng)
+            renderCoord(rng, lat, lon)
+          }
+        Span("text", text, "", offset)
+      }
+    }
+    Doc(f"doc-$i%09d", spans)
+  }
+
+  /** Distributed corpus generation: spark.range -> map (no driver loops). */
+  def documents(spark: SparkSession, nDocs: Long, partitions: Int = 0): Dataset[Doc] = {
+    import spark.implicits._
+    val base = if (partitions > 0) spark.range(0, nDocs, 1, partitions) else spark.range(nDocs)
+    base.map(i => genDoc(i))
+  }
+
+  /** Deterministic polygon layer: 45 regular n-gons centred on hotspots
+    * (cycling) + 5 uniform-random, n in 5..12, radius 0.1..2.0 deg. */
+  def polygons(spark: SparkSession, nPolys: Int = 50): Dataset[Poly] = {
+    import spark.implicits._
+    spark.createDataset((0 until nPolys).map(genPoly))
+  }
+
+  def genPoly(p: Int): Poly = {
+    val rng = new java.util.Random(mix(Seed + 1, p.toLong))
+    val (cLat, cLon) =
+      if (p < 45) Hotspots(p % Hotspots.length)
+      else (rng.nextDouble() * 140 - 70, rng.nextDouble() * 340 - 170)
+    val n = 5 + rng.nextInt(8)
+    val radius = 0.1 + rng.nextDouble() * 1.9
+    val ring = (0 until n).map { k =>
+      val a = 2 * math.Pi * k / n
+      PointLL(
+        math.max(-89.0, math.min(89.0, cLat + radius * math.cos(a))),
+        graft.core.GeoMath.wrap180(cLon + radius * math.sin(a)))
+    }
+    Poly(f"poly-$p%03d", ring)
+  }
+
+  /** Documents as a DataFrame with the exact input-hint schema. */
+  def documentsDf(spark: SparkSession, nDocs: Long, partitions: Int = 0): DataFrame =
+    documents(spark, nDocs, partitions).toDF()
+}

@@ -1,0 +1,49 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Raster<->vector tile assignment + tile aggregation (slippy-map z/x/y).
+  *
+  * Point->tile is stateless per row (streamable); polygon->tiles is a
+  * covering explode. Multi-resolution rollups use grouping sets over packed
+  * tile ids at several zooms — partial aggregation (map-side combine) comes
+  * from Catalyst for free.
+  */
+object Tiler {
+
+  /** points(doc_id, lat, lon, ...) -> + tile_id (packed z|x|y long). */
+  def assign(points: DataFrame, zoom: Int): DataFrame =
+    points.withColumn("tile_id",
+      call_function("st_tile_id", col("lat"), col("lon"), lit(zoom)))
+
+  /** Per-tile doc histogram at one zoom: (tile_id, z, x, y, n_points,
+    * n_docs approx). approx_count_distinct keeps the agg single-pass. */
+  def histogram(points: DataFrame, zoom: Int): DataFrame =
+    assign(points, zoom)
+      .groupBy(col("tile_id"))
+      .agg(count(lit(1)).as("n_points"),
+        approx_count_distinct(col("doc_id")).as("n_docs"))
+      .withColumn("z", shiftrightunsigned(col("tile_id"), 58).cast("int"))
+      .withColumn("x", shiftrightunsigned(col("tile_id"), 29)
+        .bitwiseAND(lit((1L << 29) - 1)))
+      .withColumn("y", col("tile_id").bitwiseAND(lit((1L << 29) - 1)))
+
+  /** Multi-zoom rollup in one pass: tile ids at each requested zoom become
+    * grouping-set columns. */
+  def multiZoomHistogram(points: DataFrame, zooms: Seq[Int]): DataFrame = {
+    val withTiles = zooms.foldLeft(points) { (df, z) =>
+      df.withColumn(s"tile_z$z",
+        call_function("st_tile_id", col("lat"), col("lon"), lit(z)))
+    }
+    val cols = zooms.map(z => col(s"tile_z$z"))
+    withTiles.rollup(cols: _*)
+      .agg(count(lit(1)).as("n_points"))
+  }
+
+  /** polygons(poly_id, ring) -> (poly_id, tile_id) covering at `zoom`
+    * (vector->raster assignment). */
+  def polyfill(polys: DataFrame, zoom: Int): DataFrame =
+    polys.select(col("poly_id"),
+      explode(call_function("st_tile_polyfill", col("ring"), lit(zoom))).as("tile_id"))
+}

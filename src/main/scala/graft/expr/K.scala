@@ -182,7 +182,7 @@ object K {
     val r = ringOf(ring)
     if (r == null || r.length < 6) return null
     val t = Cells.tilePolyfill(r, z)
-    if (t == null) null else new GenericArrayData(t.asInstanceOf[Array[Any]])
+    if (t == null) null else new GenericArrayData(t)
   }
 
   // ---- predicates -------------------------------------------------------

@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Dist, Pip, Cells}
+import graft.engine._
+import graft.expr.GraftFunctions
+
+/** Engine e2e: spatial join vs a single-threaded brute-force oracle,
+  * parallelism invariance, kNN vs brute force, tiling, checkpoint-resume,
+  * and the span-sequence-equality row invariant. */
+class EngineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-engine-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+
+  private val NDocs = 1000L
+
+  /** Brute-force oracle: same kernels, straight loops, no Spark. */
+  private def oracleJoin(nDocs: Long): Set[(String, Int, String)] = {
+    val polys = (0 until 50).map(Corpus.genPoly)
+    val rings = polys.map(p => p.poly_id -> p.ring.flatMap(q => Seq(q.lat, q.lon)).toArray)
+    val out = scala.collection.mutable.Set.empty[(String, Int, String)]
+    var i = 0L
+    while (i < nDocs) {
+      val doc = Corpus.genDoc(i)
+      for (s <- doc.spans if s.kind == "text") {
+        val pt = graft.core.Parsers.parsePoint(s.text)
+        if (pt != null) {
+          for ((pid, ring) <- rings if Pip.contains(pt(0), pt(1), ring))
+            out += ((doc.doc_id, s.offset, pid))
+        }
+      }
+      i += 1
+    }
+    out.toSet
+  }
+
+  test("corpus generation is partitioning-invariant") {
+    val a = Corpus.documentsDf(spark, 200, partitions = 2).collect().map(_.toString).sorted
+    val b = Corpus.documentsDf(spark, 200, partitions = 7).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("spatial join equals brute-force oracle (broadcast path)") {
+    val docs = Corpus.documentsDf(spark, NDocs, partitions = 4)
+    val polys = Corpus.polygons(spark).toDF()
+    val points = SpatialJoin.extractPoints(docs)
+    val got = SpatialJoin.join(points, polys)
+      .select("doc_id", "offset", "poly_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val want = oracleJoin(NDocs)
+    assert(got.size == want.size, s"got ${got.size}, want ${want.size}")
+    assert(got == want)
+    assert(want.nonEmpty, "oracle produced no rows - corpus/polygons misaligned")
+  }
+
+  test("salted join produces identical rows to broadcast join") {
+    val docs = Corpus.documentsDf(spark, NDocs, partitions = 4)
+    val polys = Corpus.polygons(spark).toDF()
+    val points = SpatialJoin.extractPoints(docs)
+    val plain = SpatialJoin.join(points, polys)
+      .select("doc_id", "offset", "poly_id").collect().map(_.toString).sorted
+    val salted = SpatialJoin.join(points, polys, salt = 8, broadcastPolys = false)
+      .select("doc_id", "offset", "poly_id").collect().map(_.toString).sorted
+    assert(plain.sameElements(salted))
+  }
+
+  test("join output invariant under shuffle partitions 1 vs 32") {
+    val polys = Corpus.polygons(spark).toDF()
+    def run(): Array[String] = {
+      val docs = Corpus.documentsDf(spark, 300, partitions = 3)
+      SpatialJoin.join(SpatialJoin.extractPoints(docs), polys)
+        .select("doc_id", "offset", "poly_id").collect().map(_.toString).sorted
+    }
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    val a = run()
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    val b = run()
+    spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert(a.sameElements(b))
+  }
+
+  test("semi/anti containment split covers all docs exactly once") {
+    val docs = Corpus.documentsDf(spark, 500, partitions = 4)
+    val polys = Corpus.polygons(spark).toDF()
+    val points = SpatialJoin.extractPoints(docs).cache()
+    val in = SpatialJoin.containedDocs(points, polys).collect().map(_.getString(0)).toSet
+    val outD = SpatialJoin.uncontainedDocs(points, polys).collect().map(_.getString(0)).toSet
+    val all = points.select("doc_id").distinct().collect().map(_.getString(0)).toSet
+    assert((in intersect outD).isEmpty)
+    assert((in union outD) == all)
+    points.unpersist()
+  }
+
+  test("tile histogram counts match oracle") {
+    val docs = Corpus.documentsDf(spark, 500, partitions = 4)
+    val points = SpatialJoin.extractPoints(docs)
+    val got = Tiler.histogram(points, 7).select("tile_id", "n_points").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // oracle
+    val want = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var i = 0L
+    while (i < 500) {
+      val doc = Corpus.genDoc(i)
+      for (s <- doc.spans if s.kind == "text") {
+        val pt = graft.core.Parsers.parsePoint(s.text)
+        if (pt != null) want(Cells.tileId(pt(0), pt(1), 7)) += 1
+      }
+      i += 1
+    }
+    assert(got == want.toMap)
+  }
+
+  test("multi-zoom rollup totals are consistent") {
+    val docs = Corpus.documentsDf(spark, 300, partitions = 2)
+    val points = SpatialJoin.extractPoints(docs)
+    val n = points.count()
+    val roll = Tiler.multiZoomHistogram(points, Seq(3, 6)).collect()
+    // the grand-total row (all nulls) must equal the point count
+    val total = roll.filter(r => r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2)).sum
+    assert(total == n)
+  }
+
+  test("polyfill tiles cover every joined point's tile") {
+    val polys = Corpus.polygons(spark).toDF()
+    val docs = Corpus.documentsDf(spark, 300, partitions = 2)
+    val points = SpatialJoin.extractPoints(docs)
+    val joined = SpatialJoin.join(points, polys, level = 5)
+    val z = 9
+    val pointTiles = Tiler.assign(joined, z).select("poly_id", "tile_id").distinct()
+    val polyTiles = Tiler.polyfill(polys, z)
+    val missing = pointTiles.join(polyTiles, Seq("poly_id", "tile_id"), "left_anti").count()
+    assert(missing == 0, s"$missing point-tiles outside polyfill")
+  }
+
+  test("knn equals brute force") {
+    import spark.implicits._
+    val k = 5
+    val rngP = new java.util.Random(1000L)
+    val pts = (0 until 2000).map { i =>
+      (s"p$i", 40.0 + rngP.nextDouble() * 5, -75.0 + rngP.nextDouble() * 5)
+    }
+    val rngQ = new java.util.Random(5000L)
+    val qs = (0 until 40).map { i =>
+      (s"q$i", 40.0 + rngQ.nextDouble() * 5, -75.0 + rngQ.nextDouble() * 5)
+    }
+    val ptsDf = pts.toDF("pid", "lat", "lon")
+    val qsDf = qs.toDF("qid", "lat", "lon")
+    val got = Knn.knn(spark, qsDf, ptsDf, k)
+      .select("qid", "pid", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = qs.flatMap { case (qid, qla, qlo) =>
+      pts.map { case (pid, pla, plo) => (pid, Dist.haversine(qla, qlo, pla, plo)) }
+        .sortBy { case (pid, d) => (d, pid) }
+        .take(k).zipWithIndex
+        .map { case ((pid, _), idx) => (qid, pid, idx + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("checkpoint stage commits manifest and resumes without recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    var computes = 0
+    def body = {
+      computes += 1
+      Corpus.documentsDf(spark, 100, partitions = 2)
+        .withColumn("pfx", substring(col("doc_id"), 1, 5))
+    }
+    val a = Checkpoint.stage(spark, dir, "docs", "fp-v1", Some("pfx"))(body)
+    assert(computes == 1 && a.count() == 100)
+    val b = Checkpoint.stage(spark, dir, "docs", "fp-v1", Some("pfx"))(body)
+    assert(computes == 1, "stage recomputed despite committed manifest")
+    assert(b.count() == 100)
+    val fp = Checkpoint.readManifestFingerprint(dir)
+    assert(fp.contains("fp-v1"))
+    // changed fingerprint -> recompute
+    Checkpoint.stage(spark, dir, "docs", "fp-v2", Some("pfx"))(body)
+    assert(computes == 2)
+  }
+
+  test("span-sequence equality survives write/read round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    val docs = Corpus.documentsDf(spark, 200, partitions = 3)
+    docs.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    // per-doc ordered span fingerprint (kind, text, media_ref, order)
+    def fingerprint(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        sha2(to_json(col("spans")), 256).as("fp"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fingerprint(docs.toDF()) == fingerprint(back))
+    // and offsets stay strictly increasing
+    val bad = back.select(posexplode(col("spans")).as(Seq("i", "s")), col("doc_id"))
+      .select(col("doc_id"), col("i"), col("s.offset").as("o"))
+      .withColumn("prev", lag("o", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("i")))
+      .where(col("prev").isNotNull && col("o") <= col("prev"))
+      .count()
+    assert(bad == 0)
+  }
+}
