@@ -1,24 +1,54 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and prints
+  * ONE JSON line {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  * Also reports flagship spatial-pipeline throughput in docs/sec (the
+  * BASELINE.json metric). */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+  /** Representative subset: flagship spatial pipeline + relational + pipeline ops. */
+  val HeadlineQueries: Seq[String] = Seq(
+    "q31_spatial_join", "q33_tile_histogram", "q32_spatial_join_salted",
+    "q01_pricing_agg", "q02_join_nation_revenue", "q08_tile_agg",
+    "q34_knn", "q40_dedup_minhash", "q43_ann_topk", "q30_parse_extract")
+
+  def run(spark: SparkSession, sfDir: String, names: Seq[String]): Map[String, Double] =
+    names.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.register(spark)
+
+    // warm: JIT + codegen caches on the small corpus
+    SparkEntry.entry(spark).count()
+
+    val results = run(spark, sfDir, HeadlineQueries)
+    val nDocs = SparkEntry.corpusDocs(sfDir)
+    val flagshipSec = results("q31_spatial_join")
+    val docsPerSec = if (flagshipSec > 0) nDocs / flagshipSec else 0.0
+
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""flagship_docs_per_sec":$docsPerSec,"n_docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

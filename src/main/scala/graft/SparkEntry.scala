@@ -1,13 +1,498 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.engine._
+import graft.expr.GraftFunctions
+
+/** Driver contract: `entry` is the flagship pipeline; `queries` maps operator
+  * names to DataFrame builders over a scale-factor directory; `oracleSql`
+  * holds DuckDB-equivalent SQL for every SQL-expressible query (the driver's
+  * correctness gate). Kernel-heavy operators (geohash/OLC/UTM/PIP/kNN/LSH)
+  * without practical ANSI-SQL equivalents are rows-only here and gated by the
+  * golden-fixture + brute-force-oracle ScalaTest suites instead.
+  *
+  * Float discipline for oracle parity: sums go through DECIMAL (exact,
+  * order-independent) and are cast back to DOUBLE; scalar doubles are
+  * round()ed with identical formulas on both sides; outputs prefer integers.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(dir: String, name: String)(implicit spark: SparkSession): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Corpus size for a scale dir: sf0.001 -> 1k docs, sf0.01 -> 10k, sf0.1 -> 100k. */
+  def corpusDocs(dir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    math.max(1000L, (sf * 1e6).toLong)
+  }
+
+  private def prep(spark: SparkSession): SparkSession = {
+    GraftFunctions.register(spark)
+    spark
+  }
+
+  /** Derived deterministic points from customer keys (SQL-reproducible):
+    * lat in [-80, 83.9], lon in [-180, 179.9]. */
+  private def customerPoints(spark: SparkSession, dir: String): DataFrame = {
+    implicit val s: SparkSession = spark
+    t(dir, "customer").select(
+      col("c_custkey"),
+      (col("c_custkey") % 1640 / lit(10.0) - 80.0).as("lat"),
+      (col("c_custkey") * 7 % 3600 / lit(10.0) - 180.0).as("lon"))
+  }
+  // CAST to DOUBLE matters: DuckDB would otherwise run the /10.0 in exact
+  // DECIMAL arithmetic while Spark computes in double.
+  private val CustomerPointsSql =
+    "SELECT c_custkey, CAST(c_custkey % 1640 AS DOUBLE)/10.0 - 80.0 AS lat, " +
+      "CAST((c_custkey*7) % 3600 AS DOUBLE)/10.0 - 180.0 AS lon FROM customer"
+
+  /** Flagship: full spatial pipeline (parse -> cell -> broadcast join -> PIP
+    * -> per-polygon doc counts) on a 1k-doc corpus. */
+  def entry(spark: SparkSession): DataFrame = {
+    prep(spark)
+    val docs = Corpus.documentsDf(spark, 1000L, partitions = 8)
+    val polys = Corpus.polygons(spark).toDF()
+    val points = SpatialJoin.extractPoints(docs)
+    SpatialJoin.join(points, polys)
+      .groupBy(col("poly_id"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_points"))
+      .orderBy(col("poly_id"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core (oracle-checked) --------------------------------
+    "q01_pricing_agg" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      t(dir, "lineitem")
+        .where(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double"), 2).as("sum_qty"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 10))).cast("double"), 2).as("revenue"),
+          round(sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(lit(1)), 8)
+            .as("avg_disc"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_join_nation_revenue" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      t(dir, "lineitem")
+        .join(t(dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(28, 10))).cast("double"), 2).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+    "q03_window_topcust" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("rn"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+    "q04_semi_exists" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val disc = t(dir, "lineitem").where(col("l_discount") > 0.05)
+        .select(col("l_orderkey"))
+      t(dir, "orders").join(disc, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q05_anti_noorders" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      t(dir, "customer")
+        .join(t(dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q06_setop_except" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      t(dir, "orders").select(col("o_custkey").as("k"))
+        .except(t(dir, "customer").where(col("c_acctbal") < 0)
+          .select(col("c_custkey").as("k")))
+        .orderBy(col("k"))
+    }),
+    "q07_rollup_counts" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      t(dir, "customer")
+        .join(broadcast(t(dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    }),
+    // ---- spatial kernels, SQL-expressible (oracle-checked) ---------------
+    "q08_tile_agg" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("tile", call_function("st_tile", col("lat"), col("lon"), lit(8)))
+        .groupBy(col("tile.x").as("tx"), col("tile.y").as("ty"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("tx"), col("ty"))
+    }),
+    "q09_haversine" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .select(col("c_custkey"),
+          round(call_function("st_haversine",
+            col("lat"), col("lon"), lit(48.8566), lit(2.3522)), 1).as("dist_m"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q10_utm_zone_band" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .select(col("c_custkey"),
+          call_function("st_utm_zone", col("lat"), col("lon")).as("zone"),
+          call_function("st_band", col("lat")).as("band"),
+          when(col("lat") >= 0, "N").otherwise("S").as("hemisphere"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q11_box_contains" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      val pts = customerPoints(s, dir)
+      pts.join(broadcast(t(dir, "customer").select("c_custkey", "c_nationkey")), Seq("c_custkey"))
+        .where(call_function("st_box_contains",
+          lit(-10.0), lit(-30.0), lit(45.0), lit(60.0), col("lat"), col("lon")))
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q12_wrap_functions" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      t(dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") * 13 % 14400 / lit(10.0) - 720.0).as("v"))
+        .select(col("c_custkey"),
+          call_function("st_wrap90", col("v")).as("w90"),
+          call_function("st_wrap180", col("v")).as("w180"),
+          call_function("st_wrap360", col("v")).as("w360"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q13_ecef" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("e", call_function("st_geo_to_ecef", col("lat"), col("lon"), lit(0.0)))
+        .select(col("c_custkey"),
+          (round(col("e.x"), 2) + 0.0).as("x"), (round(col("e.y"), 2) + 0.0).as("y"),
+          (round(col("e.z"), 2) + 0.0).as("z"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q14_helmert" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("e", call_function("st_geo_to_ecef", col("lat"), col("lon"), lit(0.0)))
+        .withColumn("h", call_function("st_helmert7",
+          col("e.x"), col("e.y"), col("e.z"),
+          lit(-581.99), lit(-105.01), lit(-414.0),
+          lit(1.04), lit(0.35), lit(-3.08), lit(-8.3)))
+        .select(col("c_custkey"),
+          (round(col("h.x"), 3) + 0.0).as("hx"), (round(col("h.y"), 3) + 0.0).as("hy"),
+          (round(col("h.z"), 3) + 0.0).as("hz"))
+        .orderBy(col("c_custkey"))
+    }),
+    // ---- training-data pipeline (oracle-checked where SQL allows) --------
+    "q15_dedup_exact" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      t(dir, "documents")
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(count(lit(1)).as("n"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("content_hash"))
+    }),
+    "q16_text_stats" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      t(dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("chars"),
+        (length(col("text")) - length(translate(col("text"), " ", ""))).as("spaces"),
+        length(translate(col("text"), "aeiou", "")).as("non_vowels"))
+        .orderBy(col("doc_id"))
+    }),
+    "q17_events_window" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(dir, "events")
+        .select(col("event_id"), row_number().over(w).as("rn"))
+        .orderBy(col("event_id"))
+    }),
+    "q18_sessionize" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(dir, "events")
+        .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNotNull && col("us") - col("prev_us") > 1800000000L, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg((sum(col("brk")) + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+    "q19_embed_norm" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val emb = col("embedding").cast("array<double>")
+      t(dir, "embeddings").select(col("vec_id"),
+        round(aggregate(zip_with(emb, emb, (x, y) => x * y), lit(0.0), (a, x) => a + x), 6)
+          .as("norm_sq"))
+        .orderBy(col("vec_id"))
+    }),
+    "q20_cosine_to_query" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val q = e.where(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("q_emb"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(Ann.cosine(col("embedding").cast("array<double>"), col("q_emb")), 6).as("cos_sim"))
+        .orderBy(col("vec_id"))
+    }),
+    // ---- spatial engine, rows-only (gated by ScalaTest oracles) ----------
+    "q30_parse_extract" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.documentsDf(s, corpusDocs(dir), partitions = 32)
+      SpatialJoin.extractPoints(docs)
+        .select(col("doc_id"), col("offset"),
+          round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"), col("cell"))
+        .orderBy(col("doc_id"), col("offset"))
+    }),
+    "q31_spatial_join" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.documentsDf(s, corpusDocs(dir), partitions = 32)
+      val polys = Corpus.polygons(s).toDF()
+      SpatialJoin.join(SpatialJoin.extractPoints(docs), polys)
+        .select(col("doc_id"), col("offset"), col("poly_id"))
+        .orderBy(col("doc_id"), col("offset"), col("poly_id"))
+    }),
+    "q32_spatial_join_salted" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.documentsDf(s, corpusDocs(dir), partitions = 32)
+      val polys = Corpus.polygons(s).toDF()
+      SpatialJoin.join(SpatialJoin.extractPoints(docs), polys,
+        salt = 8, broadcastPolys = false)
+        .groupBy(col("poly_id")).agg(count(lit(1)).as("n_points"))
+        .orderBy(col("poly_id"))
+    }),
+    "q33_tile_histogram" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.documentsDf(s, corpusDocs(dir), partitions = 32)
+      Tiler.histogram(SpatialJoin.extractPoints(docs), 7)
+        .select("tile_id", "z", "x", "y", "n_points", "n_docs")
+        .orderBy(col("tile_id"))
+    }),
+    "q34_knn" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.documentsDf(s, math.min(corpusDocs(dir), 20000L), partitions = 16)
+      val pts = SpatialJoin.extractPoints(docs)
+        .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
+          col("lat"), col("lon"))
+      val queries = s.createDataFrame(
+        Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) => (s"hub-$i", la, lo) }.toSeq)
+        .toDF("qid", "lat", "lon")
+      Knn.knn(s, queries, pts, k = 10)
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "q35_geohash_olc_mgrs" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("gh", call_function("st_geohash", col("lat"), col("lon"), lit(7)))
+        .withColumn("olc", call_function("olc_encode", col("lat"), col("lon"), lit(11)))
+        .withColumn("m", call_function("st_geo_to_mgrs", col("lat"), col("lon")))
+        .select(col("c_custkey"), col("gh"), col("olc"),
+          col("m.zone").as("mz"), col("m.band").as("mb"),
+          col("m.e100k").as("me"), col("m.n100k").as("mn"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q36_polyfill" -> ((spark, dir) => {
+      val s = prep(spark)
+      Tiler.polyfill(Corpus.polygons(s).toDF(), 9)
+        .orderBy(col("poly_id"), col("tile_id"))
+    }),
+    "q37_media_features" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.documentsDf(s, math.min(corpusDocs(dir), 10000L), partitions = 16)
+      Media.extractFeatures(s, docs)
+        .select(col("doc_id"), col("media_ref"), col("width"), col("height"), col("n_frames"))
+        .orderBy(col("doc_id"), col("media_ref"))
+    }),
+    // ---- training-data pipeline, rows-only --------------------------------
+    "q40_dedup_minhash" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      Dedup.minhashLsh(t(dir, "documents").withColumn("doc_id", col("doc_id").cast("string")),
+        threshold = 0.5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q41_dedup_simhash" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      Dedup.simhashPairs(s, t(dir, "documents"), maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    "q42_lang_quality" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val d = t(dir, "documents")
+      TextOps.langId(d)
+        .join(TextOps.qualityScore(d), Seq("doc_id"))
+        .join(TextOps.fingerprint(d), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+    "q43_ann_topk" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val queries = e.where(col("vec_id") < 8)
+        .select(concat(lit("q"), col("vec_id")).as("qid"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      Ann.bruteForceTopK(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        queries, k = 10)
+        .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    "q44_ann_lsh" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val queries = e.where(col("vec_id") < 8)
+        .select(concat(lit("q"), col("vec_id")).as("qid"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      Ann.lshTopK(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        queries, k = 10, dims = 64)
+        .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, " +
+        "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue, " +
+        "round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 8) AS avg_disc " +
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' " +
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "q02_join_nation_revenue" ->
+      ("SELECT n_name, count(*) AS cnt, " +
+        "round(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY n_name ORDER BY n_name"),
+    "q03_window_topcust" ->
+      ("SELECT c_mktsegment, rn, c_custkey, c_acctbal FROM (" +
+        "SELECT c_mktsegment, c_custkey, c_acctbal, " +
+        "row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn " +
+        "FROM customer) WHERE rn <= 3 ORDER BY c_mktsegment, rn"),
+    "q04_semi_exists" ->
+      ("SELECT o_orderpriority, count(*) AS cnt FROM orders WHERE EXISTS (" +
+        "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_discount > 0.05) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "q05_anti_noorders" ->
+      ("SELECT c_nationkey, count(*) AS cnt FROM customer WHERE NOT EXISTS (" +
+        "SELECT 1 FROM orders WHERE o_custkey = c_custkey) " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "q06_setop_except" ->
+      ("SELECT o_custkey AS k FROM orders EXCEPT " +
+        "SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0 ORDER BY k"),
+    "q07_rollup_counts" ->
+      ("SELECT n_name, c_mktsegment, count(*) AS cnt FROM customer " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "GROUP BY ROLLUP (n_name, c_mktsegment) " +
+        "ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"),
+    "q08_tile_agg" ->
+      (s"WITH pts AS ($CustomerPointsSql) " +
+        "SELECT CAST(floor((lon+180.0)/360.0*256) AS BIGINT) AS tx, " +
+        "CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0/cos(radians(lat)))/pi())/2.0*256) AS BIGINT) AS ty, " +
+        "count(*) AS cnt FROM pts GROUP BY tx, ty ORDER BY tx, ty"),
+    "q09_haversine" ->
+      (s"WITH pts AS ($CustomerPointsSql) " +
+        "SELECT c_custkey, round(2.0*6371008.8*asin(least(1.0, sqrt(" +
+        "pow(sin(radians(48.8566-lat)/2),2) + " +
+        "cos(radians(lat))*cos(radians(48.8566))*pow(sin(radians(2.3522-lon)/2),2)))), 1) AS dist_m " +
+        "FROM pts ORDER BY c_custkey"),
+    "q10_utm_zone_band" ->
+      (s"WITH pts AS ($CustomerPointsSql), z AS (" +
+        "SELECT c_custkey, lat, lon, CAST(floor((lon+180.0)/6.0) + 1 AS INT) AS z0, " +
+        "substr('CDEFGHJKLMNPQRSTUVWXX', CAST(floor(lat/8.0 + 10.0) AS INT) + 1, 1) AS band FROM pts) " +
+        "SELECT c_custkey, " +
+        "CASE WHEN z0=31 AND band='V' AND lon>=3 THEN 32 " +
+        "WHEN z0=32 AND band='X' AND lon<9 THEN 31 " +
+        "WHEN z0=32 AND band='X' AND lon>=9 THEN 33 " +
+        "WHEN z0=34 AND band='X' AND lon<21 THEN 33 " +
+        "WHEN z0=34 AND band='X' AND lon>=21 THEN 35 " +
+        "WHEN z0=36 AND band='X' AND lon<33 THEN 35 " +
+        "WHEN z0=36 AND band='X' AND lon>=33 THEN 37 ELSE z0 END AS zone, " +
+        "band, CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END AS hemisphere " +
+        "FROM z ORDER BY c_custkey"),
+    "q11_box_contains" ->
+      (s"WITH pts AS ($CustomerPointsSql) " +
+        "SELECT c_nationkey, count(*) AS cnt FROM pts JOIN customer USING (c_custkey) " +
+        "WHERE lat >= -10.0 AND lat < 45.0 AND lon >= -30.0 AND lon < 60.0 " +
+        "GROUP BY c_nationkey ORDER BY c_nationkey"),
+    "q12_wrap_functions" ->
+      // DuckDB's % operator matches Java's sign-of-dividend semantics
+      // (its fmod() follows the sign of the divisor instead).
+      ("WITH v AS (SELECT c_custkey, CAST(c_custkey*13 % 14400 AS DOUBLE)/10.0 - 720.0 AS v FROM customer), " +
+        "w AS (SELECT c_custkey, v, " +
+        "CASE WHEN v >= 0 AND v <= 360 THEN v ELSE ((v % 360.0) + 360.0) % 360.0 END AS w360 FROM v) " +
+        "SELECT c_custkey, " +
+        "CASE WHEN v >= -90 AND v <= 90 THEN v " +
+        " WHEN w360 <= 90 THEN w360 WHEN w360 <= 270 THEN 180.0 - w360 ELSE w360 - 360.0 END AS w90, " +
+        "CASE WHEN v >= -180 AND v <= 180 THEN v ELSE ((v % 360.0) + 540.0) % 360.0 - 180.0 END AS w180, " +
+        "w360 FROM w ORDER BY c_custkey"),
+    "q13_ecef" ->
+      (s"WITH pts AS ($CustomerPointsSql), c AS (" +
+        "SELECT c_custkey, radians(lat) AS phi, radians(lon) AS lam, " +
+        "(1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2 FROM pts), n AS (" +
+        "SELECT c_custkey, phi, lam, 6378137.0/sqrt(1.0 - e2*sin(phi)*sin(phi)) AS nu, e2 FROM c) " +
+        "SELECT c_custkey, round(nu*cos(phi)*cos(lam), 2) + 0.0 AS x, " +
+        "round(nu*cos(phi)*sin(lam), 2) + 0.0 AS y, " +
+        "round(nu*(1.0-e2)*sin(phi), 2) + 0.0 AS z FROM n ORDER BY c_custkey"),
+    "q14_helmert" ->
+      (s"WITH pts AS ($CustomerPointsSql), c AS (" +
+        "SELECT c_custkey, radians(lat) AS phi, radians(lon) AS lam, " +
+        "(1.0/298.257223563)*(2.0 - 1.0/298.257223563) AS e2 FROM pts), e AS (" +
+        "SELECT c_custkey, 6378137.0/sqrt(1.0 - e2*sin(phi)*sin(phi))*cos(phi)*cos(lam) AS x, " +
+        "6378137.0/sqrt(1.0 - e2*sin(phi)*sin(phi))*cos(phi)*sin(lam) AS y, " +
+        "6378137.0/sqrt(1.0 - e2*sin(phi)*sin(phi))*(1.0-e2)*sin(phi) AS z FROM c), p AS (" +
+        "SELECT c_custkey, x, y, z, radians(1.04/3600.0) AS rx, radians(0.35/3600.0) AS ry, " +
+        "radians(-3.08/3600.0) AS rz, 1.0 + (-8.3)*1e-6 AS s FROM e) " +
+        "SELECT c_custkey, round(-581.99 + s*(x + rz*y - ry*z), 3) + 0.0 AS hx, " +
+        "round(-105.01 + s*(-rz*x + y + rx*z), 3) + 0.0 AS hy, " +
+        "round(-414.0 + s*(ry*x - rx*y + z), 3) + 0.0 AS hz FROM p ORDER BY c_custkey"),
+    "q15_dedup_exact" ->
+      ("SELECT md5(text) AS content_hash, count(*) AS n, " +
+        "min(doc_id) AS min_doc, max(doc_id) AS max_doc " +
+        "FROM documents GROUP BY content_hash ORDER BY content_hash"),
+    "q16_text_stats" ->
+      ("SELECT doc_id, length(text) AS chars, " +
+        "length(text) - length(replace(text, ' ', '')) AS spaces, " +
+        "length(translate(text, 'aeiou', '')) AS non_vowels " +
+        "FROM documents ORDER BY doc_id"),
+    "q17_events_window" ->
+      ("SELECT event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn " +
+        "FROM events ORDER BY event_id"),
+    "q18_sessionize" ->
+      ("WITH x AS (SELECT user_id, epoch_us(ts) AS us, " +
+        "lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us " +
+        "FROM events) " +
+        "SELECT user_id, CAST(1 + sum(CASE WHEN prev_us IS NOT NULL AND us - prev_us > 1800000000 " +
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, count(*) AS n_events " +
+        "FROM x GROUP BY user_id ORDER BY user_id"),
+    "q19_embed_norm" ->
+      ("SELECT vec_id, round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS norm_sq " +
+        "FROM embeddings ORDER BY vec_id"),
+    "q20_cosine_to_query" ->
+      ("WITH q AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0) " +
+        "SELECT vec_id, round(list_cosine_similarity(embedding::DOUBLE[], q_emb), 6) AS cos_sim " +
+        "FROM embeddings, q ORDER BY vec_id")
+  )
 }

@@ -1,0 +1,75 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the `documents`
+  * table: tokenization, quality scoring, n-gram language ID heuristic,
+  * rolling-hash fingerprinting. All built from codegen'd built-ins
+  * (no UDFs in the hot path). */
+object TextOps {
+
+  /** Words: lower-cased alnum runs. */
+  def wordsCol(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}]+", " ")), " "),
+      w => length(w) > 0)
+
+  /** doc_id + token/char counts + punctuation and whitespace ratios. */
+  def tokenStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("doc_id"),
+      length(t).as("n_chars"),
+      size(wordsCol(t)).as("n_words"),
+      (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).as("n_punct"),
+      (length(t) - length(regexp_replace(t, "\\s", ""))).as("n_space"))
+  }
+
+  /** Heuristic quality score in [0,1]: penalizes extreme length, high
+    * punctuation ratio, low word count, and low alpha ratio — the standard
+    * cheap pre-filters of large-scale corpus cleaning. */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("double")
+    val nWords = size(wordsCol(t)).cast("double")
+    val punctRatio = (nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))) / greatest(nChars, lit(1.0))
+    val alphaRatio = length(regexp_replace(t, "[^\\p{L}]", "")) / greatest(nChars, lit(1.0))
+    val lenScore = when(nChars.between(20, 10000), 1.0)
+      .when(nChars < 20, nChars / 20.0)
+      .otherwise(lit(10000.0) / nChars)
+    val wordScore = when(nWords >= 5, 1.0).otherwise(nWords / 5.0)
+    docs.select(col("doc_id"),
+      round(lenScore * wordScore * (lit(1.0) - punctRatio) * alphaRatio, 6).as("quality"))
+  }
+
+  /** Tiny n-gram language-ID heuristic: scores stopword hits per language
+    * over the word set; returns argmax or 'und'. Deterministic, pure
+    * DataFrame ops (explode + pivot-free agg). */
+  val StopwordTables: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "pas", "pour", "une", "dans", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "no", "con", "una", "por", "que"))
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val hits = StopwordTables.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val arr = array(words.map(lit): _*)
+      size(array_intersect(wordsCol(col(textCol)), arr)).as(s"hits_$lang")
+    }
+    val scored = docs.select(col("doc_id") +: hits: _*)
+    val langs = StopwordTables.keys.toSeq.sorted
+    // argmax via greatest + chained when (ties resolve in sorted lang order)
+    val best = langs.foldLeft(lit("und")) { (acc, lang) =>
+      when(col(s"hits_$lang") > 0 &&
+        col(s"hits_$lang") === greatest(langs.map(l => col(s"hits_$l")): _*), lang)
+        .otherwise(acc)
+    }
+    scored.withColumn("lang_pred", best).select("doc_id", "lang_pred")
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 over the normalized word
+    * sequence — cheap shard-stable identity for exact near-clone detection. */
+  def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      xxhash64(concat_ws(" ", wordsCol(col(textCol)))).as("fp"))
+}

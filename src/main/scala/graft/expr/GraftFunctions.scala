@@ -220,7 +220,13 @@ object GraftFunctions {
       reg.registerFunction(
         FunctionIdentifier(name),
         new ExpressionInfo(K.getClass.getName, name),
-        (exprs: Seq[Expression]) => builder(exprs))
+        (exprs: Seq[Expression]) =>
+          try builder(exprs)
+          catch {
+            case _: IndexOutOfBoundsException =>
+              throw new IllegalArgumentException(
+                s"$name: wrong number of arguments (got ${exprs.length})")
+          })
     }
     synchronized { registered += key }
   }
