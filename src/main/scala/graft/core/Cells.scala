@@ -200,6 +200,25 @@ object Cells {
     cells.filter(c => cellIntersectsRing(Geohash.bounds(c), ring))
   }
 
+  /** Adaptive covering: the finest level <= maxLevel whose covering stays
+    * within maxCells. Geohash prefixes encode their own level (string
+    * length), so a multi-resolution covering joins against point-cell
+    * prefixes directly. Never null: falls back to level 1 (32 cells max). */
+  def coverRingAdaptive(ring: Array[Double], maxLevel: Int, maxCells: Int): Array[String] = {
+    val bb = Pip.bbox(ring)
+    var level = math.max(1, maxLevel)
+    while (level > 1) {
+      val (latDeg, lonDeg) = cellSizeDeg(level)
+      val est = ((bb(2) - bb(0)) / latDeg + 2.0) * ((bb(3) - bb(1)) / lonDeg + 2.0)
+      if (est <= maxCells * 2.0) {
+        val cells = coverRing(ring, level)
+        if (cells != null && cells.length <= maxCells) return cells
+      }
+      level -= 1
+    }
+    coverRing(ring, 1)
+  }
+
   // ---- slippy-map Web-Mercator tiles -----------------------------------
 
   final val MaxTileZoom = 29

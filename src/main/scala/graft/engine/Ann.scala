@@ -60,7 +60,7 @@ object Ann {
     * with the query, then exact cosine + window top-k over candidates only.
     * Recall < 1 by construction; `bands` trades recall for candidate count. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              dims: Int = 64, bands: Int = 8, bitsPerBand: Int = 8): DataFrame = {
+              dims: Int = 64, bands: Int = 16, bitsPerBand: Int = 6): DataFrame = {
     def withKeys(df: DataFrame, emb: String): DataFrame = {
       val keys = lshKeys(col(emb), dims, bands, bitsPerBand)
       val bandStructs = array(keys.zipWithIndex.map { case (kcol, i) =>

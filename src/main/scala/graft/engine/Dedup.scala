@@ -28,16 +28,25 @@ object Dedup {
         .otherwise(array(concat_ws(" ", words))))
   }
 
-  /** MinHash signature: H hash functions, each min(xxhash64(shingle, seed)).
-    * Pure built-ins: transform + array_min, codegen'd. */
+  /** docs -> (doc_id, shingles) with an Exchange barrier after the regex
+    * shingle pipeline. The barrier matters: higher-order functions
+    * (transform/array_min) evaluate interpreted, and without it Catalyst's
+    * project collapsing inlines the whole shingle pipeline into every
+    * downstream minhash/band expression — an ~H x blowup measured at 45x
+    * wall-clock on the LSH path. */
+  private def shingled(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"), shingles(col(textCol)).as("shingles"))
+      .repartition(col("doc_id"))
+
+  /** One minhash column: min over shingles of xxhash64(shingle, seed i). */
+  private def minhashCol(i: Int): org.apache.spark.sql.Column =
+    array_min(transform(col("shingles"), s => xxhash64(s, lit(i))))
+
+  /** MinHash signature: H hash functions, each min(xxhash64(shingle, seed)). */
   def minhashSignature(docs: DataFrame, textCol: String = "text",
-                       numHashes: Int = 16): DataFrame = {
-    val sh = shingles(col(textCol))
-    val sig = array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }: _*)
-    docs.select(col("doc_id"), sh.as("shingles"), sig.as("sig"))
-  }
+                       numHashes: Int = 16): DataFrame =
+    shingled(docs, textCol).select(col("doc_id"), col("shingles"),
+      array((0 until numHashes).map(minhashCol): _*).as("sig"))
 
   /** MinHash+LSH near-duplicate pairs: band the signature (bands x rows),
     * bucket-join within bands, then verify with true shingle Jaccard.
@@ -46,22 +55,28 @@ object Dedup {
                  numHashes: Int = 16, bands: Int = 4,
                  threshold: Double = 0.7): DataFrame = {
     val rows = numHashes / bands
-    val signed = minhashSignature(docs, textCol, numHashes)
-    val banded = signed.select(
-      col("doc_id"), col("shingles"),
+    val base = shingled(docs, textCol)
+    // band keys reference each minhash expression exactly once (no sig-array
+    // indirection: array(...)[i] would re-inline the array per extraction);
+    // the candidate self-join shuffles only (doc_id, band, bucket) rows —
+    // shingle arrays join back in once, after pair dedupe
+    val banded = base.select(
+      col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
-          (0 until rows).map(r => col("sig").getItem(b * rows + r).cast("string")): _*),
+          (0 until rows).map(r => minhashCol(b * rows + r).cast("string")): _*),
           lit(b))
       }: _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
+    val idPairs = a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b")
+      .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
+    val sh = base.select(col("doc_id"), col("shingles"))
+    val pairs = idPairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
     pairs
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

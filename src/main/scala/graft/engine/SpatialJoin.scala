@@ -38,13 +38,27 @@ object SpatialJoin {
       .withColumn("cell", call_function("st_cell", col("lat"), col("lon"), lit(level)))
   }
 
-  /** Polygon layer -> (poly_id, ring, cell) covering rows. */
-  def polygonCells(polys: DataFrame, level: Int = DefaultLevel): DataFrame =
-    polys.select(col("poly_id"), col("ring"),
-      explode(call_function("st_cover_cells", col("ring"), lit(level))).as("cell"))
+  /** Per-polygon cell budget for the adaptive covering: big polygons get
+    * coarser cells so no polygon is ever dropped and the broadcast side
+    * stays bounded at |polys| * MaxCellsPerPolygon rows. */
+  val MaxCellsPerPolygon = 1024
 
-  /** Join extracted points against polygons: cell equi-join + PIP refine.
-    * Output: doc_id, offset, lat, lon, cell, poly_id.
+  /** Polygon layer -> (poly_id, ring, cell) multi-resolution covering rows.
+    * Each polygon is covered at the finest level <= `level` that stays under
+    * MaxCellsPerPolygon; the geohash prefix encodes its own level. */
+  def polygonCells(polys: DataFrame, level: Int = DefaultLevel,
+                   maxCells: Int = MaxCellsPerPolygon): DataFrame =
+    polys.select(col("poly_id"), col("ring"),
+      explode(call_function("st_cover_cells_adaptive",
+        col("ring"), lit(level), lit(maxCells))).as("cell"))
+
+  /** Join extracted points against polygons: multi-resolution cell equi-join
+    * + PIP refine. Output: doc_id, offset, lat, lon, cell, poly_id.
+    *
+    * The point side joins once per distinct covering level present in the
+    * polygon layer (its level-L prefix); each polygon is covered at exactly
+    * one level so no duplicate matches arise. The distinct-levels probe is a
+    * plan-time action on the dimension-sized polygon side only.
     *
     * broadcastPolys: hint the (small) polygon-cell side for a broadcast hash
     * join — the default for dimension-sized layers. With salted > 1 the join
@@ -52,19 +66,27 @@ object SpatialJoin {
   def join(points: DataFrame, polys: DataFrame, level: Int = DefaultLevel,
            broadcastPolys: Boolean = true, salt: Int = 1): DataFrame = {
     val pc0 = polygonCells(polys, level)
+    val levels: Array[Int] = pc0.select(length(col("cell")).as("l"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val prefixes = array(levels.map(l => substring(col("cell"), 1, l)): _*)
+    val keyedPoints = points
+      .withColumn("jcell", explode(prefixes))
     val refined: DataFrame => DataFrame = df =>
       df.where(call_function("st_point_in_polygon", col("lat"), col("lon"), col("ring")))
-        .drop("ring", "salt")
+        .drop("ring", "salt", "jcell")
     if (salt <= 1) {
-      val pc = if (broadcastPolys) broadcast(pc0) else pc0
-      refined(points.join(pc, Seq("cell"), "inner"))
+      val pc = {
+        val base = pc0.withColumnRenamed("cell", "jcell")
+        if (broadcastPolys) broadcast(base) else base
+      }
+      refined(keyedPoints.join(pc, Seq("jcell"), "inner"))
     } else {
-      val saltedPoints = points.withColumn(
+      val saltedPoints = keyedPoints.withColumn(
         "salt", pmod(xxhash64(col("doc_id"), col("offset")), lit(salt)).cast("int"))
-      val saltedPolys0 = pc0.withColumn(
-        "salt", explode(sequence(lit(0), lit(salt - 1))))
+      val saltedPolys0 = pc0.withColumnRenamed("cell", "jcell")
+        .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
       val saltedPolys = if (broadcastPolys) broadcast(saltedPolys0) else saltedPolys0
-      refined(saltedPoints.join(saltedPolys, Seq("cell", "salt"), "inner"))
+      refined(saltedPoints.join(saltedPolys, Seq("jcell", "salt"), "inner"))
     }
   }
 

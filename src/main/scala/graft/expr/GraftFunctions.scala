@@ -97,6 +97,8 @@ object GraftFunctions {
       si(ArrayType(StringType), "cellRingOf", Seq(str(a(0)), int(a(1))))),
     "st_cover_cells" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "coverCells", Seq(a(0), int(a(1))))),
+    "st_cover_cells_adaptive" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "coverCellsAdaptive", Seq(a(0), int(a(1)), int(a(2))))),
     "st_cover_box" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "coverBoxCells",
         Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), int(a(4))))),

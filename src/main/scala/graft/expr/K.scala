@@ -153,6 +153,16 @@ object K {
     else new GenericArrayData(cells.map(utf8(_)).asInstanceOf[Array[Any]])
   }
 
+  /** st_cover_cells_adaptive(ring, maxLevel, maxCells): multi-resolution
+    * covering — never drops a polygon (falls back to coarser levels). */
+  def coverCellsAdaptive(ring: ArrayData, maxLevel: Int, maxCells: Int): ArrayData = {
+    val r = ringOf(ring)
+    if (r == null || r.length < 6) return null
+    val cells = Cells.coverRingAdaptive(r, maxLevel, maxCells)
+    if (cells == null) null
+    else new GenericArrayData(cells.map(utf8(_)).asInstanceOf[Array[Any]])
+  }
+
   def coverBoxCells(s: Double, w: Double, n: Double, e: Double, level: Int): ArrayData = {
     val cells = Cells.coverBox(s, w, n, e, level)
     if (cells == null) null

@@ -105,6 +105,20 @@ class EngineSpec extends AnyFunSuite {
     points.unpersist()
   }
 
+  test("huge polygons are never dropped (adaptive covering)") {
+    import spark.implicits._
+    // radius ~30 deg octagon: would exceed any fixed fine-level cell cap
+    val ring = (0 until 8).map { i =>
+      val a = 2 * math.Pi * i / 8
+      PointLL(30.0 * math.cos(a), 40.0 + 30.0 * math.sin(a))
+    }
+    val polys = Seq(Poly("big-0", ring)).toDF()
+    val pts = Seq(("d1", 1, 0.0, 40.0), ("d2", 1, 0.0, 100.0)).toDF("doc_id", "offset", "lat", "lon")
+      .withColumn("cell", call_function("st_cell", col("lat"), col("lon"), lit(5)))
+    val got = SpatialJoin.join(pts, polys).select("doc_id").collect().map(_.getString(0)).toSet
+    assert(got == Set("d1"), s"got $got") // centre point in, far point out
+  }
+
   test("tile histogram counts match oracle") {
     val docs = Corpus.documentsDf(spark, 500, partitions = 4)
     val points = SpatialJoin.extractPoints(docs)

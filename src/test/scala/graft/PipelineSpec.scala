@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+/** Training-data pipeline operators: planted-duplicate recovery for the
+  * dedup family, ANN exactness/recall, text analysis, media plumbing. */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.register(s)
+    s
+  }
+
+  private def docsDf = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val nearDup = base.replace("today", "tonight")
+    val other = (1 to 30).map(i => s"completely different document number $i with unique words alpha$i beta$i gamma$i delta$i epsilon$i").toSeq
+    (Seq(("d1", base), ("d2", base), ("d3", nearDup), ("d4", "short text")) ++
+      other.zipWithIndex.map { case (t, i) => (s"o$i", t) })
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds the planted identical pair only") {
+    val got = Dedup.exact(docsDf).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[scala.collection.Seq[String]]("doc_ids").toSeq == Seq("d1", "d2"))
+  }
+
+  test("minhash LSH finds planted near-duplicates with true jaccard") {
+    val pairs = Dedup.minhashLsh(docsDf, threshold = 0.4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains(("d1", "d2")), s"missed exact dup: ${keys.mkString(",")}")
+    assert(keys.contains(("d1", "d3")) && keys.contains(("d2", "d3")),
+      s"missed near dup: ${keys.mkString(",")}")
+    val exact = pairs.find(p => p._1 == "d1" && p._2 == "d2").get
+    assert(exact._3 == 1.0)
+    // no false positives among the unrelated docs
+    assert(pairs.forall(p => Set("d1", "d2", "d3").contains(p._1)))
+  }
+
+  test("simhash pairs bucket identical and near docs together") {
+    val pairs = Dedup.simhashPairs(spark, docsDf, maxHamming = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.contains(("d1", "d2")))
+    assert(pairs.contains(("d1", "d3")))
+  }
+
+  test("ngram jaccard on explicit pairs") {
+    import spark.implicits._
+    val pairs = Seq(("d1", "d2"), ("d1", "d4")).toDF("doc_a", "doc_b")
+    val got = Dedup.ngramJaccard(docsDf, pairs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("d1", "d2")) == 1.0)
+    assert(got(("d1", "d4")) == 0.0)
+  }
+
+  test("brute-force ANN is exact: self is rank 1 with sim 1") {
+    implicit val s: SparkSession = spark
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.where(col("vec_id") < 5)
+      .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+    val top = Ann.bruteForceTopK(e, queries, k = 3).collect()
+    for (q <- 0 until 5) {
+      val r1 = top.find(r => r.getString(0) == s"q$q" && r.getInt(3) == 1).get
+      assert(r1.getLong(1) == q, s"q$q rank1 is ${r1.getLong(1)}")
+      assert(math.abs(r1.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("LSH ANN finds self and has decent recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.where(col("vec_id") < 8)
+      .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+    val brute = Ann.bruteForceTopK(e, queries, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val lsh = Ann.lshTopK(e, queries, k = 5, dims = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    for (q <- 0 until 8)
+      assert(lsh.contains((s"q$q", q.toLong)), s"LSH missed self for q$q")
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall too low")
+  }
+
+  test("text stats, quality, lang-id, fingerprint are deterministic and sane") {
+    import spark.implicits._
+    val d = Seq(
+      ("t1", "The cat and the dog sat in the garden with it for the day"),
+      ("t2", "der Hund und die Katze ist nicht mit der Maus zu den Haus"),
+      ("t3", ""),
+      ("t4", "le chat est dans la maison pour les vacances et pas une souris"))
+      .toDF("doc_id", "text")
+    val lang = TextOps.langId(d).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lang("t1") == "en" && lang("t2") == "de" && lang("t4") == "fr")
+    assert(lang("t3") == "und")
+    val q = TextOps.qualityScore(d).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(q("t1") > 0.5 && q("t3") == 0.0)
+    val stats = TextOps.tokenStats(d).where(col("doc_id") === "t1").collect()(0)
+    assert(stats.getInt(2) == 14) // n_words
+    val fp = TextOps.fingerprint(d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fp("t1") != fp("t2"))
+  }
+
+  test("media feature extraction: schema, determinism, batch shape") {
+    val docs = Corpus.documentsDf(spark, 300, partitions = 3)
+    val f1 = Media.extractFeatures(spark, docs).orderBy("doc_id", "media_ref").collect()
+    val f2 = Media.extractFeatures(spark, docs.repartition(7)).orderBy("doc_id", "media_ref").collect()
+    assert(f1.length == f2.length && f1.length > 0)
+    assert(f1.zip(f2).forall { case (a, b) => a == b }) // partitioning-invariant
+    val r = f1(0)
+    assert(r.getInt(2) >= 64 && r.getInt(3) >= 64 && r.getInt(4) >= 1)
+    assert(r.getAs[scala.collection.Seq[Float]]("feature").length == 8)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+import graft.expr.GraftFunctions
+
+/** Physical-plan quality gates: the plans we ship must be the plans we'd
+  * want at 100 TB — broadcast joins where a side is dimension-sized, filter
+  * pushdown + column pruning reaching the parquet scan, and whole-stage
+  * codegen spanning our custom expressions. */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("flagship spatial join broadcasts the polygon-cover side") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val polys = Corpus.polygons(spark).toDF()
+    val df = SpatialJoin.join(SpatialJoin.extractPoints(docs), polys)
+    df.collect() // finalize this plan's adaptive execution
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    // PIP refine must not force a separate non-codegen stage
+    assert(plan.contains("codegen id"), s"no codegen span:\n${plan.take(1500)}")
+  }
+
+  test("q01 pushes the shipdate filter into the parquet scan") {
+    val plan = SparkEntry.queries("q01_pricing_agg")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("q16 prunes to the two needed columns in the scan") {
+    val plan = SparkEntry.queries("q16_text_stats")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned:\n${plan.take(2000)}")
+  }
+
+  test("q02 multi-join broadcasts the dimension tables") {
+    val plan = SparkEntry.queries("q02_join_nation_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"dimension joins not broadcast:\n${plan.take(2000)}")
+  }
+
+  test("partial aggregation (map-side combine) present in tile histogram") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val plan = physical(Tiler.histogram(SpatialJoin.extractPoints(docs), 7))
+    // two HashAggregate nodes (partial + final) around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
+  }
+
+  test("salted join key includes the salt (skew split)") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val polys = Corpus.polygons(spark).toDF()
+    val plan = physical(SpatialJoin.join(SpatialJoin.extractPoints(docs), polys,
+      salt = 4, broadcastPolys = false))
+    assert(plan.contains("salt"), s"salt missing from join keys:\n${plan.take(1500)}")
+  }
+}
