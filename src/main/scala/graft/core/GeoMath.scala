@@ -35,6 +35,15 @@ object GeoMath {
     else w - 360.0
   }
 
+  /** Quirk Q7 compat: the reference's wrap90 formula verbatim
+    * (|((d%360+270)%360-180)|-90, mathematics.d:50-57). Its own TODO notes it
+    * is wrong for e.g. -315 deg (returns 135, outside [-90,90]); kept only
+    * for bit-parity testing against the reference. */
+  def wrap90Compat(d: Double): Double = {
+    if (d >= -90.0 && d <= 90.0) return d
+    math.abs((d % 360.0 + 270.0) % 360.0 - 180.0) - 90.0
+  }
+
   /** Round to `dec` decimal places, half away from zero (matches the
     * reference's mir round, mathematics.d:64-68). */
   def roundTo(x: Double, dec: Int): Double = {

@@ -52,6 +52,21 @@ object SpatialJoin {
       explode(call_function("st_cover_cells_adaptive",
         col("ring"), lit(level), lit(maxCells))).as("cell"))
 
+  /** Prepared polygon side: covering rows + the distinct covering levels.
+    * Build once per polygon-layer version and reuse across jobs — the
+    * covering and the levels probe are per-layer costs, not per-query. */
+  final case class PolygonIndex(cells: DataFrame, levels: Array[Int])
+
+  def buildIndex(polys: DataFrame, level: Int = DefaultLevel,
+                 maxCells: Int = MaxCellsPerPolygon,
+                 cache: Boolean = false): PolygonIndex = {
+    val pc = polygonCells(polys, level, maxCells)
+    val pcc = if (cache) pc.cache() else pc
+    val levels = pcc.select(length(col("cell")).as("l"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    PolygonIndex(pcc, levels)
+  }
+
   /** Join extracted points against polygons: multi-resolution cell equi-join
     * + PIP refine. Output: doc_id, offset, lat, lon, cell, poly_id.
     *
@@ -64,10 +79,14 @@ object SpatialJoin {
     * join — the default for dimension-sized layers. With salted > 1 the join
     * key becomes (cell, salt) to split hot cells across reducers. */
   def join(points: DataFrame, polys: DataFrame, level: Int = DefaultLevel,
-           broadcastPolys: Boolean = true, salt: Int = 1): DataFrame = {
-    val pc0 = polygonCells(polys, level)
-    val levels: Array[Int] = pc0.select(length(col("cell")).as("l"))
-      .distinct().collect().map(_.getInt(0)).sorted
+           broadcastPolys: Boolean = true, salt: Int = 1): DataFrame =
+    joinWithIndex(points, buildIndex(polys, level), broadcastPolys, salt)
+
+  /** Join against a prebuilt polygon index (static-layer fast path). */
+  def joinWithIndex(points: DataFrame, index: PolygonIndex,
+                    broadcastPolys: Boolean = true, salt: Int = 1): DataFrame = {
+    val pc0 = index.cells
+    val levels = index.levels
     val prefixes = array(levels.map(l => substring(col("cell"), 1, l)): _*)
     val keyedPoints = points
       .withColumn("jcell", explode(prefixes))

@@ -206,6 +206,20 @@ object GraftFunctions {
       case 6 => si(DoubleType, "vincenty", a.take(6).map(dbl))
       case n => fail("st_vincenty", n)
     }),
+    // quirk-compat variants (Q2/Q4 Gauss-Schreiber series, Q7 wrap90)
+    "st_geo_to_utm_compat" -> ((a: Seq[Expression]) => a.length match {
+      case 2 => si(UtmT, "geoToUtmCompat", Seq(dbl(a(0)), dbl(a(1)), litA, litF))
+      case 4 => si(UtmT, "geoToUtmCompat", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))
+      case n => fail("st_geo_to_utm_compat", n)
+    }),
+    "st_utm_to_geo_compat" -> ((a: Seq[Expression]) => a.length match {
+      case 4 => si(PointT, "utmToGeoCompat", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF))
+      case 6 => si(PointT, "utmToGeoCompat",
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))))
+      case n => fail("st_utm_to_geo_compat", n)
+    }),
+    "st_wrap90_compat" -> ((a: Seq[Expression]) =>
+      si(DoubleType, "wrap90Compat", Seq(dbl(a.head)), nullable = false)),
     "st_wrap90" -> ((a: Seq[Expression]) => si(DoubleType, "wrap90", Seq(dbl(a.head)), nullable = false)),
     "st_wrap180" -> ((a: Seq[Expression]) => si(DoubleType, "wrap180", Seq(dbl(a.head)), nullable = false)),
     "st_wrap360" -> ((a: Seq[Expression]) => si(DoubleType, "wrap360", Seq(dbl(a.head)), nullable = false))

@@ -410,6 +410,26 @@ object K {
     if (d.isNaN) null else java.lang.Double.valueOf(d)
   }
 
+  /** Quirk-compat variants: reproduce the reference's behavior bit-for-bit
+    * where representable in Double (SURVEY §2A Q2/Q4/Q7). */
+  def geoToUtmCompat(lat: Double, lon: Double, a: Double, f: Double): InternalRow = {
+    if (lat < -90 || lat > 90 || lon < -180 || lon > 180 || lat.isNaN || lon.isNaN) return null
+    val u = Utm.geoToUtm(lat, lon, a, f, compat = true)
+    new GenericInternalRow(Array[Any](
+      u.zone, utf8(u.hemisphere.toString), u.easting, u.northing, u.convergence, u.scale))
+  }
+
+  def utmToGeoCompat(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double,
+                     a: Double, f: Double): InternalRow = {
+    if (hemisphere == null || hemisphere.numChars() < 1) return null
+    val h = Character.toUpperCase(hemisphere.toString.charAt(0))
+    if (h != 'N' && h != 'S') return null
+    val g = Utm.utmToGeo(zone, h, easting, northing, a, f, compat = true)
+    if (g == null) null else new GenericInternalRow(Array[Any](g(0), g(1)))
+  }
+
+  def wrap90Compat(d: Double): Double = GeoMath.wrap90Compat(d)
+
   def wrap90(d: Double): Double = GeoMath.wrap90(d)
   def wrap180(d: Double): Double = GeoMath.wrap180(d)
   def wrap360(d: Double): Double = GeoMath.wrap360(d)

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming layer: the cell/tile assignment operators are
+  * stateless per row so they stream as-is (readStream -> same transforms ->
+  * writeStream); aggregations get watermarked event-time windows; custom
+  * per-key state (session tracking) uses flatMapGroupsWithState.
+  *
+  * The batch spatial-join pipeline streams on the fact side too: the polygon
+  * covering is a static broadcast dimension, so stream-static joins work
+  * without state. */
+object Streams {
+
+  /** Streaming point extraction + tile assignment over an interleaved-doc
+    * stream (same operators as the batch path — stateless). */
+  def tileAssign(docs: DataFrame, zoom: Int): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
+      .where(col("span.kind") === "text")
+      .select(col("doc_id"), col("span.offset").as("offset"),
+        call_function("st_parse_point", col("span.text")).as("pt"))
+      .where(col("pt").isNotNull)
+      .withColumn("tile_id",
+        call_function("st_tile_id", col("pt.lat"), col("pt.lon"), lit(zoom)))
+
+  /** Stream-static spatial join: streaming points against the static
+    * polygon-cell dimension (broadcast; no streaming state needed). */
+  def spatialJoinStream(points: DataFrame, polyCells: DataFrame): DataFrame =
+    points
+      .join(broadcast(polyCells.withColumnRenamed("cell", "jcell")), Seq("jcell"))
+      .where(call_function("st_point_in_polygon", col("lat"), col("lon"), col("ring")))
+      .drop("ring")
+
+  /** Watermarked sliding-window event counts (late data dropped after
+    * `watermark`). */
+  def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
+                     window_ : String = "5 minutes", slide: String = "5 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+
+  final case class SessionState(count: Long, lastUs: Long, sessions: Long)
+  final case class SessionUpdate(user_id: Long, sessions: Long, events: Long)
+
+  /** Custom keyed state: per-user session counting with a 30-minute gap rule
+    * (flatMapGroupsWithState, update mode). */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L))
+          for ((_, us) <- rows.toSeq.sortBy(_._2)) {
+            val newSession = s.lastUs == Long.MinValue || us - s.lastUs > 1800000000L
+            s = SessionState(s.count + 1, us, s.sessions + (if (newSession) 1 else 0))
+          }
+          state.update(s)
+          Iterator(SessionUpdate(user, s.sessions, s.count))
+      }
+      .toDF()
+  }
+}

@@ -30,6 +30,28 @@ class CoreKernelSpec extends AnyFunSuite {
     assert(GeoMath.roundTo(1.123456789, 5) == 1.12346)
   }
 
+  test("quirk compat: Q7 wrap90 formula reproduces the reference's bug") {
+    assert(GeoMath.wrap90Compat(91.0) == 89.0)   // works in the simple range
+    assert(GeoMath.wrap90Compat(-315.0) == 135.0) // broken (out of [-90,90]) — Q7
+    assert(GeoMath.wrap90(-315.0) == 45.0)        // correct mode fixes it
+  }
+
+  test("quirk compat: Q2 zeroed Krueger series = Gauss-Schreiber TM") {
+    val a = 6378137.0; val f = 1 / 298.257223563
+    val correct = Utm.geoToUtm(52.2, 0.12, a, f)
+    val compat = Utm.geoToUtm(52.2, 0.12, a, f, compat = true)
+    // D integer division zeroes every series coefficient (conv.d:50,183-189):
+    // metre-level divergence from the correct projection, same zone/hemisphere
+    assert(compat.zone == correct.zone && compat.hemisphere == correct.hemisphere)
+    val dE = math.abs(compat.easting - correct.easting)
+    val dN = math.abs(compat.northing - correct.northing)
+    assert(dE + dN > 10 && dE + dN < 20000, s"dE=$dE dN=$dN")
+    // compat round-trips against itself (same zeroed series both ways)
+    val g = Utm.utmToGeo(compat.zone, compat.hemisphere, compat.easting,
+      compat.northing, a, f, compat = true)
+    assert(math.abs(g(0) - 52.2) < 1e-9 && math.abs(g(1) - 0.12) < 1e-9)
+  }
+
   // ---- Registry ---------------------------------------------------------
 
   test("registry loads EPSG data, WGS84 constants correct") {

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{Corpus, SpatialJoin}
+import graft.streaming.Streams
+
+/** Streaming layer: batch parquet drives streaming queries synchronously via
+  * the memory sink + processAllAvailable; streaming results must equal the
+  * batch operators on the same data. */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.expr.GraftFunctions.register(s)
+    s
+  }
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-stream").toString
+
+  /** events.parquet is a single file; file-stream sources need a directory. */
+  private lazy val eventsDir: String = {
+    val d = tmp()
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("streaming tile assignment equals the batch path") {
+    val dir = tmp()
+    val docs = Corpus.documentsDf(spark, 300, partitions = 3)
+    docs.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.tileAssign(stream, 7)
+      .select("doc_id", "offset", "tile_id")
+      .writeStream.format("memory").queryName("tiles_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.sql("SELECT * FROM tiles_out").collect().map(_.toString).sorted
+    val want = Streams.tileAssign(spark.read.parquet(dir), 7)
+      .select("doc_id", "offset", "tile_id").collect().map(_.toString).sorted
+    assert(got.length > 0 && got.sameElements(want))
+  }
+
+  test("stream-static spatial join equals batch join") {
+    val dir = tmp()
+    Corpus.documentsDf(spark, 300, partitions = 3).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val polys = Corpus.polygons(spark).toDF()
+    val polyCells = SpatialJoin.polygonCells(polys, 5)
+    val levels = polyCells.select(length(col("cell")).as("l")).distinct()
+      .collect().map(_.getInt(0)).sorted
+
+    def pointsOf(df: org.apache.spark.sql.DataFrame) =
+      SpatialJoin.extractPoints(df)
+        .withColumn("jcell", explode(array(levels.map(l => substring(col("cell"), 1, l)): _*)))
+
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.spatialJoinStream(pointsOf(stream), polyCells)
+      .select("doc_id", "offset", "poly_id")
+      .writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.sql("SELECT * FROM sj_out").collect().map(_.toString).sorted
+    val want = SpatialJoin.join(SpatialJoin.extractPoints(spark.read.parquet(dir)), polys)
+      .select("doc_id", "offset", "poly_id").collect().map(_.toString).sorted
+    assert(got.length > 0 && got.sameElements(want))
+  }
+
+  test("watermarked windowed counts complete over a bounded stream") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = Streams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    // append mode only emits windows below the final watermark; totals over
+    // emitted windows must match the batch aggregation on the same windows
+    val got = spark.sql("SELECT sum(n) FROM win_out").collect()(0).getLong(0)
+    assert(got > 0)
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy(window(col("ts").cast("timestamp"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val emitted = spark.sql("SELECT window, event_type, n FROM win_out")
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val full = batch.collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(emitted.forall { case (k, v) => full.get(k).contains(v) },
+      "emitted window counts disagree with batch")
+  }
+
+  test("stateful sessionization matches the batch window computation") {
+    val dir = "/root/testdata/sf0.001"
+    val schema = spark.read.parquet(eventsDir).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = Streams.sessionize(spark, stream)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql(
+      "SELECT user_id, max(sessions) AS s, max(events) AS e FROM sess_out GROUP BY user_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = SparkEntry.queries("q18_sessionize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+}
