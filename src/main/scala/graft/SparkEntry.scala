@@ -257,6 +257,20 @@ object SparkEntry {
           round(Ann.cosine(col("embedding").cast("array<double>"), col("q_emb")), 6).as("cos_sim"))
         .orderBy(col("vec_id"))
     }),
+    "q21_geohash_sql" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .select(col("c_custkey"),
+          call_function("st_geohash", col("lat"), col("lon"), lit(5)).as("gh5"))
+        .orderBy(col("c_custkey"))
+    }),
+    "q22_olc_sql" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .select(col("c_custkey"),
+          call_function("olc_encode", col("lat"), col("lon"), lit(10)).as("olc10"))
+        .orderBy(col("c_custkey"))
+    }),
     // ---- spatial engine, rows-only (gated by ScalaTest oracles) ----------
     "q30_parse_extract" -> ((spark, dir) => {
       val s = prep(spark)
@@ -371,7 +385,47 @@ object SparkEntry {
     })
   )
 
+  /** Geohash is interleaved binary bisection — mechanically expressible as
+    * floor/div/mod bit extraction in ANSI SQL. Generates the level-`p`
+    * encoder: X = floor((lon+180)/360 * 2^lonBits) etc., bit j of the
+    * interleaved stream looked up into the base-32 alphabet. */
+  private def geohashSql(lat: String, lon: String, p: Int): String = {
+    val bits = 5 * p
+    val latBits = bits / 2
+    val lonBits = bits - latBits
+    val x = s"CAST(floor(($lon + 180.0)/360.0 * ${1L << lonBits}) AS BIGINT)"
+    val y = s"CAST(floor(($lat + 90.0)/180.0 * ${1L << latBits}) AS BIGINT)"
+    def bit(pos: Int): String =
+      if (pos % 2 == 0) s"((gx // ${1L << (lonBits - 1 - pos / 2)}) % 2)"
+      else s"((gy // ${1L << (latBits - 1 - (pos - 1) / 2)}) % 2)"
+    val chars = (0 until p).map { c =>
+      val idx = (0 until 5).map(k => s"${bit(5 * c + k)} * ${1 << (4 - k)}").mkString(" + ")
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($idx AS INT) + 1, 1)"
+    }
+    s"(SELECT concat(${chars.mkString(", ")}) FROM (SELECT $x AS gx, $y AS gy) g)"
+  }
+
+  /** OLC length-10 pair encoding in SQL: the same Long arithmetic as the
+    * kernel (scaled integers, base-20 digits, lat/lon interleaved MSB-first,
+    * '+' after 8). Valid for in-range lat/lon (no clip/nudge/wrap needed for
+    * the derived lattice). */
+  private def olc10Sql(lat: String, lon: String): String = {
+    val latV = s"CAST(floor(round(($lat + 90.0) * 25000000 * 1000000)/1000000) AS BIGINT) // 3125"
+    val lonV = s"CAST(floor(round(($lon + 180.0) * 8192000 * 1000000)/1000000) AS BIGINT) // 1024"
+    def digit(v: String, i: Int): String = // i = 0 is the most significant of 5
+      s"substr('23456789CFGHJMPQRVWX', CAST(($v // ${math.pow(20, 4 - i).toLong}) % 20 AS INT) + 1, 1)"
+    val interleaved = (0 until 5).flatMap(i => Seq(digit("ov", i), digit("oo", i)))
+    val code = interleaved.take(8) ++ Seq("'+'") ++ interleaved.drop(8)
+    s"(SELECT concat(${code.mkString(", ")}) FROM (SELECT $latV AS ov, $lonV AS oo) o)"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q21_geohash_sql" ->
+      (s"WITH pts AS ($CustomerPointsSql) SELECT c_custkey, " +
+        s"${geohashSql("lat", "lon", 5)} AS gh5 FROM pts ORDER BY c_custkey"),
+    "q22_olc_sql" ->
+      (s"WITH pts AS ($CustomerPointsSql) SELECT c_custkey, " +
+        s"${olc10Sql("lat", "lon")} AS olc10 FROM pts ORDER BY c_custkey"),
     "q01_pricing_agg" ->
       ("SELECT l_returnflag, l_linestatus, count(*) AS cnt, " +
         "round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty, " +
