@@ -78,7 +78,10 @@ object Pipeline {
       val resumed = Checkpoint.readManifestFingerprint(dir).contains(fp)
       val t0 = System.nanoTime()
       val df = Checkpoint.stage(spark, dir, name, fp, partitionCol)(body)
-      val rows = df.count()
+      // a resumed stage's row count comes from its committed manifest
+      val rows =
+        if (resumed) Checkpoint.readManifestTotal(dir).getOrElse(df.count())
+        else df.count()
       out += name -> ((rows, (System.nanoTime() - t0) / 1e9, resumed))
       df
     }

@@ -58,6 +58,14 @@ object Checkpoint {
     m.map(_.group(1))
   }
 
+  /** Committed total row count — lets a resumed consumer skip re-counting. */
+  def readManifestTotal(dir: String): Option[Long] = {
+    val p = manifestPath(dir)
+    if (!Files.exists(p)) return None
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    """"total_rows":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+  }
+
   /** Run a stage: if `dir` holds a committed manifest for this fingerprint,
     * read it back (resume); otherwise compute, write partitioned Parquet,
     * collect per-partition lineage counts, and commit the manifest. */
