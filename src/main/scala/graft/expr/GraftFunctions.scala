@@ -99,6 +99,9 @@ object GraftFunctions {
       si(ArrayType(StringType), "coverCells", Seq(a(0), int(a(1))))),
     "st_cover_cells_adaptive" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "coverCellsAdaptive", Seq(a(0), int(a(1)), int(a(2))))),
+    // true table-generating function (Generator): LATERAL VIEW-able
+    "st_cover_cells_gen" -> ((a: Seq[Expression]) =>
+      CoverCellsGen(a(0), int(a(1)), int(a(2)))),
     "st_cover_box" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "coverBoxCells",
         Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), int(a(4))))),
@@ -158,6 +161,8 @@ object GraftFunctions {
       si(StringType, "bandToHemisphereOf", Seq(str(a.head)))),
     "st_utm_zone" -> ((a: Seq[Expression]) =>
       si(IntegerType, "utmZoneOf", Seq(dbl(a(0)), dbl(a(1))))),
+    "st_utm_band" -> ((a: Seq[Expression]) =>
+      si(StringType, "utmBandOf", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3))))),
     "st_geo_to_ecef" -> ((a: Seq[Expression]) => a.length match {
       case 3 => si(EcefT, "geoToEcef", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litA, litF))
       case 5 => si(EcefT, "geoToEcef", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))

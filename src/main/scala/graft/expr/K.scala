@@ -289,6 +289,18 @@ object K {
     utf8(Utm.bandToHemisphere(band.toString.charAt(0)).toString)
   }
 
+  /** st_utm_band(zone, hemisphere, easting, northing): MGRS latitude band of
+    * a UTM position — the accessor the reference leaves as an empty TODO
+    * (utm.d:95-97); implemented as the obvious round trip through latitude. */
+  def utmBandOf(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double): UTF8String = {
+    if (hemisphere == null || hemisphere.numChars() < 1) return null
+    val h = Character.toUpperCase(hemisphere.toString.charAt(0))
+    if (h != 'N' && h != 'S') return null
+    val g = Utm.utmToGeo(zone, h, easting, northing, 6378137.0, 1.0 / 298.257223563)
+    if (g == null) return null
+    latBandOf(g(0))
+  }
+
   def utmZoneOf(lat: Double, lon: Double): java.lang.Integer = {
     if (lat.isNaN || lon.isNaN || lat < -90 || lat > 90) return null
     java.lang.Integer.valueOf(Utm.zoneFor(lat, GeoMath.wrap180(lon)))

@@ -133,6 +133,32 @@ class ExprSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(7) - 6378137.0) < 1e-6)
   }
 
+  test("st_cover_cells_gen generator works via LATERAL VIEW and matches the array form") {
+    spark.sql(
+      """SELECT 'p1' AS poly_id,
+        |  array(named_struct('lat', 48d, 'lon', 10d),
+        |        named_struct('lat', 48d, 'lon', 12d),
+        |        named_struct('lat', 49.5d, 'lon', 12d),
+        |        named_struct('lat', 49.5d, 'lon', 10d)) AS ring
+        |""".stripMargin).createOrReplaceTempView("one_poly")
+    val viaGen = spark.sql(
+      """SELECT poly_id, cell FROM one_poly
+        |LATERAL VIEW st_cover_cells_gen(ring, 5, 1024) t AS cell
+        |""".stripMargin).collect().map(_.getString(1)).sorted
+    val viaArray = spark.sql(
+      "SELECT explode(st_cover_cells_adaptive(ring, 5, 1024)) FROM one_poly")
+      .collect().map(_.getString(0)).sorted
+    assert(viaGen.nonEmpty && viaGen.sameElements(viaArray))
+  }
+
+  test("st_utm_band implements the reference's TODO accessor") {
+    val r = spark.sql(
+      "SELECT st_utm_band(31, 'N', 448251d, 5411932d) AS b, " +
+        "st_utm_band(31, 'X', 448251d, 5411932d) AS bad").collect()(0)
+    assert(r.getString(0) == "U")
+    assert(r.isNullAt(1))
+  }
+
   test("column API works and folds literals at plan time") {
     import graft.expr.GraftFunctions._
     val df = spark.range(1).select(
