@@ -96,7 +96,10 @@ object SpatialJoin {
     if (salt <= 1) {
       val pc = {
         val base = pc0.withColumnRenamed("cell", "jcell")
-        if (broadcastPolys) broadcast(base) else base
+        // non-broadcast path: hint sort-merge so both sides range-partition
+        // on the cell key (the "range-partition join" path for polygon
+        // layers too large to broadcast)
+        if (broadcastPolys) broadcast(base) else base.hint("merge")
       }
       refined(keyedPoints.join(pc, Seq("jcell"), "inner"))
     } else {

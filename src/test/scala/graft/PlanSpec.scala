@@ -69,6 +69,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, s"no partial agg:\n$plan")
   }
 
+  test("non-broadcast path range-partitions via sort-merge join") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val polys = Corpus.polygons(spark).toDF()
+    val df = SpatialJoin.join(SpatialJoin.extractPoints(docs), polys,
+      broadcastPolys = false)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(1200)}")
+  }
+
   test("salted join key includes the salt (skew split)") {
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
     val polys = Corpus.polygons(spark).toDF()
