@@ -59,12 +59,15 @@ object Knn {
         .select("qid", "q_lat", "q_lon", "qcell", "pid", "dist", "rank")
 
       // a query resolves when it has k hits and the k-th is inside the
-      // provable bound for this round's disk
+      // provable bound for this round's disk (pure column math, no UDF)
       val kth = cand.groupBy("qid", "q_lat", "qcell")
         .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
-      val boundUdf = udf((lat: Double, r: Int) => outsideDiskLowerBound(lat, level, r))
-      val resolvedQ = kth.where(col("n") === k &&
-        col("kth") <= boundUdf(col("q_lat"), lit(round))).select("qid")
+      val (latDeg, lonDeg) = Cells.cellSizeDeg(level)
+      val maxAbsLat = least(lit(90.0), abs(col("q_lat")) + lit((round + 1) * latDeg))
+      val bound = lit(round) * least(
+        lit(latDeg * 110574.0),
+        lit(lonDeg * 111320.0) * greatest(lit(0.0), cos(radians(maxAbsLat))))
+      val resolvedQ = kth.where(col("n") === k && col("kth") <= bound).select("qid")
 
       val isLast = round == maxRounds
       val resolvedRows =
