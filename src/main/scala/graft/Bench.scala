@@ -15,31 +15,26 @@ object Bench {
     "q34_knn", "q40_dedup_minhash", "q43_ann_topk", "q30_parse_extract")
 
   /** Per-query wall seconds: min of two runs (first run pays codegen/JIT;
-    * the machine is shared, so single cold timings are 2-3x noisy). */
-  def run(spark: SparkSession, sfDir: String, names: Seq[String]): Map[String, Double] =
-    names.map { name =>
+    * the machine is shared, so single cold timings are 2-3x noisy).
+    * A query that throws is recorded in `failed` — NOT silently timed as if
+    * it had succeeded — and excluded from the per-query map and the total. */
+  def run(spark: SparkSession, sfDir: String,
+          names: Seq[String]): (Map[String, Double], Seq[String]) = {
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
-    }.toMap
-
-  /** Materialize the deterministic corpus + polygon layer once per size
-    * (parquet on local disk), so the flagship measures the pipeline over
-    * stored data — the realistic input shape — not corpus generation. */
-  def ensureCorpus(spark: SparkSession, nDocs: Long): (String, String) = {
-    val base = s"${sys.props("java.io.tmpdir")}/graft_bench_corpus_$nDocs"
-    val docsPath = s"$base/docs"
-    val polysPath = s"$base/polys"
-    if (!new java.io.File(s"$docsPath/_SUCCESS").exists()) {
-      graft.engine.Corpus.documentsDf(spark, nDocs, partitions = 64)
-        .write.mode("overwrite").parquet(docsPath)
-      graft.engine.Corpus.polygons(spark).write.mode("overwrite").parquet(polysPath)
+      (name, times.map(_._1).min, times.forall(_._2))
     }
-    (docsPath, polysPath)
+    (results.collect { case (n, t, true) => n -> t }.toMap,
+      results.collect { case (n, _, false) => n })
   }
 
   /** Flagship pipeline over stored parquet: extract -> cell join -> PIP ->
@@ -72,13 +67,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.GraftFunctions.register(spark)
 
-    // warm: JIT + codegen caches on the small corpus
+    // warm: JIT + codegen caches on the small corpus, and materialize the
+    // stored corpus for this scale so query timings exclude generation
     SparkEntry.entry(spark).count()
-
-    val results = run(spark, sfDir, HeadlineQueries)
     val nDocs = SparkEntry.corpusDocs(sfDir)
+    val (docsPath, polysPath) = graft.engine.Corpus.ensure(spark, nDocs)
+
+    val (results, failed) = run(spark, sfDir, HeadlineQueries)
     // flagship throughput over stored parquet (generation excluded)
-    val (docsPath, polysPath) = ensureCorpus(spark, nDocs)
     flagshipFromParquet(spark, docsPath, polysPath) // warm
     val tf0 = System.nanoTime()
     flagshipFromParquet(spark, docsPath, polysPath)
@@ -87,9 +83,11 @@ object Bench {
 
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""failed":$failedJson,""" +
         s""""flagship_docs_per_sec":$docsPerSec,"n_docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -37,7 +37,7 @@ object Scaling {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.expr.GraftFunctions.register(spark)
-    val (docsPath, polysPath) = Bench.ensureCorpus(spark, nDocs)
+    val (docsPath, polysPath) = graft.engine.Corpus.ensure(spark, nDocs)
     // static polygon layer -> index built + cached once per session
     val idx = graft.engine.SpatialJoin.buildIndex(
       spark.read.parquet(polysPath), cache = true)

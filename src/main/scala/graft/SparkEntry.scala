@@ -30,6 +30,10 @@ object SparkEntry {
     math.max(1000L, (sf * 1e6).toLong)
   }
 
+  /** Doc-count caps for the quadratic-ish engine queries (kNN / media). */
+  val KnnDocCap = 20000L
+  val MediaDocCap = 10000L
+
   private def prep(spark: SparkSession): SparkSession = {
     GraftFunctions.register(spark)
     spark
@@ -271,27 +275,28 @@ object SparkEntry {
           call_function("olc_encode", col("lat"), col("lon"), lit(10)).as("olc10"))
         .orderBy(col("c_custkey"))
     }),
-    // ---- spatial engine, rows-only (gated by ScalaTest oracles) ----------
+    // ---- spatial engine over the stored corpus (parquet; see Corpus.ensure)
     "q30_parse_extract" -> ((spark, dir) => {
       val s = prep(spark)
-      val docs = Corpus.documentsDf(s, corpusDocs(dir), partitions = 32)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
       SpatialJoin.extractPoints(docs)
         .select(col("doc_id"), col("offset"),
-          round(col("lat"), 6).as("lat"), round(col("lon"), 6).as("lon"), col("cell"))
+          (round(col("lat"), 6) + 0.0).as("lat"), (round(col("lon"), 6) + 0.0).as("lon"),
+          col("cell"))
         .orderBy(col("doc_id"), col("offset"))
     }),
     "q31_spatial_join" -> ((spark, dir) => {
       val s = prep(spark)
-      val docs = Corpus.documentsDf(s, corpusDocs(dir), partitions = 32)
-      val polys = Corpus.polygons(s).toDF()
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val polys = Corpus.storedPolys(s, corpusDocs(dir))
       SpatialJoin.join(SpatialJoin.extractPoints(docs), polys)
         .select(col("doc_id"), col("offset"), col("poly_id"))
         .orderBy(col("doc_id"), col("offset"), col("poly_id"))
     }),
     "q32_spatial_join_salted" -> ((spark, dir) => {
       val s = prep(spark)
-      val docs = Corpus.documentsDf(s, corpusDocs(dir), partitions = 32)
-      val polys = Corpus.polygons(s).toDF()
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val polys = Corpus.storedPolys(s, corpusDocs(dir))
       SpatialJoin.join(SpatialJoin.extractPoints(docs), polys,
         salt = 8, broadcastPolys = false)
         .groupBy(col("poly_id")).agg(count(lit(1)).as("n_points"))
@@ -299,21 +304,23 @@ object SparkEntry {
     }),
     "q33_tile_histogram" -> ((spark, dir) => {
       val s = prep(spark)
-      val docs = Corpus.documentsDf(s, corpusDocs(dir), partitions = 32)
-      Tiler.histogram(SpatialJoin.extractPoints(docs), 7)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      Tiler.histogram(SpatialJoin.extractPoints(docs), 7, exact = true)
         .select("tile_id", "z", "x", "y", "n_points", "n_docs")
         .orderBy(col("tile_id"))
     }),
     "q34_knn" -> ((spark, dir) => {
       val s = prep(spark)
-      val docs = Corpus.documentsDf(s, math.min(corpusDocs(dir), 20000L), partitions = 16)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+        .where(col("doc_id") < lit(f"doc-${KnnDocCap}%09d"))
       val pts = SpatialJoin.extractPoints(docs)
         .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
           col("lat"), col("lon"))
       val queries = s.createDataFrame(
-        Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) => (s"hub-$i", la, lo) }.toSeq)
+        Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) => (f"hub-$i%02d", la, lo) }.toSeq)
         .toDF("qid", "lat", "lon")
       Knn.knn(s, queries, pts, k = 10)
+        .select(col("qid"), col("pid"), (round(col("dist"), 3) + 0.0).as("dist"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
     "q35_geohash_olc_mgrs" -> ((spark, dir) => {
@@ -329,12 +336,13 @@ object SparkEntry {
     }),
     "q36_polyfill" -> ((spark, dir) => {
       val s = prep(spark)
-      Tiler.polyfill(Corpus.polygons(s).toDF(), 9)
+      Tiler.polyfill(Corpus.storedPolys(s, corpusDocs(dir)), 9)
         .orderBy(col("poly_id"), col("tile_id"))
     }),
     "q37_media_features" -> ((spark, dir) => {
       val s = prep(spark)
-      val docs = Corpus.documentsDf(s, math.min(corpusDocs(dir), 10000L), partitions = 16)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+        .where(col("doc_id") < lit(f"doc-${MediaDocCap}%09d"))
       Media.extractFeatures(s, docs)
         .select(col("doc_id"), col("media_ref"), col("width"), col("height"), col("n_frames"))
         .orderBy(col("doc_id"), col("media_ref"))

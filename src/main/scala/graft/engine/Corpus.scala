@@ -133,4 +133,31 @@ object Corpus {
   /** Documents as a DataFrame with the exact input-hint schema. */
   def documentsDf(spark: SparkSession, nDocs: Long, partitions: Int = 0): DataFrame =
     documents(spark, nDocs, partitions).toDF()
+
+  /** Deterministic on-disk location of the materialized corpus for a size. */
+  def corpusBase(nDocs: Long): String =
+    s"${sys.props("java.io.tmpdir")}/graft_corpus_$nDocs"
+
+  /** Materialize the deterministic corpus + polygon layer once per size
+    * (parquet on local disk). Queries and benchmarks read THIS — the realistic
+    * stored-input shape — so per-query timings measure the operator, not
+    * corpus generation, and the DuckDB oracle can read the same files. */
+  def ensure(spark: SparkSession, nDocs: Long): (String, String) = synchronized {
+    val base = corpusBase(nDocs)
+    val docsPath = s"$base/docs"
+    val polysPath = s"$base/polys"
+    if (!new java.io.File(s"$docsPath/_SUCCESS").exists() ||
+        !new java.io.File(s"$polysPath/_SUCCESS").exists()) {
+      documentsDf(spark, nDocs, partitions = 64).write.mode("overwrite").parquet(docsPath)
+      polygons(spark).write.mode("overwrite").parquet(polysPath)
+    }
+    (docsPath, polysPath)
+  }
+
+  /** Stored corpus documents for a scale dir (materializing if needed). */
+  def storedDocs(spark: SparkSession, nDocs: Long): DataFrame =
+    spark.read.parquet(ensure(spark, nDocs)._1)
+
+  def storedPolys(spark: SparkSession, nDocs: Long): DataFrame =
+    spark.read.parquet(ensure(spark, nDocs)._2)
 }

@@ -18,14 +18,17 @@ object Tiler {
       call_function("st_tile_id", col("lat"), col("lon"), lit(zoom)))
 
   /** Per-tile doc histogram at one zoom: (tile_id, z, x, y, n_points,
-    * n_docs approx). approx_count_distinct keeps the agg single-pass; 5% rsd
-    * — the default 2.3% costs a 16 KB HLL sketch per (tile x task), which
-    * dominated the whole query at high tile cardinality. */
-  def histogram(points: DataFrame, zoom: Int): DataFrame =
+    * n_docs). Default n_docs is approx_count_distinct at 5% rsd — single-pass,
+    * and the default 2.3% rsd costs a 16 KB HLL sketch per (tile x task),
+    * which dominated the whole query at high tile cardinality. `exact = true`
+    * switches to exact count(distinct) (a second shuffle pass) for
+    * oracle-comparable output. */
+  def histogram(points: DataFrame, zoom: Int, exact: Boolean = false): DataFrame =
     assign(points, zoom)
       .groupBy(col("tile_id"))
       .agg(count(lit(1)).as("n_points"),
-        approx_count_distinct(col("doc_id"), 0.05).as("n_docs"))
+        (if (exact) countDistinct(col("doc_id"))
+         else approx_count_distinct(col("doc_id"), 0.05)).as("n_docs"))
       .withColumn("z", shiftrightunsigned(col("tile_id"), 58).cast("int"))
       .withColumn("x", shiftrightunsigned(col("tile_id"), 29)
         .bitwiseAND(lit((1L << 29) - 1)))

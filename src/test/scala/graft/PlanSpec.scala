@@ -62,6 +62,13 @@ class PlanSpec extends AnyFunSuite {
       s"dimension joins not broadcast:\n${plan.take(2000)}")
   }
 
+  test("extractPoints evaluates st_parse_point exactly once per span") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val plan = physical(SpatialJoin.extractPoints(docs))
+    val n = "parsePoint".r.findAllIn(plan).size
+    assert(n == 1, s"expected 1 parsePoint eval in the plan, found $n:\n$plan")
+  }
+
   test("partial aggregation (map-side combine) present in tile histogram") {
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
     val plan = physical(Tiler.histogram(SpatialJoin.extractPoints(docs), 7))
