@@ -68,9 +68,22 @@ object Pipeline {
       if (polysArg == "synthetic") Corpus.polygons(spark).toDF()
       else spark.read.parquet(polysArg)
 
-    // fingerprints: inputs + parameters define each stage's identity
-    val docsFp = docsArg + ":" + docs.schema.catalogString
-    val polysFp = polysArg
+    // fingerprints: inputs + parameters define each stage's identity. A
+    // cheap CONTENT signature (file names + sizes + mtimes) is folded in so
+    // rewriting different data to the same path invalidates committed stages
+    // instead of silently resuming over stale results.
+    def contentSig(path: String): String = {
+      val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .sortBy(_.getName)
+        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      graft.core.Hashing.md5Hex(files.mkString("|"))
+    }
+    val docsFp = docsArg + ":" + docs.schema.catalogString + ":" + (
+      if (docsArg == "synthetic") contentSig(s"$outDir/input_docs") else contentSig(docsArg))
+    val polysFp =
+      if (polysArg == "synthetic") s"synthetic:seed=${Corpus.Seed}"
+      else polysArg + ":" + contentSig(polysArg)
 
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, (Long, Double, Boolean))]
     def stage(name: String, dir: String, fp: String, partitionCol: Option[String])

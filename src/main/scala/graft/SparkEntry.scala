@@ -356,7 +356,7 @@ object SparkEntry {
     }),
     "q41_dedup_simhash" -> ((spark, dir) => {
       implicit val s: SparkSession = prep(spark)
-      Dedup.simhashPairs(s, t(dir, "documents"), maxHamming = 6)
+      Dedup.simhashPairs(t(dir, "documents"), maxHamming = 6)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q42_lang_quality" -> ((spark, dir) => {

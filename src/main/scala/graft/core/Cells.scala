@@ -64,22 +64,36 @@ object Cells {
     else hash.substring(0, level)
 
   /** All cells within Chebyshev ring-distance <= k of `cell` (the (2k+1)^2
-    * disk), deduped; the k-ring primitive under kNN expansion. */
+    * disk), deduped; the k-ring primitive under kNN expansion.
+    *
+    * The grid is a cylinder: lon wraps (adjacent E/W never dead-ends, and the
+    * LinkedHashSet dedupes a full wrap at coarse levels) but lat clamps at
+    * the poles. The walk north/south truncates there instead of bailing out
+    * — the truncated disk is still exactly "every existing cell within
+    * Chebyshev distance k", which is what the kNN termination bound needs
+    * (there are no cells, hence no points, beyond the pole). */
   def cellDisk(cell: String, k: Int): Array[String] = {
     if (cell == null || cell.isEmpty || k < 0) return null
     if (k == 0) return Array(cell)
     val out = mutable.LinkedHashSet.empty[String]
-    // walk to the NW corner
+    // walk north up to k steps (clamped at the pole), then west k steps
     var corner = cell
+    var northSteps = 0
+    var atPole = false
+    while (!atPole && northSteps < k) {
+      val n = Geohash.adjacent(corner, 'n')
+      if (n == null) atPole = true else { corner = n; northSteps += 1 }
+    }
     var i = 0
-    while (i < k && corner != null) { corner = Geohash.adjacent(corner, 'n'); i += 1 }
-    i = 0
-    while (i < k && corner != null) { corner = Geohash.adjacent(corner, 'w'); i += 1 }
-    if (corner == null) return Array(cell)
-    var rowStart = corner
+    while (i < k) {
+      val w = Geohash.adjacent(corner, 'w')
+      if (w == null) i = k else { corner = w; i += 1 }
+    }
+    var rowStart: String = corner
     var r = 0
+    val nRows = northSteps + k + 1
     val side = 2 * k + 1
-    while (r < side && rowStart != null) {
+    while (r < nRows && rowStart != null) {
       var c = rowStart
       var j = 0
       while (j < side && c != null) {

@@ -33,13 +33,14 @@ object Ann {
       .select("qid", "vec_id", "sim", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed hash mapped to [-1, 1]; seeds are data-independent. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    var h = (plane.toLong * 0x9E3779B97F4A7C15L) ^ (dim.toLong * 0xC2B2AE3D27D4EB4FL)
-    h = (h ^ (h >>> 30)) * 0xBF58476D1CE4E5B9L
-    h = h ^ (h >>> 31)
-    (h.toDouble / Long.MaxValue.toDouble)
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) in
+    * [-1, 1): 48 md5 bits of "plane:<p>:<d>" scaled exactly (both the 48-bit
+    * integer and the power-of-two division are exact in double, so any SQL
+    * engine recomputes the identical literal from the same md5). Seeds are
+    * data-independent; plan-time constants folded into codegen. */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val v = graft.core.Hashing.hexSlice(graft.core.Hashing.md5Hex(s"plane:$plane:$dim"), 0, 12)
+    v.toDouble / 0x800000000000L.toDouble - 1.0
   }
 
   /** Sign-bit LSH key columns: `bands` keys of `bitsPerBand` hyperplane signs

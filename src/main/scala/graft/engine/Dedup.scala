@@ -1,6 +1,7 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash groupBy),
@@ -8,72 +9,85 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: every method is shuffle-bounded by the *candidate* set, not
   * the corpus cross product — LSH bands / simhash chunks are the join keys,
-  * so the only quadratic work happens inside a bucket (hot buckets are the
-  * skew case; bucket sizes are capped via a group-limit before pairing). */
+  * so the only quadratic work happens inside a bucket. Hot buckets (the skew
+  * case: boilerplate-heavy corpora collapse into a few buckets) are capped at
+  * `maxBucket` rows per (band, bucket) via a window row_number, bounding the
+  * per-bucket self-join at C(maxBucket, 2) pairs; rows beyond the cap in a
+  * degenerate bucket are quarantined from candidate generation rather than
+  * detonating the join. Per-group output is likewise bounded (count + min/max
+  * exemplars, never an unbounded collect_list). */
 object Dedup {
 
-  /** Exact duplicates by content hash: (hash, n_dups, doc_ids). */
+  /** Exact duplicate groups by content hash, bounded output per group:
+    * (content_hash, n, min_doc, max_doc). */
   def exact(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("content_hash"))
-      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
       .where(col("n") > 1)
 
-  /** Word 3-gram shingles of the normalized text. */
-  def shingles(text: org.apache.spark.sql.Column, n: Int = 3): org.apache.spark.sql.Column = {
-    val words = TextOps.wordsCol(text)
-    array_distinct(
-      when(size(words) >= n,
-        transform(sequence(lit(0), size(words) - n),
-          i => concat_ws(" ", slice(words, i + 1, lit(n)))))
-        .otherwise(array(concat_ws(" ", words))))
+  /** Exact duplicate membership rows (content_hash, doc_id, n) — the
+    * full-id-list companion to `exact` without any unbounded per-group
+    * state (a window count instead of collect_list). */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    docs.select(md5(col(textCol)).as("content_hash"), col("doc_id"))
+      .withColumn("n", count(lit(1)).over(w))
+      .where(col("n") > 1)
   }
 
-  /** docs -> (doc_id, shingles) with an Exchange barrier after the regex
-    * shingle pipeline. The barrier matters: higher-order functions
-    * (transform/array_min) evaluate interpreted, and without it Catalyst's
-    * project collapsing inlines the whole shingle pipeline into every
-    * downstream minhash/band expression — an ~H x blowup measured at 45x
-    * wall-clock on the LSH path. */
+  /** Word 3-gram shingles of the normalized text (codegen'd st_shingles
+    * kernel: lower-cased alnum words, distinct space-joined n-grams). */
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("st_shingles", text, lit(n))
+
+  /** docs -> (doc_id, shingles). */
   private def shingled(docs: DataFrame, textCol: String): DataFrame =
     docs.select(col("doc_id"), shingles(col(textCol)).as("shingles"))
-      .repartition(col("doc_id"))
 
-  /** One minhash column: min over shingles of xxhash64(shingle, seed i). */
-  private def minhashCol(i: Int): org.apache.spark.sql.Column =
-    array_min(transform(col("shingles"), s => xxhash64(s, lit(i))))
-
-  /** MinHash signature: H hash functions, each min(xxhash64(shingle, seed)). */
+  /** MinHash signature via the codegen'd st_minhash kernel: one MD5 per
+    * shingle, Kirsch-Mitzenmacher double hashing for the family, unsigned
+    * min per hash. Emitted through a Generate barrier so the signature is
+    * evaluated exactly once however many band expressions consume it. */
   def minhashSignature(docs: DataFrame, textCol: String = "text",
-                       numHashes: Int = 16): DataFrame =
+                       numHashes: Int = 32): DataFrame =
     shingled(docs, textCol).select(col("doc_id"), col("shingles"),
-      array((0 until numHashes).map(minhashCol): _*).as("sig"))
+      call_function("st_minhash", col("shingles"), lit(numHashes)).as("sig"))
 
-  /** MinHash+LSH near-duplicate pairs: band the signature (bands x rows),
-    * bucket-join within bands, then verify with true shingle Jaccard.
-    * Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, jaccard >= threshold. */
-  def minhashLsh(docs: DataFrame, textCol: String = "text",
-                 numHashes: Int = 16, bands: Int = 4,
-                 threshold: Double = 0.7): DataFrame = {
+  /** (doc_id, band, bucket) LSH band-bucket rows, hot buckets capped. */
+  private def bandBuckets(docs: DataFrame, textCol: String,
+                          numHashes: Int, bands: Int, maxBucket: Int): DataFrame = {
     val rows = numHashes / bands
-    val base = shingled(docs, textCol)
-    // band keys reference each minhash expression exactly once (no sig-array
-    // indirection: array(...)[i] would re-inline the array per extraction);
-    // the candidate self-join shuffles only (doc_id, band, bucket) rows —
-    // shingle arrays join back in once, after pair dedupe
-    val banded = base.select(
-      col("doc_id"),
+    require(rows * bands == numHashes, "numHashes must be a multiple of bands")
+    val sigDf = shingled(docs, textCol).select(col("doc_id"),
+      explode(array(call_function("st_minhash", col("shingles"), lit(numHashes)))).as("sig"))
+    val banded = sigDf.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
         xxhash64(concat_ws(",",
-          (0 until rows).map(r => minhashCol(b * rows + r).cast("string")): _*),
+          (0 until rows).map(r => col("sig")(b * rows + r).cast("string")): _*),
           lit(b))
       }: _*)).as(Seq("band", "bucket")))
+    val wB = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
+    banded.withColumn("bn", row_number().over(wB))
+      .where(col("bn") <= maxBucket)
+      .select("doc_id", "band", "bucket")
+  }
+
+  /** MinHash+LSH near-duplicate pairs: band the signature (bands x rows),
+    * bucket-join within bands (capped at maxBucket rows per bucket), then
+    * verify with true shingle Jaccard. Returns (doc_a, doc_b, jaccard) with
+    * doc_a < doc_b, jaccard >= threshold. */
+  def minhashLsh(docs: DataFrame, textCol: String = "text",
+                 numHashes: Int = 32, bands: Int = 8,
+                 threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+    val banded = bandBuckets(docs, textCol, numHashes, bands, maxBucket)
     val a = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band"), col("bucket"), col("doc_id").as("doc_b"))
     val idPairs = a.join(b, Seq("band", "bucket"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .dropDuplicates("doc_a", "doc_b")
-    val sh = base.select(col("doc_id"), col("shingles"))
+    val sh = shingled(docs, textCol)
     val pairs = idPairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
@@ -85,44 +99,31 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
-  /** 64-bit SimHash over the word multiset (typed map: per-row imperative
-    * bit voting is the one genuinely non-relational step). */
-  def simhash(spark: SparkSession, docs: DataFrame, textCol: String = "text"): DataFrame = {
-    import spark.implicits._
-    docs.select(col("doc_id").cast("string").as("doc_id"), col(textCol).as("text"))
-      .as[(String, String)]
-      .map { case (id, text) =>
-        val words =
-          if (text == null) Array.empty[String]
-          else text.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
-        val votes = new Array[Int](64)
-        for (w <- words) {
-          // FNV-1a 64-bit, deterministic across JVMs
-          var h = 0xcbf29ce484222325L
-          var i = 0
-          while (i < w.length) { h ^= w.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-          var bit = 0
-          while (bit < 64) { if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1; bit += 1 }
-        }
-        var sh = 0L
-        var bit = 0
-        while (bit < 64) { if (votes(bit) > 0) sh |= (1L << bit); bit += 1 }
-        (id, sh)
-      }.toDF("doc_id", "simhash")
-  }
+  /** 64-bit SimHash over the word multiset via the codegen'd st_simhash
+    * kernel (word hash = big-endian first 8 bytes of md5(word), signed bit
+    * votes) — no typed .map row ser/de in the path. */
+  def simhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id").cast("string").as("doc_id"),
+      call_function("st_simhash", call_function("st_words", col(textCol))).as("simhash"))
 
-  /** SimHash near-dup candidate pairs: 4 x 16-bit chunk buckets, verify
-    * hamming distance <= maxHamming. */
-  def simhashPairs(spark: SparkSession, docs: DataFrame, textCol: String = "text",
-                   maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(spark, docs, textCol)
+  /** SimHash near-dup candidate pairs: 4 x 16-bit chunk buckets (capped at
+    * maxBucket rows per chunk-key, same quarantine rule as minhashLsh),
+    * verify hamming distance <= maxHamming. Note the candidate guarantee is
+    * pigeonhole-exact only for maxHamming <= 3 with 4 chunks; beyond that a
+    * pair can differ in every chunk and still be within maxHamming. */
+  def simhashPairs(docs: DataFrame, textCol: String = "text",
+                   maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val sh = simhash(docs, textCol)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map { c =>
         shiftrightunsigned(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))
       }: _*)).as(Seq("chunk", "key")))
-    val a = chunked.select(col("chunk"), col("key"),
+    val wB = Window.partitionBy(col("chunk"), col("key")).orderBy(col("doc_id"))
+    val capped = chunked.withColumn("bn", row_number().over(wB))
+      .where(col("bn") <= maxBucket)
+    val a = capped.select(col("chunk"), col("key"),
       col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-    val b = chunked.select(col("chunk"), col("key"),
+    val b = capped.select(col("chunk"), col("key"),
       col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("chunk", "key"))
       .where(col("doc_a") < col("doc_b"))

@@ -14,18 +14,42 @@ import graft.core.Cells
   * neighbour is provably closer than anything outside the disk — the bound
   * uses the cell's minimum metric dimension at the query's latitude band
   * (geohash cells are anisotropic; we take the worst case over the disk).
-  * Unresolved queries expand to the next ring; bounded at `maxRounds`.
+  * Unresolved queries expand to the next ring, bounded at `maxRounds`;
+  * any residual is finished exactly with a targeted brute-force pass, so
+  * the result always equals true top-k.
   */
 object Knn {
 
+  /** Metres per degree of great-circle arc on the haversine sphere
+    * (R = 6371008.8 m, matching `st_haversine`): 2*pi*R/360 = 111194.9267...
+    * Rounded DOWN so every product below stays a true lower bound. */
+  val MetersPerDegree = 111194.0
+
+  /** Correction factor for the lon-separation bound: the haversine distance
+    * between two points Δλ apart at |lat| <= φ is
+    *   2R·asin(√(cos²φ')·sin(Δλ/2)) >= 2R·cosφ·sin(Δλ/2)
+    * and sin(t) >= t·(1 - t²/6), so with x = Δλ in radians
+    *   dist >= R·x·cosφ·(1 - x²/24).
+    * Without this factor the straight parallel-arc estimate R·x·cosφ
+    * OVERSTATES the true minimum by up to ~x²/24 — a resolved query could
+    * then miss a marginally closer point just outside the disk. */
+  def lonChordSlack(xRad: Double): Double = math.max(0.0, 1.0 - xRad * xRad / 24.0)
+
   /** Lower bound (metres) on the distance from a point inside the centre
-    * cell to any point outside the disk of radius r at latitude `lat`. */
+    * cell to any point outside the disk of radius r at latitude `lat`.
+    * A point outside the disk is >= r cells away in lat or in lon:
+    *  - lat case: meridian arc is exact, dist >= r·latDeg·(pi·R/180);
+    *  - lon case: dist >= r·lonDeg·(pi·R/180)·cos(maxAbsLat)·slack, where
+    *    maxAbsLat bounds |lat| over the disk plus one cell (the outside
+    *    point's own cell) and slack is the chord correction above. */
   def outsideDiskLowerBound(lat: Double, level: Int, r: Int): Double = {
     val (latDeg, lonDeg) = Cells.cellSizeDeg(level)
-    // worst-case |lat| anywhere in the disk
+    // worst-case |lat| anywhere in the disk + the adjacent outside cell
     val maxAbsLat = math.min(90.0, math.abs(lat) + (r + 1) * latDeg)
-    val latM = latDeg * 110574.0
-    val lonM = lonDeg * 111320.0 * math.max(0.0, math.cos(math.toRadians(maxAbsLat)))
+    val latM = latDeg * MetersPerDegree
+    val lonM = lonDeg * MetersPerDegree *
+      math.max(0.0, math.cos(math.toRadians(maxAbsLat))) *
+      lonChordSlack(math.toRadians(r * lonDeg))
     r * math.min(latM, lonM)
   }
 
@@ -59,28 +83,41 @@ object Knn {
         .select("qid", "q_lat", "q_lon", "qcell", "pid", "dist", "rank")
 
       // a query resolves when it has k hits and the k-th is inside the
-      // provable bound for this round's disk (pure column math, no UDF)
+      // provable bound for this round's disk (pure column math, no UDF;
+      // same derivation as outsideDiskLowerBound)
       val kth = cand.groupBy("qid", "q_lat", "qcell")
         .agg(count(lit(1)).as("n"), max(col("dist")).as("kth"))
       val (latDeg, lonDeg) = Cells.cellSizeDeg(level)
       val maxAbsLat = least(lit(90.0), abs(col("q_lat")) + lit((round + 1) * latDeg))
+      val slack = lonChordSlack(math.toRadians(round * lonDeg))
       val bound = lit(round) * least(
-        lit(latDeg * 110574.0),
-        lit(lonDeg * 111320.0) * greatest(lit(0.0), cos(radians(maxAbsLat))))
+        lit(latDeg * MetersPerDegree),
+        lit(lonDeg * MetersPerDegree * slack) * greatest(lit(0.0), cos(radians(maxAbsLat))))
       val resolvedQ = kth.where(col("n") === k && col("kth") <= bound).select("qid")
 
-      val isLast = round == maxRounds
-      val resolvedRows =
-        if (isLast) cand // final round: accept best-effort results
-        else cand.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
+      val resolvedRows = cand.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
       acc = if (acc == null) resolvedRows.select("qid", "pid", "dist", "rank")
             else acc.unionByName(resolvedRows.select("qid", "pid", "dist", "rank"))
       // materialize this round's results before mutating `unresolved`
       acc = acc.localCheckpoint(true)
-      unresolved =
-        if (isLast) unresolved.limit(0)
-        else unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti")
+      unresolved = unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti")
       round += 1
+    }
+    // Exact completion for the residual: queries still unresolved after
+    // maxRounds (sparse regions, polar anisotropy) get a brute-force pass —
+    // one broadcast of the (small) residual query set against the point
+    // table. Output is therefore always exactly the true top-k, and ring
+    // expansion is purely an optimization that resolves the dense majority
+    // without scanning all points.
+    if (!unresolved.isEmpty) {
+      val rest = pts.crossJoin(broadcast(unresolved.select("qid", "q_lat", "q_lon")))
+        .withColumn("dist",
+          cf("st_haversine", col("q_lat"), col("q_lon"), col("p_lat"), col("p_lon")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .select("qid", "pid", "dist", "rank")
+      acc = if (acc == null) rest else acc.unionByName(rest)
+      acc = acc.localCheckpoint(true)
     }
     pts.unpersist()
     acc

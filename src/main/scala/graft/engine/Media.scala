@@ -17,20 +17,20 @@ object Media {
                                 width: Int, height: Int, n_frames: Int,
                                 feature: Array[Float])
 
-  /** Deterministic fake decoder (STUB — stands in for e.g. JPEG decode). */
+  /** Deterministic fake decoder (STUB — stands in for e.g. JPEG decode).
+    * Derives every field from md5 hex slices of the ref so an independent
+    * SQL oracle can recompute the exact same metadata. */
   def decodeStub(ref: String): (Int, Int, Int, Array[Float]) = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < ref.length) { h ^= ref.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
-    val width = 64 + (math.abs(h % 1024)).toInt
-    val height = 64 + (math.abs((h >>> 17) % 1024)).toInt
-    val nFrames = 1 + (math.abs((h >>> 33) % 16)).toInt
+    import graft.core.Hashing.{hexSlice, md5Hex}
+    val m = md5Hex(ref)
+    val width = 64 + (hexSlice(m, 0, 5) % 1024).toInt
+    val height = 64 + (hexSlice(m, 5, 10) % 1024).toInt
+    val nFrames = 1 + (hexSlice(m, 10, 14) % 16).toInt
+    val m2 = md5Hex(ref + "#f")
     val feat = new Array[Float](8)
     var j = 0
-    var g = h
     while (j < 8) {
-      g = g * 6364136223846793005L + 1442695040888963407L
-      feat(j) = (g >>> 40).toFloat / (1 << 24).toFloat
+      feat(j) = hexSlice(m2, 3 * j, 3 * j + 3).toFloat / 4096.0f
       j += 1
     }
     (width, height, nFrames, feat)

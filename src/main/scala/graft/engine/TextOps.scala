@@ -58,8 +58,10 @@ object TextOps {
     }
     val scored = docs.select(col("doc_id") +: hits: _*)
     val langs = StopwordTables.keys.toSeq.sorted
-    // argmax via greatest + chained when (ties resolve in sorted lang order)
-    val best = langs.foldLeft(lit("und")) { (acc, lang) =>
+    // argmax via greatest + chained when; foldRight makes the FIRST sorted
+    // language the outermost when(), so ties resolve in sorted lang order
+    // (foldLeft would nest it innermost and resolve ties in reverse)
+    val best = langs.foldRight(lit("und")) { (lang, acc) =>
       when(col(s"hits_$lang") > 0 &&
         col(s"hits_$lang") === greatest(langs.map(l => col(s"hits_$l")): _*), lang)
         .otherwise(acc)
@@ -67,9 +69,15 @@ object TextOps {
     scored.withColumn("lang_pred", best).select("doc_id", "lang_pred")
   }
 
-  /** Rolling-hash document fingerprint: xxhash64 over the normalized word
-    * sequence — cheap shard-stable identity for exact near-clone detection. */
+  /** Document fingerprint: md5 over the normalized word sequence — a
+    * shard-stable content identity for exact near-clone detection that any
+    * SQL engine can recompute verbatim. `fingerprint64` is the cheaper
+    * xxhash64 variant for engine-internal use at scale. */
   def fingerprint(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      md5(concat_ws(" ", wordsCol(col(textCol)))).as("fp"))
+
+  def fingerprint64(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"),
       xxhash64(concat_ws(" ", wordsCol(col(textCol)))).as("fp"))
 }

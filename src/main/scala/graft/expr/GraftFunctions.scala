@@ -227,7 +227,15 @@ object GraftFunctions {
       si(DoubleType, "wrap90Compat", Seq(dbl(a.head)), nullable = false)),
     "st_wrap90" -> ((a: Seq[Expression]) => si(DoubleType, "wrap90", Seq(dbl(a.head)), nullable = false)),
     "st_wrap180" -> ((a: Seq[Expression]) => si(DoubleType, "wrap180", Seq(dbl(a.head)), nullable = false)),
-    "st_wrap360" -> ((a: Seq[Expression]) => si(DoubleType, "wrap360", Seq(dbl(a.head)), nullable = false))
+    "st_wrap360" -> ((a: Seq[Expression]) => si(DoubleType, "wrap360", Seq(dbl(a.head)), nullable = false)),
+    // text hashing kernels (dedup family)
+    "st_minhash" -> ((a: Seq[Expression]) =>
+      si(ArrayType(LongType), "minhashSig", Seq(a(0), int(a(1))))),
+    "st_simhash" -> ((a: Seq[Expression]) => si(LongType, "simhash64", Seq(a.head))),
+    "st_words" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "words", Seq(str(a.head)))),
+    "st_shingles" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "shinglesOf", Seq(str(a(0)), int(a(1)))))
   )
 
   @volatile private var registered: Set[Int] = Set.empty

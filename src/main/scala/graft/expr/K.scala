@@ -445,4 +445,98 @@ object K {
   def wrap90(d: Double): Double = GeoMath.wrap90(d)
   def wrap180(d: Double): Double = GeoMath.wrap180(d)
   def wrap360(d: Double): Double = GeoMath.wrap360(d)
+
+  // ---- text hashing kernels (dedup family) --------------------------------
+
+  private val NonWordRx = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")
+
+  private def splitWords(text: UTF8String): Array[String] = {
+    if (text == null) return Array.empty[String]
+    NonWordRx.split(text.toString.toLowerCase).filter(_.nonEmpty)
+  }
+
+  /** st_words(text): lower-cased alnum word runs — kernel twin of
+    * TextOps.wordsCol (the HOF filter/split chain evaluates interpreted). */
+  def words(text: UTF8String): ArrayData = {
+    val w = splitWords(text)
+    new GenericArrayData(w.map(utf8(_)).asInstanceOf[Array[Any]])
+  }
+
+  /** st_shingles(text, n): distinct word n-grams (space-joined) of the
+    * normalized text; for fewer than n words, the single joined word string
+    * (possibly ""). Matches: distinct(concat_ws(' ', sliding n over words)).
+    * One pass, codegen'd — replaces a transform/slice/concat_ws HOF pipeline
+    * that evaluated interpreted per element. */
+  def shinglesOf(text: UTF8String, n: Int): ArrayData = {
+    val w = splitWords(text)
+    val out =
+      if (w.length >= n && n > 0) {
+        val seen = new java.util.LinkedHashSet[String]()
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i + n <= w.length) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) { if (j > 0) sb.append(' '); sb.append(w(i + j)); j += 1 }
+          seen.add(sb.toString)
+          i += 1
+        }
+        seen.toArray(new Array[String](seen.size()))
+      } else Array(w.mkString(" "))
+    new GenericArrayData(out.map(utf8(_)).asInstanceOf[Array[Any]])
+  }
+
+  /** st_minhash(shingles, numHashes) -> array<bigint> (unsigned semantics).
+    * One MD5 per shingle; hash family i is h1 + i*h2 mod 2^64 where h1/h2
+    * are the digest's big-endian 8-byte halves (Kirsch-Mitzenmacher double
+    * hashing); per-i minimum under UNSIGNED comparison. A single codegen'd
+    * kernel call replaces the former per-hash higher-order-function tower
+    * (transform/array_min evaluate interpreted and re-inline per consumer —
+    * measured 45x wall-clock on the LSH path). */
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData = {
+    if (shingles == null || numHashes <= 0) return null
+    val n = shingles.numElements()
+    val mins = Array.fill[Long](numHashes)(-1L) // unsigned max
+    var j = 0
+    while (j < n) {
+      if (!shingles.isNullAt(j)) {
+        val d = Hashing.md5(shingles.getUTF8String(j).getBytes)
+        val h2 = Hashing.longBE(d, 8)
+        var h = Hashing.longBE(d, 0)
+        var i = 0
+        while (i < numHashes) {
+          if (java.lang.Long.compareUnsigned(h, mins(i)) < 0) mins(i) = h
+          h += h2
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** st_simhash(words) -> 64-bit SimHash over the word multiset. Word hash =
+    * first 8 bytes (big-endian) of md5(word); bit b of the result is set iff
+    * the signed vote sum over words of bit b is positive. */
+  def simhash64(words: ArrayData): java.lang.Long = {
+    if (words == null) return null
+    val votes = new Array[Int](64)
+    val n = words.numElements()
+    var j = 0
+    while (j < n) {
+      if (!words.isNullAt(j)) {
+        val h = Hashing.longBE(Hashing.md5(words.getUTF8String(j).getBytes), 0)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sh |= (1L << b); b += 1 }
+    java.lang.Long.valueOf(sh)
+  }
 }

@@ -185,6 +185,33 @@ class EngineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("knn equals brute force at the pole and across the date line") {
+    import spark.implicits._
+    val k = 5
+    // polar cluster (|lat| > 80, where cell anisotropy is extreme) and a
+    // date-line cluster straddling lon = +-180
+    val rngP = new java.util.Random(7000L)
+    val pts = (0 until 800).map { i =>
+      (s"pp$i", 80.5 + rngP.nextDouble() * 4.0, rngP.nextDouble() * 360 - 180)
+    } ++ (0 until 800).map { i =>
+      val lon = graft.core.GeoMath.wrap180(179.0 + rngP.nextDouble() * 2.0)
+      (s"pd$i", -10.0 + rngP.nextDouble() * 20.0, lon)
+    }
+    val qs = Seq(
+      ("q_pole1", 83.9, 10.0), ("q_pole2", 81.2, -170.0), ("q_pole3", 84.0, 179.9),
+      ("q_dl1", 0.0, 179.98), ("q_dl2", 0.0, -179.98), ("q_dl3", 5.0, -180.0))
+    val got = Knn.knn(spark, qs.toDF("qid", "lat", "lon"), pts.toDF("pid", "lat", "lon"), k)
+      .select("qid", "pid", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    val want = qs.flatMap { case (qid, qla, qlo) =>
+      pts.map { case (pid, pla, plo) => (pid, Dist.haversine(qla, qlo, pla, plo)) }
+        .sortBy { case (pid, d) => (d, pid) }
+        .take(k).zipWithIndex
+        .map { case ((pid, _), idx) => (qid, pid, idx + 1) }
+    }.toSet
+    assert(got == want)
+  }
+
   test("checkpoint stage commits manifest and resumes without recompute") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     var computes = 0

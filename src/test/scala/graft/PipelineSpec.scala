@@ -31,10 +31,34 @@ class PipelineSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
   }
 
-  test("exact dedup finds the planted identical pair only") {
+  test("exact dedup finds the planted identical pair only (bounded output)") {
     val got = Dedup.exact(docsDf).collect()
     assert(got.length == 1)
-    assert(got(0).getAs[scala.collection.Seq[String]]("doc_ids").toSeq == Seq("d1", "d2"))
+    assert(got(0).getAs[Long]("n") == 2L)
+    assert(got(0).getAs[String]("min_doc") == "d1" && got(0).getAs[String]("max_doc") == "d2")
+    val members = Dedup.exactGroups(docsDf).select("doc_id").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(members == Seq("d1", "d2"))
+  }
+
+  test("hot LSH buckets are capped: all-identical corpus stays bounded") {
+    import spark.implicits._
+    val n = 20000
+    val cap = 16
+    val same = spark.range(n).select(
+      concat(lit("s"), format_string("%06d", col("id"))).as("doc_id"),
+      lit("identical boilerplate text repeated across every single document in the corpus").as("text"))
+    val bands = 8
+    val pairs = Dedup.minhashLsh(same, numHashes = 32, bands = bands,
+      threshold = 0.5, maxBucket = cap).count()
+    // every doc collides into one bucket per band; the cap bounds candidates
+    // at bands * C(cap, 2) (pair dedupe may reduce further)
+    assert(pairs <= bands.toLong * cap * (cap - 1) / 2,
+      s"uncapped bucket blow-up: $pairs pairs")
+    assert(pairs > 0)
+    val sPairs = Dedup.simhashPairs(same, maxHamming = 3, maxBucket = cap).count()
+    assert(sPairs <= 4L * cap * (cap - 1) / 2 && sPairs > 0,
+      s"uncapped simhash chunk blow-up: $sPairs pairs")
   }
 
   test("minhash LSH finds planted near-duplicates with true jaccard") {
@@ -51,7 +75,7 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("simhash pairs bucket identical and near docs together") {
-    val pairs = Dedup.simhashPairs(spark, docsDf, maxHamming = 10)
+    val pairs = Dedup.simhashPairs(docsDf, maxHamming = 10)
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs.contains(("d1", "d2")))
     assert(pairs.contains(("d1", "d3")))
@@ -110,8 +134,10 @@ class PipelineSpec extends AnyFunSuite {
     assert(q("t1") > 0.5 && q("t3") == 0.0)
     val stats = TextOps.tokenStats(d).where(col("doc_id") === "t1").collect()(0)
     assert(stats.getInt(2) == 14) // n_words
-    val fp = TextOps.fingerprint(d).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fp = TextOps.fingerprint(d).collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(fp("t1") != fp("t2"))
+    // portable definition: md5 of the space-joined normalized words
+    assert(fp("t3") == graft.core.Hashing.md5Hex(""))
   }
 
   test("media feature extraction: schema, determinism, batch shape") {
