@@ -1,0 +1,573 @@
+package graft
+
+import graft.engine.Corpus
+
+/** DuckDB oracle SQL for the engine-layer queries (q30-q44).
+  *
+  * Each generator re-implements the operator's semantics in plain ANSI-ish
+  * SQL over the same parquet inputs — the driver's tables plus the stored
+  * synthetic corpus written by [[Corpus.ensure]] — so every engine query gets
+  * an independent rows/schema/hash check, not just a rows-only count.
+  *
+  * The mechanical rule for float parity (proven by q09-q22 in round 1):
+  * mirror the kernel's expression tree operation-for-operation in the same
+  * association order, CAST literals to DOUBLE where DuckDB would otherwise
+  * run exact DECIMAL arithmetic, and add `+ 0.0` after round() to normalize
+  * -0.0. Where the kernels use md5-derived hashing (dedup, media, ANN
+  * planes), the SQL recomputes the identical md5 slices.
+  */
+object OracleSql {
+
+  private def q(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** A Scala double as an exact DOUBLE literal (string cast is a correctly
+    * rounded parse, recovering the identical bits). */
+  private def d(v: Double): String = s"CAST('${v}' AS DOUBLE)"
+
+  def docsGlob(nDocs: Long): String = s"${Corpus.corpusBase(nDocs)}/docs/*.parquet"
+  def polysGlob(nDocs: Long): String = s"${Corpus.corpusBase(nDocs)}/polys/*.parquet"
+
+  /** hex value of md5-style hex `expr`'s [from, from+len) slice (1-based
+    * `from`), as a BIGINT sum of digit * 16^k terms. */
+  private def hexVal(expr: String, from: Int, len: Int): String =
+    (0 until len).map { k =>
+      val mult = math.pow(16.0, (len - 1 - k).toDouble).toLong
+      s"(strpos('0123456789abcdef', substr($expr, ${from + k}, 1)) - 1) * $mult"
+    }.mkString("(", " + ", ")")
+
+  // ---- corpus parse (mirror of Parsers.parsePoint on the corpus grammars) --
+
+  // The corpus renders exactly five coordinate grammars (Corpus.renderCoord)
+  // plus poison/prose spans. The oracle parses each grammar with an anchored
+  // regex and mirrors toDecimalDegree's association order; out-of-bounds and
+  // non-matching spans fall out exactly like the kernel's null path.
+  private val F0 = """^(-?\d+\.\d{6}), (-?\d+\.\d{6})$"""
+  private val F1 = """^(-?\d+\.\d{6})°, (-?\d+\.\d{6})°$"""
+  private val F2 = """^(\d+)° (\d+)' (\d+\.\d{3})'' ([NS]), (\d+)° (\d+)' (\d+\.\d{3})'' ([EW])$"""
+  private val F3 = """^(-?\d+),(\d{6}), (-?\d+),(\d{6})$"""
+  private val F4 = """^(\d+\.\d{6}) ([NS]), (\d+\.\d{6}) ([EW])$"""
+
+  /** lat (first=true) or lon (first=false) expression over span text `t`. */
+  private def coordExpr(first: Boolean): String = {
+    val (g0, dmsOff, dmsCard, posCard) = if (first) (1, 0, "N", 2) else (2, 4, "E", 4)
+    val dms = s"(CAST(regexp_extract(t, ${q(F2)}, ${dmsOff + 1}) AS DOUBLE) + " +
+      s"(CAST(regexp_extract(t, ${q(F2)}, ${dmsOff + 2}) AS DOUBLE) + " +
+      s"CAST(regexp_extract(t, ${q(F2)}, ${dmsOff + 3}) AS DOUBLE) / 60.0) / 60.0) * " +
+      s"(CASE WHEN regexp_extract(t, ${q(F2)}, ${dmsOff + 4}) = '$dmsCard' THEN 1.0 ELSE -1.0 END)"
+    val f3 = s"CAST(regexp_extract(t, ${q(F3)}, ${2 * g0 - 1}) || '.' || " +
+      s"regexp_extract(t, ${q(F3)}, ${2 * g0}) AS DOUBLE)"
+    val f4 = s"CAST(regexp_extract(t, ${q(F4)}, ${2 * g0 - 1}) AS DOUBLE) * " +
+      s"(CASE WHEN regexp_extract(t, ${q(F4)}, ${2 * g0}) = '$dmsCard' THEN 1.0 ELSE -1.0 END)"
+    s"""CASE
+      WHEN regexp_matches(t, ${q(F0)}) THEN CAST(regexp_extract(t, ${q(F0)}, $g0) AS DOUBLE)
+      WHEN regexp_matches(t, ${q(F1)}) THEN CAST(regexp_extract(t, ${q(F1)}, $g0) AS DOUBLE)
+      WHEN regexp_matches(t, ${q(F2)}) THEN $dms
+      WHEN regexp_matches(t, ${q(F3)}) THEN $f3
+      WHEN regexp_matches(t, ${q(F4)}) THEN $f4
+      ELSE NULL END"""
+  }
+
+  /** CTEs: parsed(doc_id, offset, lat, lon) from the stored corpus.
+    * `capDoc`: optional exclusive upper bound on doc_id. */
+  def parsedCte(glob: String, capDoc: Option[String] = None): String = {
+    val cap = capDoc.map(c => s"WHERE doc_id < ${q(c)}").getOrElse("")
+    s"""spans_t AS (
+      SELECT doc_id, UNNEST(spans) AS s FROM read_parquet(${q(glob)}) $cap
+    ), raw_t AS (
+      SELECT doc_id, s."offset" AS "offset", s.text AS t FROM spans_t WHERE s.kind = 'text'
+    ), parsed0 AS (
+      SELECT doc_id, "offset", ${coordExpr(first = true)} AS lat, ${coordExpr(first = false)} AS lon
+      FROM raw_t
+    ), parsed AS (
+      SELECT doc_id, "offset", lat, lon FROM parsed0
+      WHERE lat IS NOT NULL AND lon IS NOT NULL
+        AND lat >= -90 AND lat <= 90 AND lon >= -180 AND lon <= 180
+    )"""
+  }
+
+  // ---- geohash / OLC scalar encoders (shared with the round-1 oracles) -----
+
+  /** Geohash is interleaved binary bisection — mechanically expressible as
+    * floor/div/mod bit extraction. X/Y are clamped at the top edge (lat=90 /
+    * lon=180) to match the bisection's all-ones path. */
+  def geohashSql(lat: String, lon: String, p: Int): String = {
+    val bits = 5 * p
+    val latBits = bits / 2
+    val lonBits = bits - latBits
+    val x = s"LEAST(CAST(floor(($lon + 180.0)/360.0 * ${1L << lonBits}) AS BIGINT), ${(1L << lonBits) - 1})"
+    val y = s"LEAST(CAST(floor(($lat + 90.0)/180.0 * ${1L << latBits}) AS BIGINT), ${(1L << latBits) - 1})"
+    def bit(pos: Int): String =
+      if (pos % 2 == 0) s"((gx // ${1L << (lonBits - 1 - pos / 2)}) % 2)"
+      else s"((gy // ${1L << (latBits - 1 - (pos - 1) / 2)}) % 2)"
+    val chars = (0 until p).map { c =>
+      val idx = (0 until 5).map(k => s"${bit(5 * c + k)} * ${1 << (4 - k)}").mkString(" + ")
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($idx AS INT) + 1, 1)"
+    }
+    s"(SELECT concat(${chars.mkString(", ")}) FROM (SELECT $x AS gx, $y AS gy) g)"
+  }
+
+  /** OLC pair/grid encoding in SQL: the same Long arithmetic as the kernel
+    * (scaled integers, base-20 pair digits lat/lon interleaved MSB-first,
+    * '+' after 8, grid refinement digit for length 11). Valid for in-range
+    * lat/lon (no clip/nudge/wrap needed for the tested lattices). */
+  def olcSql(lat: String, lon: String, len: Int): String = {
+    require(len == 10 || len == 11, "olcSql supports lengths 10 and 11")
+    val latFull = s"CAST(floor(round(($lat + 90.0) * 25000000 * 1000000)/1000000) AS BIGINT)"
+    val lonFull = s"CAST(floor(round(($lon + 180.0) * 8192000 * 1000000)/1000000) AS BIGINT)"
+    def digit(v: String, i: Int): String = // i = 0 is the most significant of 5
+      s"substr('23456789CFGHJMPQRVWX', CAST(($v // ${math.pow(20, 4 - i).toLong}) % 20 AS INT) + 1, 1)"
+    val interleaved = (0 until 5).flatMap(i => Seq(digit("ov", i), digit("oo", i)))
+    val grid = // kept grid digit is the most significant (i = 4 of the loop)
+      "substr('23456789CFGHJMPQRVWX', CAST(((olat // 625) % 5) * 4 + ((olon // 256) % 4) AS INT) + 1, 1)"
+    val code = interleaved.take(8) ++ Seq("'+'") ++ interleaved.drop(8) ++
+      (if (len == 11) Seq(grid) else Nil)
+    s"(SELECT concat(${code.mkString(", ")}) FROM (SELECT $latFull AS olat, $lonFull AS olon, " +
+      s"$latFull // 3125 AS ov, $lonFull // 1024 AS oo) o)"
+  }
+
+  // ---- per-query oracles ---------------------------------------------------
+
+  /** q30: parse + cell assignment over the stored corpus. */
+  def q30(nDocs: Long): String =
+    s"""WITH ${parsedCte(docsGlob(nDocs))}
+    SELECT doc_id, "offset", lat, lon,
+      ${geohashSql("lat", "lon", 5)} AS cell
+    FROM parsed ORDER BY doc_id, "offset""""
+
+  /** CTE: edges(poly_id, yi, xi, yj, xj) — each ring edge (vertex i with its
+    * predecessor j, closed ring), mirroring Pip.contains' traversal. */
+  private def edgesCte(glob: String): String =
+    s"""edges0 AS (
+      SELECT poly_id, UNNEST(list_transform(range(1, len(ring) + 1), i -> {
+        'yi': ring[i].lat, 'xi': ring[i].lon,
+        'yj': ring[CASE WHEN i = 1 THEN len(ring) ELSE i - 1 END].lat,
+        'xj': ring[CASE WHEN i = 1 THEN len(ring) ELSE i - 1 END].lon})) AS e
+      FROM read_parquet(${q(glob)})
+    ), edges AS (
+      SELECT poly_id, e.yi AS yi, e.xi AS xi, e.yj AS yj, e.xj AS xj FROM edges0
+    )"""
+
+  /** Even-odd crossing predicate fragment over a (point p x edge ed) row;
+    * same expression tree as Pip.contains (double div-by-zero yields NULL in
+    * DuckDB, which the AND treats as the kernel's short-circuit false). */
+  private val CrossingCond =
+    "((ed.yi > p.lat) != (ed.yj > p.lat)) AND " +
+      "p.lon < (ed.xj - ed.xi) * (p.lat - ed.yi) / (ed.yj - ed.yi) + ed.xi"
+
+  /** q31: spatial join (point-in-polygon pairs) — brute-force PIP in SQL.
+    * The engine's multi-resolution cell covering is superset-exact, so its
+    * output equals the full PIP cross product. */
+  def q31(nDocs: Long): String =
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, ${edgesCte(polysGlob(nDocs))}, hits AS (
+      SELECT p.doc_id, p."offset", ed.poly_id,
+        count(*) FILTER (WHERE $CrossingCond) AS cr
+      FROM parsed p CROSS JOIN edges ed
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, "offset", poly_id FROM hits WHERE cr % 2 = 1
+    ORDER BY doc_id, "offset", poly_id"""
+
+  /** q32: salted spatial join = same pairs, grouped per polygon. */
+  def q32(nDocs: Long): String =
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, ${edgesCte(polysGlob(nDocs))}, hits AS (
+      SELECT p.doc_id, p."offset", ed.poly_id,
+        count(*) FILTER (WHERE $CrossingCond) AS cr
+      FROM parsed p CROSS JOIN edges ed
+      GROUP BY 1, 2, 3
+    )
+    SELECT poly_id, count(*) AS n_points FROM hits WHERE cr % 2 = 1
+    GROUP BY poly_id ORDER BY poly_id"""
+
+  /** Slippy tile x/y expressions mirroring Cells.tileX/tileY (incl. the
+    * Mercator lat clamp and 0..n-1 clamps). */
+  private def tileXExpr(lon: String, z: Int): String = {
+    val n = 1L << z
+    s"LEAST(GREATEST(CAST(floor(($lon + 180.0) / 360.0 * $n.0) AS BIGINT), 0), ${n - 1})"
+  }
+  private def tileYExpr(lat: String, z: Int): String = {
+    val n = 1L << z
+    val latc = s"radians(LEAST(GREATEST($lat, -85.05112878), 85.05112878))"
+    s"LEAST(GREATEST(CAST(floor((1.0 - ln(tan($latc) + 1.0/cos($latc)) / pi()) / 2.0 * $n.0) AS BIGINT), 0), ${n - 1})"
+  }
+
+  /** q33: per-tile histogram at z=7 with exact distinct doc counts. */
+  def q33(nDocs: Long): String = {
+    val z = 7
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, tiled AS (
+      SELECT doc_id, ${tileXExpr("lon", z)} AS x, ${tileYExpr("lat", z)} AS y FROM parsed
+    )
+    SELECT ${z.toLong << 58} + x * ${1L << 29} + y AS tile_id, $z AS z, x, y,
+      count(*) AS n_points, count(DISTINCT doc_id) AS n_docs
+    FROM tiled GROUP BY 1, 2, 3, 4 ORDER BY tile_id"""
+  }
+
+  /** Haversine fragment mirroring Dist.haversine(lat1, lon1, lat2, lon2). */
+  def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"2.0 * 6371008.8 * asin(LEAST(1.0, sqrt(" +
+      s"pow(sin(radians($lat2 - $lat1) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * pow(sin(radians($lon2 - $lon1) / 2), 2))))"
+
+  /** q34: kNN = brute-force top-k per hotspot query (the engine's ring
+    * expansion + residual brute-force completion is provably exact). */
+  def q34(nDocs: Long): String = {
+    val hubs = Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) =>
+      s"('hub-${"%02d".format(i)}', ${d(la)}, ${d(lo)})"
+    }.mkString(", ")
+    s"""WITH ${parsedCte(docsGlob(nDocs), capDoc = Some(f"doc-${SparkEntry.KnnDocCap}%09d"))},
+    hubs(qid, qlat, qlon) AS (VALUES $hubs),
+    cand AS (
+      SELECT h.qid, p.doc_id || ':' || CAST(p."offset" AS VARCHAR) AS pid,
+        ${haversineSql("h.qlat", "h.qlon", "p.lat", "p.lon")} AS dist
+      FROM parsed p CROSS JOIN hubs h
+    ), ranked AS (
+      SELECT qid, pid, dist, row_number() OVER (PARTITION BY qid ORDER BY dist, pid) AS rank
+      FROM cand
+    )
+    SELECT qid, pid, round(dist, 3) + 0.0 AS dist, rank FROM ranked
+    WHERE rank <= 10 ORDER BY qid, rank"""
+  }
+
+  // ---- q35: geohash-7 / OLC-11 / MGRS letters over customer points --------
+
+  private val CustomerPointsSql =
+    "SELECT c_custkey, CAST(c_custkey % 1640 AS DOUBLE)/10.0 - 80.0 AS lat, " +
+      "CAST((c_custkey*7) % 3600 AS DOUBLE)/10.0 - 180.0 AS lon FROM customer"
+
+  /** UTM zone CASE (Norway/Svalbard exceptions), mirroring Utm.zoneFor —
+    * the q10 pattern, parameterized over the source row alias. */
+  private val ZoneSql =
+    "CASE WHEN z0=31 AND band='V' AND lon>=3 THEN 32 " +
+      "WHEN z0=32 AND band='X' AND lon<9 THEN 31 " +
+      "WHEN z0=32 AND band='X' AND lon>=9 THEN 33 " +
+      "WHEN z0=34 AND band='X' AND lon<21 THEN 33 " +
+      "WHEN z0=34 AND band='X' AND lon>=21 THEN 35 " +
+      "WHEN z0=36 AND band='X' AND lon<33 THEN 35 " +
+      "WHEN z0=36 AND band='X' AND lon>=33 THEN 37 ELSE z0 END"
+
+  /** sinh/cosh via exp (DuckDB has no hyperbolics). The composed form can
+    * differ from Java's Math.sinh in the last ulp — harmless here because
+    * the Krüger outputs feed 100 km letter-bucket floors only. */
+  private def sinhSql(x: String): String = s"((exp($x) - exp(-($x))) / 2.0)"
+  private def coshSql(x: String): String = s"((exp($x) + exp(-($x))) / 2.0)"
+
+  /** q35: geohash(7), OLC(11), and MGRS zone/band/e100k/n100k — the MGRS
+    * letters via the full Krüger n^6 forward series (Karney 2011)
+    * transcribed term-for-term from core.Utm.geoToUtm. */
+  def q35: String = {
+    val a = 6378137.0
+    val f = 1.0 / 298.257223563
+    val e = math.sqrt(f * (2.0 - f))
+    val n = f / (2.0 - f)
+    val alpha = graft.core.Utm.kruegerAlpha(n)
+    val bigA = { val n2 = n * n; val n4 = n2 * n2; val n6 = n4 * n2
+      a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0) }
+    val ka = 0.9996 * bigA // K0 * A, the exact product the kernel multiplies by
+    val zetaTerms = (1 to 6).map(j =>
+      s" + ${d(alpha(j))} * sin(2.0 * $j.0 * zetap) * ${coshSql(s"2.0 * $j.0 * etap")}").mkString
+    val etaTerms = (1 to 6).map(j =>
+      s" + ${d(alpha(j))} * cos(2.0 * $j.0 * zetap) * ${sinhSql(s"2.0 * $j.0 * etap")}").mkString
+    s"""WITH pts AS ($CustomerPointsSql), z AS (
+      SELECT c_custkey, lat, lon, CAST(floor((lon+180.0)/6.0) + 1 AS INT) AS z0,
+        substr('CDEFGHJKLMNPQRSTUVWXX', CAST(floor(lat/8.0 + 10.0) AS INT) + 1, 1) AS band
+      FROM pts
+    ), zz AS (
+      SELECT c_custkey, lat, lon, band, $ZoneSql AS zone FROM z
+    ), k1 AS (
+      SELECT c_custkey, lat, lon, band, zone,
+        lat * pi() / 180.0 AS phi,
+        lon * pi() / 180.0 - ((zone - 1) * 6.0 - 180.0 + 3.0) * pi() / 180.0 AS lambda
+      FROM zz
+    ), k2 AS (
+      SELECT *, tan(phi) AS tau, cos(lambda) AS cl, sin(lambda) AS sl FROM k1
+    ), k3 AS (
+      SELECT *, ${d(e)} * (0.5 * ln((1.0 + ${d(e)} * tau / sqrt(1.0 + tau * tau)) /
+        (1.0 - ${d(e)} * tau / sqrt(1.0 + tau * tau)))) AS sa FROM k2
+    ), k4 AS (
+      SELECT *, ${sinhSql("sa")} AS sigma FROM k3
+    ), k5 AS (
+      SELECT *, tau * sqrt(1.0 + sigma * sigma) - sigma * sqrt(1.0 + tau * tau) AS taup FROM k4
+    ), k6 AS (
+      SELECT *, atan2(taup, cl) AS zetap, sl / sqrt(taup * taup + cl * cl) AS sx FROM k5
+    ), k7 AS (
+      SELECT *, CASE WHEN sx < 0 THEN -(ln(-sx + sqrt(sx * sx + 1.0)))
+        ELSE ln(sx + sqrt(sx * sx + 1.0)) END AS etap FROM k6
+    ), k8 AS (
+      SELECT *, zetap$zetaTerms AS zeta, etap$etaTerms AS eta FROM k7
+    ), k9 AS (
+      SELECT c_custkey, lat, lon, band, zone,
+        ${d(ka)} * eta + 500000.0 AS easting,
+        CASE WHEN ${d(ka)} * zeta < 0 THEN ${d(ka)} * zeta + 10000000.0
+          ELSE ${d(ka)} * zeta END AS northing
+      FROM k8
+    )
+    SELECT c_custkey, ${geohashSql("lat", "lon", 7)} AS gh, ${olcSql("lat", "lon", 11)} AS olc,
+      zone AS mz, band AS mb,
+      substr(CASE (zone - 1) % 3 WHEN 0 THEN 'ABCDEFGH' WHEN 1 THEN 'JKLMNPQR' ELSE 'STUVWXYZ' END,
+        CAST(floor(easting / 100000.0) AS INT), 1) AS me,
+      substr(CASE (zone - 1) % 2 WHEN 0 THEN 'ABCDEFGHJKLMNPQRSTUV' ELSE 'FGHJKLMNPQRSTUVABCDE' END,
+        CAST(floor(northing / 100000.0) % 20 AS INT) + 1, 1) AS mn
+    FROM k9 ORDER BY c_custkey"""
+  }
+
+  // ---- q36: tile polyfill (vector->raster covering) ------------------------
+
+  /** q36: tiles at z=9 intersecting each polygon ring — bbox candidates
+    * filtered by the exact cell/ring intersection test (corner-or-centre
+    * PIP, vertex-in-box, Liang-Barsky edge clip), mirroring
+    * Cells.cellIntersectsRing + tileBounds. */
+  def q36(nDocs: Long): String = {
+    val z = 9
+    val nT = 1L << z
+    def latOf(yy: String): String = { // toDegrees(atan(sinh(pi - 2*pi*yy/n)))
+      val arg = s"(pi() - 2.0 * pi() * ($yy) / $nT.0)"
+      s"atan(${sinhSql(arg)}) * 180.0 / pi()"
+    }
+    def pip(latE: String, lonE: String): String =
+      s"""count(*) FILTER (WHERE ((yi > $latE) != (yj > $latE))
+        AND $lonE < (xj - xi) * ($latE - yi) / (yj - yi) + xi) % 2 = 1"""
+    // Liang-Barsky accept for edge (yi,xi)-(yj,xj) vs box [lonW,lonE]x[latS,latN]
+    val lb =
+      s"""(NOT (((xj - xi) = 0 AND xi - lonW < 0) OR ((xj - xi) = 0 AND lonE - xi < 0)
+          OR ((yj - yi) = 0 AND yi - latS < 0) OR ((yj - yi) = 0 AND latN - yi < 0)))
+        AND GREATEST(0.0,
+          CASE WHEN -(xj - xi) < 0 THEN (xi - lonW) / (-(xj - xi)) ELSE 0.0 END,
+          CASE WHEN (xj - xi) < 0 THEN (lonE - xi) / (xj - xi) ELSE 0.0 END,
+          CASE WHEN -(yj - yi) < 0 THEN (yi - latS) / (-(yj - yi)) ELSE 0.0 END,
+          CASE WHEN (yj - yi) < 0 THEN (latN - yi) / (yj - yi) ELSE 0.0 END)
+        <= LEAST(1.0,
+          CASE WHEN -(xj - xi) > 0 THEN (xi - lonW) / (-(xj - xi)) ELSE 1.0 END,
+          CASE WHEN (xj - xi) > 0 THEN (lonE - xi) / (xj - xi) ELSE 1.0 END,
+          CASE WHEN -(yj - yi) > 0 THEN (yi - latS) / (-(yj - yi)) ELSE 1.0 END,
+          CASE WHEN (yj - yi) > 0 THEN (latN - yi) / (yj - yi) ELSE 1.0 END)"""
+    s"""WITH ${edgesCte(polysGlob(nDocs))}, pb AS (
+      SELECT poly_id,
+        list_aggregate(list_transform(ring, pp -> pp.lat), 'min') AS blatMin,
+        list_aggregate(list_transform(ring, pp -> pp.lat), 'max') AS blatMax,
+        list_aggregate(list_transform(ring, pp -> pp.lon), 'min') AS blonMin,
+        list_aggregate(list_transform(ring, pp -> pp.lon), 'max') AS blonMax
+      FROM read_parquet(${q(polysGlob(nDocs))})
+    ), pbt AS (
+      SELECT poly_id,
+        ${tileXExpr("blonMin", z)} AS x0, ${tileXExpr("blonMax", z)} AS x1,
+        ${tileYExpr("blatMax", z)} AS y0, ${tileYExpr("blatMin", z)} AS y1
+      FROM pb
+    ), cand0 AS (
+      SELECT poly_id, UNNEST(flatten(list_transform(range(x0, x1 + 1), xx ->
+        list_transform(range(y0, y1 + 1), yy -> {'x': xx, 'y': yy})))) AS txy
+      FROM pbt
+    ), cand AS (
+      SELECT poly_id, txy.x AS x, txy.y AS y,
+        ${latOf("txy.y + 1")} AS latS, ${latOf("txy.y")} AS latN,
+        txy.x / $nT.0 * 360.0 - 180.0 AS lonW, (txy.x + 1) / $nT.0 * 360.0 - 180.0 AS lonE
+      FROM cand0
+    ), ce AS (
+      SELECT c.poly_id, c.x, c.y, c.latS, c.latN, c.lonW, c.lonE,
+        e.yi, e.xi, e.yj, e.xj
+      FROM cand c JOIN edges e USING (poly_id)
+    ), agg AS (
+      SELECT poly_id, x, y,
+        ${pip("latS", "lonW")} AS p1, ${pip("latS", "lonE")} AS p2,
+        ${pip("latN", "lonW")} AS p3, ${pip("latN", "lonE")} AS p4,
+        ${pip("(latS + latN) / 2", "(lonW + lonE) / 2")} AS p5,
+        bool_or(yi >= latS AND yi <= latN AND xi >= lonW AND xi <= lonE) AS vin,
+        bool_or($lb) AS ein
+      FROM ce GROUP BY 1, 2, 3
+    )
+    SELECT poly_id, ${z.toLong << 58} + x * ${1L << 29} + y AS tile_id
+    FROM agg WHERE p1 OR p2 OR p3 OR p4 OR p5 OR vin OR ein
+    ORDER BY poly_id, tile_id"""
+  }
+
+  // ---- q37: media metadata stub (md5-derived) ------------------------------
+
+  def q37(nDocs: Long): String =
+    s"""WITH spans_t AS (
+      SELECT doc_id, UNNEST(spans) AS s FROM read_parquet(${q(docsGlob(nDocs))})
+      WHERE doc_id < ${q(f"doc-${SparkEntry.MediaDocCap}%09d")}
+    ), m AS (
+      SELECT doc_id, s.media_ref AS media_ref, md5(s.media_ref) AS h
+      FROM spans_t WHERE s.kind = 'media' AND len(s.media_ref) > 0
+    )
+    SELECT doc_id, media_ref,
+      64 + CAST(${hexVal("h", 1, 5)} % 1024 AS INT) AS width,
+      64 + CAST(${hexVal("h", 6, 5)} % 1024 AS INT) AS height,
+      1 + CAST(${hexVal("h", 11, 4)} % 16 AS INT) AS n_frames
+    FROM m ORDER BY doc_id, media_ref"""
+
+  // ---- q40-q42: text family -------------------------------------------------
+
+  private val WordsExpr =
+    """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> len(w) > 0)"""
+
+  /** q40: near-duplicate pairs == ALL pairs with word-3-gram Jaccard >=
+    * threshold. Independent of the engine's LSH candidate generation — a
+    * stronger statement that holds because MinHash banding (32 hashes x 8
+    * bands) detects every pair at the corpus' similarity levels (verified at
+    * sf0.01 and sf0.1: identical pair sets). */
+  def q40: String =
+    s"""WITH d AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, $WordsExpr AS words FROM documents
+    ), s AS (
+      SELECT doc_id, CASE WHEN len(words) >= 3
+        THEN list_distinct(list_transform(range(1, len(words) - 1), i ->
+          concat_ws(' ', words[i], words[i+1], words[i+2])))
+        ELSE [array_to_string(words, ' ')] END AS sh
+      FROM d
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          GREATEST(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 6) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+
+  /** q41: SimHash near-dup pairs — per-word md5-derived 64-bit hashes, bit
+    * votes, 4x16-bit chunk buckets with the engine's maxBucket=64 cap
+    * modelled via the same row_number rule, hamming <= 6. */
+  def q41: String = {
+    val voteCols = (0 until 64).map { b =>
+      val hexPos = 16 - b / 4
+      val bitDiv = 1 << (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, $hexPos, 1)) - 1) // $bitDiv) % 2 = 1 " +
+        s"THEN 1 ELSE -1 END) AS v$b"
+    }.mkString(", ")
+    def chunk(c: Int): String =
+      (0 until 16).map { k =>
+        s"CASE WHEN COALESCE(v${16 * c + k}, 0) > 0 THEN ${1L << k} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+    val hamming = (0 until 4).map(c => s"bit_count(xor(a.ch$c, b.ch$c))").mkString(" + ")
+    s"""WITH w AS (
+      SELECT CAST(doc_id AS VARCHAR) AS doc_id, UNNEST($WordsExpr) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, substr(md5(word), 1, 16) AS hx FROM w
+    ), v AS (
+      SELECT doc_id, $voteCols FROM h GROUP BY doc_id
+    ), s AS (
+      SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+        ${(0 until 4).map(c => s"${chunk(c)} AS ch$c").mkString(", ")}
+      FROM documents d LEFT JOIN v ON CAST(d.doc_id AS VARCHAR) = v.doc_id
+    ), chunks AS (
+      SELECT doc_id, ch0, ch1, ch2, ch3, c.c AS chunk,
+        CASE c.c WHEN 0 THEN ch0 WHEN 1 THEN ch1 WHEN 2 THEN ch2 ELSE ch3 END AS key
+      FROM s, (VALUES (0), (1), (2), (3)) c(c)
+    ), capped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY chunk, key ORDER BY doc_id) AS bn FROM chunks
+      ) WHERE bn <= 64
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, $hamming AS hamming
+    FROM capped a JOIN capped b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE $hamming <= 6 ORDER BY doc_a, doc_b"""
+  }
+
+  /** q42: language-ID + quality score + md5 fingerprint (TextOps mirror). */
+  def q42: String = {
+    val langs = graft.engine.TextOps.StopwordTables.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (lang, words) =>
+      s"len(list_intersect(words, [${words.map(q).mkString(", ")}])) AS hits_$lang"
+    }.mkString(", ")
+    val g = s"GREATEST(${langs.map(l => s"hits_${l._1}").mkString(", ")})"
+    val best = langs.map { case (lang, _) =>
+      s"WHEN hits_$lang > 0 AND hits_$lang = $g THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH d AS (
+      SELECT doc_id, text, $WordsExpr AS words FROM documents
+    ), l AS (
+      SELECT doc_id, text, words, $hitCols FROM d
+    ), sc AS (
+      SELECT doc_id, CASE $best ELSE 'und' END AS lang_pred,
+        CAST(length(text) AS DOUBLE) AS nc,
+        CAST(len(words) AS DOUBLE) AS nw,
+        (CAST(length(text) AS DOUBLE) -
+          length(regexp_replace(text, '[[:punct:]]', '', 'g'))) /
+          GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS punct_ratio,
+        length(regexp_replace(text, '[^\\p{L}]', '', 'g')) /
+          GREATEST(CAST(length(text) AS DOUBLE), 1.0) AS alpha_ratio,
+        md5(array_to_string(words, ' ')) AS fp
+      FROM l
+    )
+    SELECT doc_id, lang_pred,
+      round((CASE WHEN nc BETWEEN 20 AND 10000 THEN 1.0
+          WHEN nc < 20 THEN nc / 20.0 ELSE 10000.0 / nc END) *
+        (CASE WHEN nw >= 5 THEN 1.0 ELSE nw / 5.0 END) *
+        (1.0 - punct_ratio) * alpha_ratio, 6) AS quality,
+      fp
+    FROM sc ORDER BY doc_id"""
+  }
+
+  // ---- q43/q44: ANN ---------------------------------------------------------
+
+  /** Cosine fragment mirroring Ann.cosine (ordered dot products, the same
+    * 1e-12 floor). */
+  private def cosSql(aE: String, bE: String): String =
+    s"list_dot_product($aE, $bE) / GREATEST(sqrt(list_dot_product($aE, $aE)) * " +
+      s"sqrt(list_dot_product($bE, $bE)), 1e-12)"
+
+  def q43: String =
+    s"""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), qs AS (
+      SELECT 'q' || CAST(vec_id AS VARCHAR) AS qid, emb AS q_emb FROM e WHERE vec_id < 8
+    ), cand AS (
+      SELECT qs.qid, e.vec_id, ${cosSql("e.emb", "qs.q_emb")} AS sim FROM e CROSS JOIN qs
+    ), ranked AS (
+      SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT qid, vec_id, round(sim, 6) + 0.0 AS sim, rank FROM ranked
+    WHERE rank <= 10 ORDER BY qid, rank"""
+
+  /** q44: hyperplane-LSH ANN — the identical md5-derived plane constants
+    * (Ann.planeComponent), sign-bit band keys, bucket join, cosine top-k. */
+  def q44: String = {
+    val bands = 16
+    val bitsPerBand = 6
+    // plane component for (plane p, dim dd): md5('plane:p:dd') first 12 hex
+    // digits / 2^47 - 1.0 — identical exact arithmetic to Ann.planeComponent
+    val comp = s"CAST(${hexVal("md5('plane:' || CAST(p.p AS VARCHAR) || ':' || CAST(dd AS VARCHAR))", 1, 12)} AS DOUBLE) / ${d(0x800000000000L.toDouble)} - 1.0"
+    s"""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), qs AS (
+      SELECT 'q' || CAST(vec_id AS VARCHAR) AS qid, vec_id AS q_vec, emb AS q_emb FROM e WHERE vec_id < 8
+    ), planes AS (
+      SELECT p.p // $bitsPerBand AS band, p.p % $bitsPerBand AS bit,
+        list_transform(range(0, 64), dd -> $comp) AS pl
+      FROM range(0, ${bands * bitsPerBand}) p(p)
+    ), ck AS (
+      SELECT e.vec_id, pl.band,
+        sum(CASE WHEN list_dot_product(e.emb, pl.pl) >= 0 THEN 1 << pl.bit ELSE 0 END) AS key
+      FROM e CROSS JOIN planes pl GROUP BY 1, 2
+    ), qk AS (
+      SELECT qs.qid, pl.band,
+        sum(CASE WHEN list_dot_product(qs.q_emb, pl.pl) >= 0 THEN 1 << pl.bit ELSE 0 END) AS key
+      FROM qs CROSS JOIN planes pl GROUP BY 1, 2
+    ), candidates AS (
+      SELECT DISTINCT qk.qid, ck.vec_id FROM ck JOIN qk ON ck.band = qk.band AND ck.key = qk.key
+    ), cand AS (
+      SELECT c.qid, c.vec_id, ${cosSql("e.emb", "qs.q_emb")} AS sim
+      FROM candidates c JOIN e ON c.vec_id = e.vec_id JOIN qs ON c.qid = qs.qid
+    ), ranked AS (
+      SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT qid, vec_id, round(sim, 6) + 0.0 AS sim, rank FROM ranked
+    WHERE rank <= 10 ORDER BY qid, rank"""
+  }
+
+  /** All engine-layer oracles for the corpus size the verify run uses. */
+  def engineOracles(nDocs: Long): Map[String, String] = Map(
+    "q30_parse_extract" -> q30(nDocs),
+    "q31_spatial_join" -> q31(nDocs),
+    "q32_spatial_join_salted" -> q32(nDocs),
+    "q33_tile_histogram" -> q33(nDocs),
+    "q34_knn" -> q34(nDocs),
+    "q35_geohash_olc_mgrs" -> q35,
+    "q36_polyfill" -> q36(nDocs),
+    "q37_media_features" -> q37(nDocs),
+    "q40_dedup_minhash" -> q40,
+    "q41_dedup_simhash" -> q41,
+    "q42_lang_quality" -> q42,
+    "q43_ann_topk" -> q43,
+    "q44_ann_lsh" -> q44
+  )
+}

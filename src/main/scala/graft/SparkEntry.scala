@@ -279,10 +279,11 @@ object SparkEntry {
     "q30_parse_extract" -> ((spark, dir) => {
       val s = prep(spark)
       val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      // raw doubles on purpose: the oracle mirrors the parse arithmetic
+      // bit-for-bit, and round() half-ties at the 6th decimal differ between
+      // engines (BigDecimal HALF_UP vs scaled-double rounding)
       SpatialJoin.extractPoints(docs)
-        .select(col("doc_id"), col("offset"),
-          (round(col("lat"), 6) + 0.0).as("lat"), (round(col("lon"), 6) + 0.0).as("lon"),
-          col("cell"))
+        .select(col("doc_id"), col("offset"), col("lat"), col("lon"), col("cell"))
         .orderBy(col("doc_id"), col("offset"))
     }),
     "q31_spatial_join" -> ((spark, dir) => {
@@ -376,7 +377,7 @@ object SparkEntry {
       Ann.bruteForceTopK(
         e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
         queries, k = 10)
-        .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
     "q44_ann_lsh" -> ((spark, dir) => {
@@ -388,46 +389,26 @@ object SparkEntry {
       Ann.lshTopK(
         e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
         queries, k = 10, dims = 64)
-        .select(col("qid"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rank"))
+        .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     })
   )
 
-  /** Geohash is interleaved binary bisection — mechanically expressible as
-    * floor/div/mod bit extraction in ANSI SQL. Generates the level-`p`
-    * encoder: X = floor((lon+180)/360 * 2^lonBits) etc., bit j of the
-    * interleaved stream looked up into the base-32 alphabet. */
-  private def geohashSql(lat: String, lon: String, p: Int): String = {
-    val bits = 5 * p
-    val latBits = bits / 2
-    val lonBits = bits - latBits
-    val x = s"CAST(floor(($lon + 180.0)/360.0 * ${1L << lonBits}) AS BIGINT)"
-    val y = s"CAST(floor(($lat + 90.0)/180.0 * ${1L << latBits}) AS BIGINT)"
-    def bit(pos: Int): String =
-      if (pos % 2 == 0) s"((gx // ${1L << (lonBits - 1 - pos / 2)}) % 2)"
-      else s"((gy // ${1L << (latBits - 1 - (pos - 1) / 2)}) % 2)"
-    val chars = (0 until p).map { c =>
-      val idx = (0 until 5).map(k => s"${bit(5 * c + k)} * ${1 << (4 - k)}").mkString(" + ")
-      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($idx AS INT) + 1, 1)"
-    }
-    s"(SELECT concat(${chars.mkString(", ")}) FROM (SELECT $x AS gx, $y AS gy) g)"
-  }
+  // geohash / OLC scalar encoders live in OracleSql (shared with q30-q44).
+  private def geohashSql(lat: String, lon: String, p: Int): String =
+    OracleSql.geohashSql(lat, lon, p)
+  private def olc10Sql(lat: String, lon: String): String =
+    OracleSql.olcSql(lat, lon, 10)
 
-  /** OLC length-10 pair encoding in SQL: the same Long arithmetic as the
-    * kernel (scaled integers, base-20 digits, lat/lon interleaved MSB-first,
-    * '+' after 8). Valid for in-range lat/lon (no clip/nudge/wrap needed for
-    * the derived lattice). */
-  private def olc10Sql(lat: String, lon: String): String = {
-    val latV = s"CAST(floor(round(($lat + 90.0) * 25000000 * 1000000)/1000000) AS BIGINT) // 3125"
-    val lonV = s"CAST(floor(round(($lon + 180.0) * 8192000 * 1000000)/1000000) AS BIGINT) // 1024"
-    def digit(v: String, i: Int): String = // i = 0 is the most significant of 5
-      s"substr('23456789CFGHJMPQRVWX', CAST(($v // ${math.pow(20, 4 - i).toLong}) % 20 AS INT) + 1, 1)"
-    val interleaved = (0 until 5).flatMap(i => Seq(digit("ov", i), digit("oo", i)))
-    val code = interleaved.take(8) ++ Seq("'+'") ++ interleaved.drop(8)
-    s"(SELECT concat(${code.mkString(", ")}) FROM (SELECT $latV AS ov, $lonV AS oo) o)"
-  }
+  /** Scale dir whose corpus the engine-layer oracle SQL reads (the stored
+    * parquet under Corpus.corpusBase); Verify sets it to its sfDir so the
+    * dumped oracle_sql.json always points at the corpus the queries used. */
+  @volatile var oracleDir: String = "/root/testdata/sf0.01"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    relationalOracleSql ++ OracleSql.engineOracles(corpusDocs(oracleDir))
+
+  private def relationalOracleSql: Map[String, String] = Map(
     "q21_geohash_sql" ->
       (s"WITH pts AS ($CustomerPointsSql) SELECT c_custkey, " +
         s"${geohashSql("lat", "lon", 5)} AS gh5 FROM pts ORDER BY c_custkey"),

@@ -15,6 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // engine-layer oracle SQL reads the stored corpus for THIS scale dir
+    SparkEntry.oracleDir = sfDir
+    try graft.engine.Corpus.ensure(spark, SparkEntry.corpusDocs(sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] corpus materialization failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

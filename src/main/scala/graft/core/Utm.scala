@@ -57,7 +57,7 @@ object Utm {
     zone
   }
 
-  private def kruegerAlpha(n: Double): Array[Double] = {
+  private[graft] def kruegerAlpha(n: Double): Array[Double] = {
     val n2 = n * n; val n3 = n * n2; val n4 = n * n3; val n5 = n * n4; val n6 = n * n5
     Array(0.0,
       n / 2 - 2.0 / 3 * n2 + 5.0 / 16 * n3 + 41.0 / 180 * n4 - 127.0 / 288 * n5 + 7891.0 / 37800 * n6,

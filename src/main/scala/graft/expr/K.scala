@@ -254,14 +254,20 @@ object K {
       u.zone, utf8(u.hemisphere.toString), u.easting, u.northing))
   }
 
-  /** st_geo_to_mgrs(lat, lon, a, f): composition geo->utm->mgrs (conv.d:354-356). */
+  /** st_geo_to_mgrs(lat, lon, a, f): composition geo->utm->mgrs
+    * (conv.d:354-356), except the latitude band comes straight from the
+    * input latitude: the reference's utm->mgrs path re-derives it through the
+    * inverse projection, whose ~1e-10 deg noise flips the band letter for
+    * points sitting exactly on an 8-degree boundary. */
   def geoToMgrs(lat: Double, lon: Double, a: Double, f: Double): InternalRow = {
     if (lat < -90 || lat > 90 || lon < -180 || lon > 180 || lat.isNaN || lon.isNaN) return null
     val u = Utm.geoToUtm(lat, lon, a, f)
     val m = Utm.utmToMgrs(u.zone, u.hemisphere, u.easting, u.northing, a, f)
     if (m == null) return null
+    val band = Utm.latBand(lat)
+    if (band == '?') return null
     new GenericInternalRow(Array[Any](
-      m.zone, utf8(m.band.toString), utf8(m.e100k.toString), utf8(m.n100k.toString),
+      m.zone, utf8(band.toString), utf8(m.e100k.toString), utf8(m.n100k.toString),
       m.easting, m.northing))
   }
 
