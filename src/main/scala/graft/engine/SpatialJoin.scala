@@ -64,9 +64,26 @@ object SpatialJoin {
     * covering and the levels probe are per-layer costs, not per-query. */
   final case class PolygonIndex(cells: DataFrame, levels: Array[Int])
 
+  /** PRECONDITION (validated here): rings must not cross the antimeridian —
+    * coverings and PIP run in planar lon space, so a ring whose lon values
+    * jump across +-180 would get a world-spanning bbox and wrong containment.
+    * A ring with lon span > 180 deg is rejected with an error naming the
+    * polygons; split such polygons at +-180 upstream. The validation probe
+    * runs once per layer build on the dimension-sized polygon side. */
+  private def validateNoAntimeridianCross(polys: DataFrame): Unit = {
+    val span = array_max(transform(col("ring"), p => p("lon"))) -
+      array_min(transform(col("ring"), p => p("lon")))
+    val bad = polys.select(col("poly_id"))
+      .where(span > 180.0).limit(5).collect().map(_.get(0))
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"polygon ring(s) appear to cross the antimeridian (lon span > 180 deg): " +
+        s"${bad.mkString(", ")} — split them at +-180 before joining")
+  }
+
   def buildIndex(polys: DataFrame, level: Int = DefaultLevel,
                  maxCells: Int = MaxCellsPerPolygon,
                  cache: Boolean = false): PolygonIndex = {
+    validateNoAntimeridianCross(polys)
     val pc = polygonCells(polys, level, maxCells)
     val pcc = if (cache) pc.cache() else pc
     val levels = pcc.select(length(col("cell")).as("l"))
@@ -118,6 +135,43 @@ object SpatialJoin {
       refined(saltedPoints.join(saltedPolys, Seq("jcell", "salt"), "inner"))
     }
   }
+
+  /** Prefix range-join variant: joins WITHOUT exploding the fact side.
+    *
+    * The multi-resolution path in [[joinWithIndex]] explodes each point into
+    * one row per distinct covering level — at many levels that multiplies the
+    * fact side. Geohash prefixes nest, so instead: both sides project a
+    * single pivot key (the coarsest covering level's prefix), equi-join on
+    * it, and refine with a prefix-containment filter (the interval test
+    * cellMin <= cell < cellMax, expressed as startsWith) + exact PIP. One row
+    * per point and one row per covering cell enter the join regardless of
+    * how many covering levels the layer mixes.
+    *
+    * Trade-off: candidate pairs = points x covering-cells within each pivot
+    * cell, so a very coarse pivot level concentrates more candidates per key
+    * than the per-level equi-join; the PIP refine is unchanged. Prefer this
+    * variant when the layer mixes many covering levels, the default when it
+    * uses one or two.
+    *
+    * Requires points extracted at a level >= index.levels.max (the default
+    * extraction level is also the covering maxLevel, so this holds). */
+  def joinRangeWithIndex(points: DataFrame, index: PolygonIndex,
+                         broadcastPolys: Boolean = true): DataFrame = {
+    val pivot = index.levels.min
+    val pc0 = index.cells.select(col("poly_id"), col("ring"),
+      col("cell").as("ccell"), substring(col("cell"), 1, pivot).as("pkey"))
+    val pc = if (broadcastPolys) broadcast(pc0) else pc0.hint("merge")
+    points
+      .withColumn("pkey", substring(col("cell"), 1, pivot))
+      .join(pc, Seq("pkey"), "inner")
+      .where(col("cell").startsWith(col("ccell")))
+      .where(call_function("st_point_in_polygon", col("lat"), col("lon"), col("ring")))
+      .drop("ring", "pkey", "ccell")
+  }
+
+  def joinRange(points: DataFrame, polys: DataFrame, level: Int = DefaultLevel,
+                broadcastPolys: Boolean = true): DataFrame =
+    joinRangeWithIndex(points, buildIndex(polys, level), broadcastPolys)
 
   /** Containment-only variants: docs that have >=1 point in any polygon
     * (left-semi) or in none (left-anti) — no row multiplication. */

@@ -47,6 +47,12 @@ object GraftFunctions {
     .add("north", DoubleType).add("east", DoubleType).add("length", IntegerType)
   val TileT: StructType = new StructType()
     .add("z", IntegerType).add("x", LongType).add("y", LongType)
+  val GeoFullT: StructType = new StructType()
+    .add("lat", DoubleType).add("lon", DoubleType).add("altitude", DoubleType)
+    .add("accuracy", DoubleType).add("altitude_accuracy", DoubleType)
+  val UtmAltT: StructType = new StructType()
+    .add("zone", IntegerType).add("hemisphere", StringType)
+    .add("easting", DoubleType).add("northing", DoubleType).add("altitude", DoubleType)
 
   // ---- builder helpers ----------------------------------------------------
 
@@ -62,6 +68,15 @@ object GraftFunctions {
 
   private val litA = Literal(Wgs84A)
   private val litF = Literal(Wgs84F)
+  private val litNaN = Literal(Double.NaN)
+
+  /** Strict-mode flag captured as a plan-time literal at analysis: builders
+    * run on the driver per query, so `SET spark.graft.strict=true` applies to
+    * subsequently planned queries and ships to executors inside the plan. */
+  private def strict: Expression = Literal(
+    try org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.strict", "false").trim.toBoolean
+    catch { case _: Throwable => false })
 
   /** name -> (builder, expected arity description). */
   private def fail(name: String, n: Int): Nothing =
@@ -69,25 +84,25 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // parsing
-    "st_parse_point" -> ((a: Seq[Expression]) => si(PointT, "parsePoint", Seq(str(a.head)))),
-    "st_parse_point_compat" -> ((a: Seq[Expression]) => si(PointT, "parsePointCompat", Seq(str(a.head)))),
-    "st_parse_coord" -> ((a: Seq[Expression]) => si(DoubleType, "parseCoord", Seq(str(a.head)))),
-    "st_parse_utm" -> ((a: Seq[Expression]) => si(UtmShortT, "parseUtm", Seq(str(a.head)))),
-    "st_parse_mgrs" -> ((a: Seq[Expression]) => si(MgrsT, "parseMgrs", Seq(str(a.head)))),
+    "st_parse_point" -> ((a: Seq[Expression]) => si(PointT, "parsePoint", Seq(str(a.head), strict))),
+    "st_parse_point_compat" -> ((a: Seq[Expression]) => si(PointT, "parsePointCompat", Seq(str(a.head), strict))),
+    "st_parse_coord" -> ((a: Seq[Expression]) => si(DoubleType, "parseCoord", Seq(str(a.head), strict))),
+    "st_parse_utm" -> ((a: Seq[Expression]) => si(UtmShortT, "parseUtm", Seq(str(a.head), strict))),
+    "st_parse_mgrs" -> ((a: Seq[Expression]) => si(MgrsT, "parseMgrs", Seq(str(a.head), strict))),
     // geohash
     "st_geohash" -> ((a: Seq[Expression]) =>
-      si(StringType, "geohashEncode", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
-    "st_geohash_decode" -> ((a: Seq[Expression]) => si(PointT, "geohashDecode", Seq(str(a.head)))),
-    "st_geohash_bounds" -> ((a: Seq[Expression]) => si(BoxT, "geohashBounds", Seq(str(a.head)))),
+      si(StringType, "geohashEncode", Seq(dbl(a(0)), dbl(a(1)), int(a(2)), strict))),
+    "st_geohash_decode" -> ((a: Seq[Expression]) => si(PointT, "geohashDecode", Seq(str(a.head), strict))),
+    "st_geohash_bounds" -> ((a: Seq[Expression]) => si(BoxT, "geohashBounds", Seq(str(a.head), strict))),
     "st_geohash_adjacent" -> ((a: Seq[Expression]) =>
-      si(StringType, "geohashAdjacent", Seq(str(a(0)), str(a(1))))),
+      si(StringType, "geohashAdjacent", Seq(str(a(0)), str(a(1)), strict))),
     "st_geohash_neighbors" -> ((a: Seq[Expression]) =>
-      si(ArrayType(StringType), "geohashNeighbors", Seq(str(a.head)))),
+      si(ArrayType(StringType), "geohashNeighbors", Seq(str(a.head), strict))),
     // cells / tiles
     "st_cell" -> ((a: Seq[Expression]) =>
-      si(StringType, "cellOf", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
+      si(StringType, "cellOf", Seq(dbl(a(0)), dbl(a(1)), int(a(2)), strict))),
     "st_cell_long" -> ((a: Seq[Expression]) =>
-      si(LongType, "cellLongOf", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
+      si(LongType, "cellLongOf", Seq(dbl(a(0)), dbl(a(1)), int(a(2)), strict))),
     "st_cell_to_long" -> ((a: Seq[Expression]) => si(LongType, "cellToLongOf", Seq(str(a.head)))),
     "st_cell_parent" -> ((a: Seq[Expression]) =>
       si(StringType, "cellParentOf", Seq(str(a(0)), int(a(1))))),
@@ -121,39 +136,39 @@ object GraftFunctions {
         Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))), nullable = false)),
     // conversions (2-arg / n-arg forms default to WGS84)
     "st_geo_to_utm" -> ((a: Seq[Expression]) => a.length match {
-      case 2 => si(UtmT, "geoToUtm", Seq(dbl(a(0)), dbl(a(1)), litA, litF))
-      case 4 => si(UtmT, "geoToUtm", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))
+      case 2 => si(UtmT, "geoToUtm", Seq(dbl(a(0)), dbl(a(1)), litA, litF, strict))
+      case 4 => si(UtmT, "geoToUtm", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), strict))
       case n => fail("st_geo_to_utm", n)
     }),
     "st_utm_to_geo" -> ((a: Seq[Expression]) => a.length match {
-      case 4 => si(PointT, "utmToGeo", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF))
+      case 4 => si(PointT, "utmToGeo", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF, strict))
       case 6 => si(PointT, "utmToGeo",
-        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))))
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), strict))
       case n => fail("st_utm_to_geo", n)
     }),
     "st_utm_to_mgrs" -> ((a: Seq[Expression]) => a.length match {
-      case 4 => si(MgrsT, "utmToMgrs", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF))
+      case 4 => si(MgrsT, "utmToMgrs", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF, strict))
       case 6 => si(MgrsT, "utmToMgrs",
-        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))))
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), strict))
       case n => fail("st_utm_to_mgrs", n)
     }),
     "st_mgrs_to_utm" -> ((a: Seq[Expression]) => a.length match {
       case 6 => si(UtmShortT, "mgrsToUtm",
-        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), litA, litF))
+        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), litA, litF, strict))
       case 8 => si(UtmShortT, "mgrsToUtm",
-        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)), dbl(a(7))))
+        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)), dbl(a(7)), strict))
       case n => fail("st_mgrs_to_utm", n)
     }),
     "st_geo_to_mgrs" -> ((a: Seq[Expression]) => a.length match {
-      case 2 => si(MgrsT, "geoToMgrs", Seq(dbl(a(0)), dbl(a(1)), litA, litF))
-      case 4 => si(MgrsT, "geoToMgrs", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))
+      case 2 => si(MgrsT, "geoToMgrs", Seq(dbl(a(0)), dbl(a(1)), litA, litF, strict))
+      case 4 => si(MgrsT, "geoToMgrs", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), strict))
       case n => fail("st_geo_to_mgrs", n)
     }),
     "st_mgrs_to_geo" -> ((a: Seq[Expression]) => a.length match {
       case 6 => si(PointT, "mgrsToGeo",
-        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), litA, litF))
+        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), litA, litF, strict))
       case 8 => si(PointT, "mgrsToGeo",
-        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)), dbl(a(7))))
+        Seq(int(a(0)), str(a(1)), str(a(2)), str(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)), dbl(a(7)), strict))
       case n => fail("st_mgrs_to_geo", n)
     }),
     "st_band" -> ((a: Seq[Expression]) => si(StringType, "latBandOf", Seq(dbl(a.head)))),
@@ -164,13 +179,13 @@ object GraftFunctions {
     "st_utm_band" -> ((a: Seq[Expression]) =>
       si(StringType, "utmBandOf", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3))))),
     "st_geo_to_ecef" -> ((a: Seq[Expression]) => a.length match {
-      case 3 => si(EcefT, "geoToEcef", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litA, litF))
-      case 5 => si(EcefT, "geoToEcef", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))
+      case 3 => si(EcefT, "geoToEcef", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litA, litF, strict))
+      case 5 => si(EcefT, "geoToEcef", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), strict))
       case n => fail("st_geo_to_ecef", n)
     }),
     "st_ecef_to_geo" -> ((a: Seq[Expression]) => a.length match {
-      case 3 => si(GeoHT, "ecefToGeo", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litA, litF))
-      case 5 => si(GeoHT, "ecefToGeo", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4))))
+      case 3 => si(GeoHT, "ecefToGeo", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litA, litF, strict))
+      case 5 => si(GeoHT, "ecefToGeo", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), strict))
       case n => fail("st_ecef_to_geo", n)
     }),
     // datum transforms
@@ -181,16 +196,16 @@ object GraftFunctions {
     "st_molodensky_badekas" -> ((a: Seq[Expression]) =>
       si(EcefT, "molodenskyBadekas", a.take(13).map(dbl))),
     "st_datum_shift" -> ((a: Seq[Expression]) =>
-      si(EcefT, "datumShiftToWgs84", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), str(a(3))))),
-    "st_ellipsoid_a" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidA", Seq(str(a.head)))),
-    "st_ellipsoid_f" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidF", Seq(str(a.head)))),
+      si(EcefT, "datumShiftToWgs84", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), str(a(3)), strict))),
+    "st_ellipsoid_a" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidA", Seq(str(a.head), strict))),
+    "st_ellipsoid_f" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidF", Seq(str(a.head), strict))),
     // OLC
     "olc_encode" -> ((a: Seq[Expression]) => a.length match {
-      case 2 => si(StringType, "olcEncode", Seq(dbl(a(0)), dbl(a(1)), Literal(10)))
-      case 3 => si(StringType, "olcEncode", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))
+      case 2 => si(StringType, "olcEncode", Seq(dbl(a(0)), dbl(a(1)), Literal(10), strict))
+      case 3 => si(StringType, "olcEncode", Seq(dbl(a(0)), dbl(a(1)), int(a(2)), strict))
       case n => fail("olc_encode", n)
     }),
-    "olc_decode" -> ((a: Seq[Expression]) => si(OlcAreaT, "olcDecode", Seq(str(a.head)))),
+    "olc_decode" -> ((a: Seq[Expression]) => si(OlcAreaT, "olcDecode", Seq(str(a.head), strict))),
     "olc_shorten" -> ((a: Seq[Expression]) =>
       si(StringType, "olcShorten", Seq(str(a(0)), dbl(a(1)), dbl(a(2))))),
     "olc_recover" -> ((a: Seq[Expression]) =>
@@ -213,14 +228,14 @@ object GraftFunctions {
     }),
     // quirk-compat variants (Q2/Q4 Gauss-Schreiber series, Q7 wrap90)
     "st_geo_to_utm_compat" -> ((a: Seq[Expression]) => a.length match {
-      case 2 => si(UtmT, "geoToUtmCompat", Seq(dbl(a(0)), dbl(a(1)), litA, litF))
-      case 4 => si(UtmT, "geoToUtmCompat", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3))))
+      case 2 => si(UtmT, "geoToUtmCompat", Seq(dbl(a(0)), dbl(a(1)), litA, litF, strict))
+      case 4 => si(UtmT, "geoToUtmCompat", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), strict))
       case n => fail("st_geo_to_utm_compat", n)
     }),
     "st_utm_to_geo_compat" -> ((a: Seq[Expression]) => a.length match {
-      case 4 => si(PointT, "utmToGeoCompat", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF))
+      case 4 => si(PointT, "utmToGeoCompat", Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litA, litF, strict))
       case 6 => si(PointT, "utmToGeoCompat",
-        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))))
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), strict))
       case n => fail("st_utm_to_geo_compat", n)
     }),
     "st_wrap90_compat" -> ((a: Seq[Expression]) =>
@@ -228,6 +243,46 @@ object GraftFunctions {
     "st_wrap90" -> ((a: Seq[Expression]) => si(DoubleType, "wrap90", Seq(dbl(a.head)), nullable = false)),
     "st_wrap180" -> ((a: Seq[Expression]) => si(DoubleType, "wrap180", Seq(dbl(a.head)), nullable = false)),
     "st_wrap360" -> ((a: Seq[Expression]) => si(DoubleType, "wrap360", Seq(dbl(a.head)), nullable = false)),
+    // validating constructors (reference Geo/UTM invariants) + extension
+    // fields (altitude/accuracy ride through conversions, NaN = missing)
+    "st_geo" -> ((a: Seq[Expression]) => a.length match {
+      case 2 => si(GeoFullT, "geoCtor", Seq(dbl(a(0)), dbl(a(1)), litNaN, litNaN, litNaN, strict))
+      case 3 => si(GeoFullT, "geoCtor", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litNaN, litNaN, strict))
+      case 5 => si(GeoFullT, "geoCtor",
+        Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), strict))
+      case n => fail("st_geo", n)
+    }),
+    "st_geo_valid" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "geoIsValid", Seq(dbl(a(0)), dbl(a(1))), nullable = false)),
+    "st_utm" -> ((a: Seq[Expression]) => a.length match {
+      case 4 => si(UtmAltT, "utmCtor",
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), litNaN, strict))
+      case 5 => si(UtmAltT, "utmCtor",
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), strict))
+      case n => fail("st_utm", n)
+    }),
+    "st_utm_valid" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "utmIsValid", Seq(int(a(0)), str(a(1))), nullable = false)),
+    "st_geohash_auto" -> ((a: Seq[Expression]) =>
+      si(StringType, "geohashEncode", Seq(dbl(a(0)), dbl(a(1)), Literal(0), strict))),
+    "st_geo_to_utm_full" -> ((a: Seq[Expression]) => a.length match {
+      case 3 => si(UtmAltT, "geoToUtmFull", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), litA, litF, strict))
+      case 5 => si(UtmAltT, "geoToUtmFull",
+        Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), strict))
+      case n => fail("st_geo_to_utm_full", n)
+    }),
+    "st_utm_to_geo_full" -> ((a: Seq[Expression]) => a.length match {
+      case 5 => si(GeoHT, "utmToGeoFull",
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), litA, litF, strict))
+      case 7 => si(GeoHT, "utmToGeoFull",
+        Seq(int(a(0)), str(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5)), dbl(a(6)), strict))
+      case n => fail("st_utm_to_geo_full", n)
+    }),
+    // Helmert-7 with the reference's convention flags (coordinateFrame /
+    // inverse, transform.d:66-76)
+    "st_helmert7_ex" -> ((a: Seq[Expression]) =>
+      si(EcefT, "helmert7Ex", a.take(10).map(dbl) ++
+        Seq(Cast(a(10), BooleanType), Cast(a(11), BooleanType)))),
     // text hashing kernels (dedup family)
     "st_minhash" -> ((a: Seq[Expression]) =>
       si(ArrayType(LongType), "minhashSig", Seq(a(0), int(a(1))))),

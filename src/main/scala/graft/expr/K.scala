@@ -38,35 +38,47 @@ object K {
     out
   }
 
+  // ---- strict mode --------------------------------------------------------
+
+  /** Strict mode (`spark.graft.strict=true`, captured as a plan-time literal
+    * by the function builders): invalid input throws the reference's typed
+    * exception instead of returning SQL NULL. NULL *inputs* still propagate
+    * to NULL in both modes (propagateNull runs before the kernel). */
+  @inline private def failIf(strict: Boolean, e: => CoordException): Null =
+    if (strict) throw e else null
+
   // ---- parsing ----------------------------------------------------------
 
   /** st_parse_point: free text -> struct<lat,lon>; null if unparseable. */
-  def parsePoint(text: UTF8String): InternalRow = {
+  def parsePoint(text: UTF8String, strict: Boolean): InternalRow = {
     if (text == null) return null
     val p = Parsers.parsePoint(text.toString)
-    if (p == null) null else new GenericInternalRow(Array[Any](p(0), p(1)))
+    if (p == null) failIf(strict, new LatLonException("Failed to parse coordinates!"))
+    else new GenericInternalRow(Array[Any](p(0), p(1)))
   }
 
   /** Compat-mode parse (reference quirk Q1: east flips sign). */
-  def parsePointCompat(text: UTF8String): InternalRow = {
+  def parsePointCompat(text: UTF8String, strict: Boolean): InternalRow = {
     if (text == null) return null
     val p = Parsers.parsePoint(text.toString, compat = true)
-    if (p == null) null else new GenericInternalRow(Array[Any](p(0), p(1)))
+    if (p == null) failIf(strict, new LatLonException("Failed to parse coordinates!"))
+    else new GenericInternalRow(Array[Any](p(0), p(1)))
   }
 
   /** st_parse_coord: single coordinate text -> double; null if unparseable. */
-  def parseCoord(text: UTF8String): java.lang.Double = {
+  def parseCoord(text: UTF8String, strict: Boolean): java.lang.Double = {
     if (text == null) return null
     val v = Parsers.parseCoord(text.toString)
-    if (v.isNaN) null else java.lang.Double.valueOf(v)
+    if (v.isNaN) failIf(strict, new LatLonException("Failed to parse coordinates!"))
+    else java.lang.Double.valueOf(v)
   }
 
   /** st_parse_utm -> struct<zone:int, hemisphere:string, easting, northing>.
     * The letter is interpreted as band when not N/S (band->hemisphere rule). */
-  def parseUtm(text: UTF8String): InternalRow = {
+  def parseUtm(text: UTF8String, strict: Boolean): InternalRow = {
     if (text == null) return null
     val t = Parsers.parseUtm(text.toString)
-    if (t == null) return null
+    if (t == null) return failIf(strict, new UtmException("Failed to parse utm coordinate!"))
     val letter = t._2
     val hemisphere =
       if (letter == 'N' || letter == 'S') letter else Utm.bandToHemisphere(letter)
@@ -74,52 +86,106 @@ object K {
   }
 
   /** st_parse_mgrs -> struct<zone:int, band, e100k, n100k, easting, northing>. */
-  def parseMgrs(text: UTF8String): InternalRow = {
+  def parseMgrs(text: UTF8String, strict: Boolean): InternalRow = {
     if (text == null) return null
     val t = Parsers.parseMgrs(text.toString)
-    if (t == null || t._3.length != 2) return null
+    if (t == null || t._3.length != 2)
+      return failIf(strict, new MgrsException("Failed to parse mgrs coordinate!"))
     new GenericInternalRow(Array[Any](
       t._1, utf8(t._2.toString), utf8(t._3.substring(0, 1)), utf8(t._3.substring(1)),
       t._4, t._5))
   }
 
+  // ---- constructors / validators ------------------------------------------
+
+  /** st_geo(lat, lon, alt, accuracy, altAccuracy): validating constructor
+    * mirroring the reference Geo invariants (latlon.d:101-108; NaN = missing
+    * for the extension fields). Null (or throw) on violation. */
+  def geoCtor(lat: Double, lon: Double, alt: Double, acc: Double, altAcc: Double,
+              strict: Boolean): InternalRow = {
+    if (lat < -90 || lat > 90 || lat.isNaN)
+      return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
+    if (lon < -180 || lon > 180 || lon.isNaN)
+      return failIf(strict, new LatLonException("Longitude out of bounds [-180;+180]!"))
+    if (!acc.isNaN && acc < 0)
+      return failIf(strict, new LatLonException("Accuracy out of range!"))
+    if (!altAcc.isNaN && altAcc < 0)
+      return failIf(strict, new LatLonException("Altitude accuracy out of range!"))
+    new GenericInternalRow(Array[Any](lat, lon, alt, acc, altAcc))
+  }
+
+  def geoIsValid(lat: Double, lon: Double): Boolean =
+    !(lat < -90 || lat > 90 || lat.isNaN || lon < -180 || lon > 180 || lon.isNaN)
+
+  /** st_utm(zone, hemisphere, easting, northing, alt): validating constructor
+    * mirroring the reference UTM invariants (utm.d:91, 132-133). */
+  def utmCtor(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double,
+              alt: Double, strict: Boolean): InternalRow = {
+    if (hemisphere == null || hemisphere.numChars() < 1)
+      return failIf(strict, new UtmException("Wrong hemisphere [N, S]!"))
+    val h = Character.toUpperCase(hemisphere.toString.charAt(0))
+    if (h != 'N' && h != 'S')
+      return failIf(strict, new UtmException("Wrong hemisphere [N, S]!"))
+    if (zone <= 0 || zone > 60)
+      return failIf(strict, new UtmException("Zone number out of range [1..60]!"))
+    new GenericInternalRow(Array[Any](zone, utf8(h.toString), easting, northing, alt))
+  }
+
+  def utmIsValid(zone: Int, hemisphere: UTF8String): Boolean = {
+    if (hemisphere == null || hemisphere.numChars() < 1) return false
+    val h = Character.toUpperCase(hemisphere.toString.charAt(0))
+    (h == 'N' || h == 'S') && zone > 0 && zone <= 60
+  }
+
   // ---- geohash ----------------------------------------------------------
 
-  def geohashEncode(lat: Double, lon: Double, precision: Int): UTF8String = {
-    if (lat < -90 || lat > 90 || lat.isNaN || lon.isNaN) return null
-    utf8(Geohash.encode(lat, GeoMath.wrap180(lon), precision))
+  /** precision <= 0 selects the shortest hash that round-trips the point
+    * (reference geohash.d:70-77 auto-precision rule). */
+  def geohashEncode(lat: Double, lon: Double, precision: Int, strict: Boolean): UTF8String = {
+    if (lat < -90 || lat > 90 || lat.isNaN)
+      return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
+    if (lon.isNaN)
+      return failIf(strict, new LatLonException("Longitude out of bounds [-180;+180]!"))
+    val lw = GeoMath.wrap180(lon)
+    utf8(if (precision <= 0) Geohash.encodeAuto(lat, lw) else Geohash.encode(lat, lw, precision))
   }
 
-  def geohashDecode(hash: UTF8String): InternalRow = {
+  def geohashDecode(hash: UTF8String, strict: Boolean): InternalRow = {
     if (hash == null) return null
     val c = Geohash.decode(hash.toString)
-    if (c == null) null else new GenericInternalRow(Array[Any](c(0), c(1)))
+    if (c == null) failIf(strict, new GeohashException(s"Invalid geohash [$hash]!"))
+    else new GenericInternalRow(Array[Any](c(0), c(1)))
   }
 
-  def geohashBounds(hash: UTF8String): InternalRow = {
+  def geohashBounds(hash: UTF8String, strict: Boolean): InternalRow = {
     if (hash == null) return null
     val b = Geohash.bounds(hash.toString)
-    if (b == null) null else new GenericInternalRow(Array[Any](b(0), b(1), b(2), b(3)))
+    if (b == null) failIf(strict, new GeohashException(s"Invalid geohash [$hash]!"))
+    else new GenericInternalRow(Array[Any](b(0), b(1), b(2), b(3)))
   }
 
-  def geohashAdjacent(hash: UTF8String, direction: UTF8String): UTF8String = {
+  def geohashAdjacent(hash: UTF8String, direction: UTF8String, strict: Boolean): UTF8String = {
     if (hash == null || direction == null || direction.numChars() < 1) return null
-    utf8(Geohash.adjacent(hash.toString, direction.toString.charAt(0)))
+    val a = Geohash.adjacent(hash.toString, direction.toString.charAt(0))
+    if (a == null) failIf(strict, new GeohashException(s"Invalid geohash [$hash]!"))
+    else utf8(a)
   }
 
-  def geohashNeighbors(hash: UTF8String): ArrayData = {
+  def geohashNeighbors(hash: UTF8String, strict: Boolean): ArrayData = {
     if (hash == null) return null
     val n = Geohash.neighbours(hash.toString)
-    if (n == null) null else new GenericArrayData(n.map(utf8(_)).asInstanceOf[Array[Any]])
+    if (n == null) failIf(strict, new GeohashException(s"Invalid geohash [$hash]!"))
+    else new GenericArrayData(n.map(utf8(_)).asInstanceOf[Array[Any]])
   }
 
   // ---- cells / tiles ----------------------------------------------------
 
-  def cellOf(lat: Double, lon: Double, level: Int): UTF8String =
-    geohashEncode(lat, lon, level)
+  def cellOf(lat: Double, lon: Double, level: Int, strict: Boolean): UTF8String =
+    geohashEncode(lat, lon, level, strict)
 
-  def cellLongOf(lat: Double, lon: Double, level: Int): java.lang.Long = {
-    if (lat < -90 || lat > 90 || lat.isNaN || lon.isNaN) return null
+  def cellLongOf(lat: Double, lon: Double, level: Int, strict: Boolean): java.lang.Long = {
+    if (lat < -90 || lat > 90 || lat.isNaN || lon.isNaN)
+      return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
     java.lang.Long.valueOf(Cells.cellLong(lat, GeoMath.wrap180(lon), level))
   }
 
@@ -212,8 +278,11 @@ object K {
 
   /** st_geo_to_utm(lat, lon, a, f) -> struct<zone:int, hemisphere:string,
     * easting, northing, convergence, scale>. */
-  def geoToUtm(lat: Double, lon: Double, a: Double, f: Double): InternalRow = {
-    if (lat < -90 || lat > 90 || lon < -180 || lon > 180 || lat.isNaN || lon.isNaN) return null
+  def geoToUtm(lat: Double, lon: Double, a: Double, f: Double, strict: Boolean): InternalRow = {
+    if (lat < -90 || lat > 90 || lat.isNaN)
+      return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
+    if (lon < -180 || lon > 180 || lon.isNaN)
+      return failIf(strict, new LatLonException("Longitude out of bounds [-180;+180]!"))
     val u = Utm.geoToUtm(lat, lon, a, f)
     new GenericInternalRow(Array[Any](
       u.zone, utf8(u.hemisphere.toString), u.easting, u.northing, u.convergence, u.scale))
@@ -221,22 +290,26 @@ object K {
 
   /** st_utm_to_geo(zone, hemisphere, easting, northing, a, f) -> struct<lat,lon>. */
   def utmToGeo(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double,
-               a: Double, f: Double): InternalRow = {
+               a: Double, f: Double, strict: Boolean): InternalRow = {
     if (hemisphere == null || hemisphere.numChars() < 1) return null
     val h = Character.toUpperCase(hemisphere.toString.charAt(0))
-    if (h != 'N' && h != 'S') return null
+    if (h != 'N' && h != 'S')
+      return failIf(strict, new UtmException("Wrong hemisphere [N, S]!"))
     val g = Utm.utmToGeo(zone, h, easting, northing, a, f)
-    if (g == null) null else new GenericInternalRow(Array[Any](g(0), g(1)))
+    if (g == null) failIf(strict, new UtmException("Zone number out of range [1..60]!"))
+    else new GenericInternalRow(Array[Any](g(0), g(1)))
   }
 
   /** st_utm_to_mgrs -> struct<zone:int, band, e100k, n100k, easting, northing>. */
   def utmToMgrs(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double,
-                a: Double, f: Double): InternalRow = {
+                a: Double, f: Double, strict: Boolean): InternalRow = {
     if (hemisphere == null || hemisphere.numChars() < 1) return null
     val h = Character.toUpperCase(hemisphere.toString.charAt(0))
-    if (h != 'N' && h != 'S') return null
+    if (h != 'N' && h != 'S')
+      return failIf(strict, new UtmException("Wrong hemisphere [N, S]!"))
     val m = Utm.utmToMgrs(zone, h, easting, northing, a, f)
-    if (m == null) return null
+    if (m == null)
+      return failIf(strict, new MgrsException("Utm position outside the mgrs grid!"))
     new GenericInternalRow(Array[Any](
       m.zone, utf8(m.band.toString), utf8(m.e100k.toString), utf8(m.n100k.toString),
       m.easting, m.northing))
@@ -244,12 +317,15 @@ object K {
 
   /** st_mgrs_to_utm(zone, band, e100k, n100k, easting, northing, a, f). */
   def mgrsToUtm(zone: Int, band: UTF8String, e100k: UTF8String, n100k: UTF8String,
-                easting: Double, northing: Double, a: Double, f: Double): InternalRow = {
+                easting: Double, northing: Double, a: Double, f: Double,
+                strict: Boolean): InternalRow = {
     if (band == null || e100k == null || n100k == null) return null
-    if (band.numChars() < 1 || e100k.numChars() < 1 || n100k.numChars() < 1) return null
+    if (band.numChars() < 1 || e100k.numChars() < 1 || n100k.numChars() < 1)
+      return failIf(strict, new MgrsException("Failed to parse mgrs coordinate!"))
     val u = Utm.mgrsToUtm(zone, band.toString.charAt(0), e100k.toString.charAt(0),
       n100k.toString.charAt(0), easting, northing, a, f)
-    if (u == null) return null
+    if (u == null)
+      return failIf(strict, new MgrsException("Invalid zone/band/grid letters!"))
     new GenericInternalRow(Array[Any](
       u.zone, utf8(u.hemisphere.toString), u.easting, u.northing))
   }
@@ -259,13 +335,18 @@ object K {
     * input latitude: the reference's utm->mgrs path re-derives it through the
     * inverse projection, whose ~1e-10 deg noise flips the band letter for
     * points sitting exactly on an 8-degree boundary. */
-  def geoToMgrs(lat: Double, lon: Double, a: Double, f: Double): InternalRow = {
-    if (lat < -90 || lat > 90 || lon < -180 || lon > 180 || lat.isNaN || lon.isNaN) return null
+  def geoToMgrs(lat: Double, lon: Double, a: Double, f: Double, strict: Boolean): InternalRow = {
+    if (lat < -90 || lat > 90 || lat.isNaN)
+      return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
+    if (lon < -180 || lon > 180 || lon.isNaN)
+      return failIf(strict, new LatLonException("Longitude out of bounds [-180;+180]!"))
     val u = Utm.geoToUtm(lat, lon, a, f)
     val m = Utm.utmToMgrs(u.zone, u.hemisphere, u.easting, u.northing, a, f)
-    if (m == null) return null
+    if (m == null)
+      return failIf(strict, new MgrsException("Utm position outside the mgrs grid!"))
     val band = Utm.latBand(lat)
-    if (band == '?') return null
+    if (band == '?')
+      return failIf(strict, new MgrsException("Latitude outside the mgrs bands [-80;84]!"))
     new GenericInternalRow(Array[Any](
       m.zone, utf8(band.toString), utf8(m.e100k.toString), utf8(m.n100k.toString),
       m.easting, m.northing))
@@ -273,14 +354,18 @@ object K {
 
   /** st_mgrs_to_geo: composition mgrs->utm->geo (conv.d:359-361). */
   def mgrsToGeo(zone: Int, band: UTF8String, e100k: UTF8String, n100k: UTF8String,
-                easting: Double, northing: Double, a: Double, f: Double): InternalRow = {
+                easting: Double, northing: Double, a: Double, f: Double,
+                strict: Boolean): InternalRow = {
     if (band == null || e100k == null || n100k == null) return null
-    if (band.numChars() < 1 || e100k.numChars() < 1 || n100k.numChars() < 1) return null
+    if (band.numChars() < 1 || e100k.numChars() < 1 || n100k.numChars() < 1)
+      return failIf(strict, new MgrsException("Failed to parse mgrs coordinate!"))
     val u = Utm.mgrsToUtm(zone, band.toString.charAt(0), e100k.toString.charAt(0),
       n100k.toString.charAt(0), easting, northing, a, f)
-    if (u == null) return null
+    if (u == null)
+      return failIf(strict, new MgrsException("Invalid zone/band/grid letters!"))
     val g = Utm.utmToGeo(u.zone, u.hemisphere, u.easting, u.northing, a, f)
-    if (g == null) null else new GenericInternalRow(Array[Any](g(0), g(1)))
+    if (g == null) failIf(strict, new UtmException("Zone number out of range [1..60]!"))
+    else new GenericInternalRow(Array[Any](g(0), g(1)))
   }
 
   /** st_band(lat): MGRS latitude band letter; null outside -80..84. */
@@ -313,15 +398,21 @@ object K {
   }
 
   /** st_geo_to_ecef(lat, lon, h, a, f) -> struct<x,y,z>. */
-  def geoToEcef(lat: Double, lon: Double, h: Double, a: Double, f: Double): InternalRow = {
-    if (lat < -90 || lat > 90 || lat.isNaN || lon.isNaN) return null
+  def geoToEcef(lat: Double, lon: Double, h: Double, a: Double, f: Double,
+                strict: Boolean): InternalRow = {
+    if (lat < -90 || lat > 90 || lat.isNaN)
+      return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
+    if (lon.isNaN)
+      return failIf(strict, new LatLonException("Longitude out of bounds [-180;+180]!"))
     val e = Ecef.geoToEcef(lat, lon, h, a, f)
     new GenericInternalRow(Array[Any](e(0), e(1), e(2)))
   }
 
   /** st_ecef_to_geo(x, y, z, a, f) -> struct<lat,lon,h>. */
-  def ecefToGeo(x: Double, y: Double, z: Double, a: Double, f: Double): InternalRow = {
-    if (x.isNaN || y.isNaN || z.isNaN) return null
+  def ecefToGeo(x: Double, y: Double, z: Double, a: Double, f: Double,
+                strict: Boolean): InternalRow = {
+    if (x.isNaN || y.isNaN || z.isNaN)
+      return failIf(strict, new EcefException("Invalid ecef coordinate!"))
     val g = Ecef.ecefToGeo(x, y, z, a, f)
     new GenericInternalRow(Array[Any](g(0), g(1), g(2)))
   }
@@ -355,26 +446,30 @@ object K {
 
   /** st_datum_shift(x,y,z, datum_name): Helmert-7 to WGS84 using the
     * registry's parameter table; null for unknown datum. */
-  def datumShiftToWgs84(x: Double, y: Double, z: Double, datum: UTF8String): InternalRow = {
+  def datumShiftToWgs84(x: Double, y: Double, z: Double, datum: UTF8String,
+                        strict: Boolean): InternalRow = {
     if (datum == null) return null
     val d = Registry.resolveDatum(datum.toString).orNull
-    if (d == null) return null
+    if (d == null) return failIf(strict, new DatumException(s"Unknown datum [$datum]!"))
     val p = Registry.helmert7ByDatum.get(d.epsg).orNull
-    if (p == null) return null
+    if (p == null)
+      return failIf(strict, new DatumException(s"No transform parameters for datum [$datum]!"))
     val r = Transform.helmert7Ppm(x, y, z, p.dx, p.dy, p.dz, p.rx, p.ry, p.rz, p.ds)
     new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
   }
 
   // ---- ellipsoid / registry lookups (foldable at plan time) ---------------
 
-  def ellipsoidA(nameOrEpsg: UTF8String): java.lang.Double = {
+  def ellipsoidA(nameOrEpsg: UTF8String, strict: Boolean): java.lang.Double = {
     if (nameOrEpsg == null) return null
-    ellipsoidOf(nameOrEpsg.toString).map(e => java.lang.Double.valueOf(e.a)).orNull
+    ellipsoidOf(nameOrEpsg.toString).map(e => java.lang.Double.valueOf(e.a))
+      .getOrElse(failIf(strict, new DatumException(s"Unknown ellipsoid [$nameOrEpsg]!")))
   }
 
-  def ellipsoidF(nameOrEpsg: UTF8String): java.lang.Double = {
+  def ellipsoidF(nameOrEpsg: UTF8String, strict: Boolean): java.lang.Double = {
     if (nameOrEpsg == null) return null
-    ellipsoidOf(nameOrEpsg.toString).map(e => java.lang.Double.valueOf(e.f)).orNull
+    ellipsoidOf(nameOrEpsg.toString).map(e => java.lang.Double.valueOf(e.f))
+      .getOrElse(failIf(strict, new DatumException(s"Unknown ellipsoid [$nameOrEpsg]!")))
   }
 
   private def ellipsoidOf(s0: String): Option[Ellipsoid] = {
@@ -388,17 +483,20 @@ object K {
 
   // ---- OLC ----------------------------------------------------------------
 
-  def olcEncode(lat: Double, lon: Double, len: Int): UTF8String = {
-    if (lat.isNaN || lon.isNaN) return null
-    utf8(Olc.encode(lat, lon, len))
+  def olcEncode(lat: Double, lon: Double, len: Int, strict: Boolean): UTF8String = {
+    if (lat.isNaN || lon.isNaN)
+      return failIf(strict, new OlcException("Latitude/longitude is NaN!"))
+    val c = Olc.encode(lat, lon, len)
+    if (c == null) failIf(strict, new OlcException(s"Illegal code length [$len]!"))
+    else utf8(c)
   }
 
   /** olc_decode -> struct<south,west,north,east,length:int>. */
-  def olcDecode(code: UTF8String): InternalRow = {
+  def olcDecode(code: UTF8String, strict: Boolean): InternalRow = {
     if (code == null) return null
     Olc.decode(code.toString) match {
       case Some(a) => new GenericInternalRow(Array[Any](a.south, a.west, a.north, a.east, a.codeLength))
-      case None => null
+      case None => failIf(strict, new OlcException(s"Not a valid full code [$code]!"))
     }
   }
 
@@ -430,20 +528,24 @@ object K {
 
   /** Quirk-compat variants: reproduce the reference's behavior bit-for-bit
     * where representable in Double (SURVEY §2A Q2/Q4/Q7). */
-  def geoToUtmCompat(lat: Double, lon: Double, a: Double, f: Double): InternalRow = {
-    if (lat < -90 || lat > 90 || lon < -180 || lon > 180 || lat.isNaN || lon.isNaN) return null
+  def geoToUtmCompat(lat: Double, lon: Double, a: Double, f: Double,
+                     strict: Boolean): InternalRow = {
+    if (lat < -90 || lat > 90 || lon < -180 || lon > 180 || lat.isNaN || lon.isNaN)
+      return failIf(strict, new LatLonException("Latitude/longitude out of bounds!"))
     val u = Utm.geoToUtm(lat, lon, a, f, compat = true)
     new GenericInternalRow(Array[Any](
       u.zone, utf8(u.hemisphere.toString), u.easting, u.northing, u.convergence, u.scale))
   }
 
   def utmToGeoCompat(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double,
-                     a: Double, f: Double): InternalRow = {
+                     a: Double, f: Double, strict: Boolean): InternalRow = {
     if (hemisphere == null || hemisphere.numChars() < 1) return null
     val h = Character.toUpperCase(hemisphere.toString.charAt(0))
-    if (h != 'N' && h != 'S') return null
+    if (h != 'N' && h != 'S')
+      return failIf(strict, new UtmException("Wrong hemisphere [N, S]!"))
     val g = Utm.utmToGeo(zone, h, easting, northing, a, f, compat = true)
-    if (g == null) null else new GenericInternalRow(Array[Any](g(0), g(1)))
+    if (g == null) failIf(strict, new UtmException("Zone number out of range [1..60]!"))
+    else new GenericInternalRow(Array[Any](g(0), g(1)))
   }
 
   def wrap90Compat(d: Double): Double = GeoMath.wrap90Compat(d)
@@ -451,6 +553,40 @@ object K {
   def wrap90(d: Double): Double = GeoMath.wrap90(d)
   def wrap180(d: Double): Double = GeoMath.wrap180(d)
   def wrap360(d: Double): Double = GeoMath.wrap360(d)
+
+  // ---- extension-field (altitude/accuracy) pass-through variants ----------
+
+  /** st_geo_to_utm_full: like geoToUtm but carries altitude through
+    * (reference structs ride altitude along every conversion, utils.d:12-21;
+    * NaN = missing). */
+  def geoToUtmFull(lat: Double, lon: Double, alt: Double, a: Double, f: Double,
+                   strict: Boolean): InternalRow = {
+    val u = geoToUtm(lat, lon, a, f, strict)
+    if (u == null) return null
+    new GenericInternalRow(Array[Any](
+      u.getInt(0), u.getUTF8String(1), u.getDouble(2), u.getDouble(3), alt))
+  }
+
+  /** st_utm_to_geo_full: inverse with altitude pass-through -> (lat, lon, h). */
+  def utmToGeoFull(zone: Int, hemisphere: UTF8String, easting: Double, northing: Double,
+                   alt: Double, a: Double, f: Double, strict: Boolean): InternalRow = {
+    val g = utmToGeo(zone, hemisphere, easting, northing, a, f, strict)
+    if (g == null) return null
+    new GenericInternalRow(Array[Any](g.getDouble(0), g.getDouble(1), alt))
+  }
+
+  /** st_helmert7_ex: Helmert-7 with the reference's convention flags
+    * (transform.d:66-76): coordinateFrame flips the rotation sign convention
+    * (position-vector vs coordinate-frame), inverse negates all parameters.
+    * `ds` is ppm, like st_helmert7. */
+  def helmert7Ex(x: Double, y: Double, z: Double,
+                 dx: Double, dy: Double, dz: Double,
+                 rx: Double, ry: Double, rz: Double, dsPpm: Double,
+                 coordinateFrame: Boolean, inverse: Boolean): InternalRow = {
+    val r = Transform.helmert7(x, y, z, dx, dy, dz, rx, ry, rz,
+      1.0 + dsPpm * 1e-6, coordinateFrame, inverse)
+    new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
+  }
 
   // ---- text hashing kernels (dedup family) --------------------------------
 

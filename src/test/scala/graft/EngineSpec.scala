@@ -185,6 +185,37 @@ class EngineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("prefix range-join equals the multi-resolution explode join") {
+    val docs = Corpus.documentsDf(spark, 400, partitions = 4)
+    val polys = Corpus.polygons(spark).toDF()
+    val pts = SpatialJoin.extractPoints(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "offset", "poly_id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val classic = rows(SpatialJoin.join(pts, polys))
+    val ranged = rows(SpatialJoin.joinRange(pts, polys))
+    assert(ranged == classic)
+    val rangedSmj = rows(SpatialJoin.joinRange(pts, polys, broadcastPolys = false))
+    assert(rangedSmj == classic)
+  }
+
+  test("antimeridian-crossing polygons are rejected; the generator never makes one") {
+    import spark.implicits._
+    // generator precondition: every synthetic polygon stays within a
+    // continuous lon frame (wrap180 in genPoly never actually activates)
+    val spans = (0 until 50).map { p =>
+      val lons = Corpus.genPoly(p).ring.map(_.lon)
+      lons.max - lons.min
+    }
+    assert(spans.forall(_ <= 180.0))
+    // a crossing ring is rejected with a clear error at index-build time
+    val crossing = Seq(Poly("bad-poly", Seq(
+      PointLL(10, 179.0), PointLL(10, -179.0), PointLL(-10, -179.0), PointLL(-10, 179.0))))
+      .toDF()
+    val e = intercept[IllegalArgumentException] { SpatialJoin.buildIndex(crossing) }
+    assert(e.getMessage.contains("antimeridian") && e.getMessage.contains("bad-poly"))
+  }
+
   test("knn equals brute force at the pole and across the date line") {
     import spark.implicits._
     val k = 5

@@ -159,6 +159,91 @@ class ExprSpec extends AnyFunSuite {
     assert(r.isNullAt(1))
   }
 
+  test("strict mode: invalid input throws typed CoordException; relaxed is null") {
+    import graft.core._
+    // each case: (SQL expression, expected exception class fragment)
+    val cases = Seq(
+      ("st_parse_point('garbage, text')", "LatLonException"),
+      ("st_parse_coord('not a coord')", "LatLonException"),
+      ("st_parse_utm('nonsense')", "UtmException"),
+      ("st_parse_mgrs('@@')", "MgrsException"),
+      ("st_geo(95.0, 0.0)", "LatLonException"),
+      ("st_geo(0.0, 200.0)", "LatLonException"),
+      ("st_geo(0.0, 0.0, 100.0, -1.0, 0.0)", "LatLonException"),
+      ("st_utm(0, 'N', 500000d, 0d)", "UtmException"),
+      ("st_utm(31, 'Q', 500000d, 0d)", "UtmException"),
+      ("st_geohash(95.0, 0.0, 5)", "LatLonException"),
+      ("st_geohash_decode('ilo')", "GeohashException"),
+      ("st_cell(99.0, 0.0, 5)", "LatLonException"),
+      ("st_geo_to_utm(95.0, 0.0)", "LatLonException"),
+      ("st_utm_to_geo(99, 'N', 500000d, 0d)", "UtmException"),
+      ("st_utm_to_geo(31, 'Z', 500000d, 0d)", "UtmException"),
+      ("st_geo_to_mgrs(89.0, 0.0)", "MgrsException"),
+      ("st_mgrs_to_utm(31, '9', 'D', 'Q', 0d, 0d)", "MgrsException"),
+      ("st_geo_to_ecef(95.0, 0.0, 0.0)", "LatLonException"),
+      ("olc_encode(1.0, 2.0, 3)", "OlcException"),
+      ("olc_decode('not-a-code')", "OlcException"),
+      ("st_datum_shift(1d, 2d, 3d, 'no_such_datum')", "DatumException"),
+      ("st_ellipsoid_a('no_such_ellipsoid')", "DatumException"))
+    for ((expr, exc) <- cases) {
+      // relaxed (default): NULL
+      spark.conf.set("spark.graft.strict", "false")
+      assert(spark.sql(s"SELECT $expr").collect()(0).isNullAt(0), s"$expr not null relaxed")
+      // strict: throws the typed exception
+      spark.conf.set("spark.graft.strict", "true")
+      val thrown = intercept[Throwable] { spark.sql(s"SELECT $expr").collect() }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(thrown).exists(t => t.getClass.getSimpleName == exc),
+        s"$expr: expected $exc, got $thrown")
+      spark.conf.set("spark.graft.strict", "false")
+    }
+    // NULL input stays NULL even in strict mode (SQL null semantics)
+    spark.conf.set("spark.graft.strict", "true")
+    assert(spark.sql("SELECT st_parse_point(NULL)").collect()(0).isNullAt(0))
+    spark.conf.set("spark.graft.strict", "false")
+  }
+
+  test("validating constructors, auto-precision geohash, full variants, helmert flags") {
+    val r = spark.sql(
+      """SELECT st_geo(52.205, 0.119, 10.5, 3.0, 1.0) AS g,
+        |       st_geo_valid(52.205, 0.119) AS gv, st_geo_valid(95.0, 0.0) AS gi,
+        |       st_utm(31, 'n', 448251.0, 5411932.0, 25.0) AS u,
+        |       st_utm_valid(31, 'N') AS uv, st_utm_valid(61, 'N') AS ui,
+        |       st_geohash_auto(57.64911, 10.40744) AS ga,
+        |       st_geohash(57.64911, 10.40744, 0) AS g0,
+        |       st_geo_to_utm_full(52.205, 0.119, 10.5) AS uf,
+        |       st_utm_to_geo_full(31, 'N', 448251.0, 5411932.0, 10.5) AS gf
+        |""".stripMargin).collect()(0)
+    val g = r.getStruct(0)
+    assert(g.getDouble(0) == 52.205 && g.getDouble(2) == 10.5 && g.getDouble(3) == 3.0)
+    assert(r.getBoolean(1) && !r.getBoolean(2))
+    val u = r.getStruct(3)
+    assert(u.getInt(0) == 31 && u.getString(1) == "N" && u.getDouble(4) == 25.0)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    // auto-precision: shortest round-tripping hash; precision 0 = auto
+    assert(r.getString(6) == r.getString(7))
+    val dec = graft.core.Geohash.decode(r.getString(6))
+    assert(math.abs(dec(0) - 57.64911) < 1e-6 && math.abs(dec(1) - 10.40744) < 1e-6)
+    val uf = r.getStruct(8)
+    assert(uf.getInt(0) == 31 && uf.getDouble(4) == 10.5)
+    val gf = r.getStruct(9)
+    assert(math.abs(gf.getDouble(0) - 48.858222) < 0.01 && gf.getDouble(2) == 10.5)
+
+    // helmert7_ex: position-vector forward == st_helmert7; coordinateFrame
+    // flips rotation signs; inverse negates everything (reference semantics)
+    val h = spark.sql(
+      """SELECT st_helmert7(4000000d, 3000000d, 2000000d, -582d, -105d, -414d,
+        |         1.04, 0.35, -3.08, -8.3) AS pv,
+        |       st_helmert7_ex(4000000d, 3000000d, 2000000d, -582d, -105d, -414d,
+        |         1.04, 0.35, -3.08, -8.3, false, false) AS ex,
+        |       st_helmert7_ex(4000000d, 3000000d, 2000000d, -582d, -105d, -414d,
+        |         -1.04, -0.35, 3.08, -8.3, true, false) AS cf
+        |""".stripMargin).collect()(0)
+    assert(h.getStruct(0) == h.getStruct(1), "ex(false,false) != helmert7")
+    assert(h.getStruct(1) == h.getStruct(2), "coordinateFrame flag != negated rotations")
+  }
+
   test("column API works and folds literals at plan time") {
     import graft.expr.GraftFunctions._
     val df = spark.range(1).select(

@@ -69,6 +69,22 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"expected 1 parsePoint eval in the plan, found $n:\n$plan")
   }
 
+  test("prefix range-join adds no Generate beyond extraction (no fact explode)") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val polys = Corpus.polygons(spark).toDF()
+    val pts = SpatialJoin.extractPoints(docs)
+    // formatted explain mentions each Generate node twice (tree + details)
+    val baseGen = "Generate".r.findAllIn(physical(pts)).size
+    val ranged = physical(SpatialJoin.joinRange(pts, polys))
+    val rangedGen = "Generate".r.findAllIn(ranged).size
+    // + one node (x2 mentions) for the DIMENSION-side covering explode only
+    assert(rangedGen == baseGen + 2,
+      s"range join fact side gained a Generate ($baseGen -> $rangedGen):\n${ranged.take(1500)}")
+    // the classic multi-level join additionally explodes the fact side
+    val classicGen = "Generate".r.findAllIn(physical(SpatialJoin.join(pts, polys))).size
+    assert(classicGen == baseGen + 4, s"expected fact+dimension explodes, got $classicGen")
+  }
+
   test("partial aggregation (map-side combine) present in tile histogram") {
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
     val plan = physical(Tiler.histogram(SpatialJoin.extractPoints(docs), 7))
