@@ -14,15 +14,16 @@ object Bench {
     "q01_pricing_agg", "q02_join_nation_revenue", "q08_tile_agg",
     "q34_knn", "q40_dedup_minhash", "q43_ann_topk", "q30_parse_extract")
 
-  /** Per-query wall seconds: min of two runs (first run pays codegen/JIT;
-    * the machine is shared, so single cold timings are 2-3x noisy).
+  /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
+    * the machine is shared and neighbor tenants cause multi-second stalls —
+    * measured 10x outliers — so a single or even double sample is unusable).
     * A query that throws is recorded in `failed` — NOT silently timed as if
     * it had succeeded — and excluded from the per-query map and the total. */
   def run(spark: SparkSession, sfDir: String,
           names: Seq[String]): (Map[String, Double], Seq[String]) = {
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -74,11 +75,14 @@ object Bench {
     val (docsPath, polysPath) = graft.engine.Corpus.ensure(spark, nDocs)
 
     val (results, failed) = run(spark, sfDir, HeadlineQueries)
-    // flagship throughput over stored parquet (generation excluded)
+    // flagship throughput over stored parquet (generation excluded);
+    // warm once, then best-of-3 against neighbor-tenant stalls
     flagshipFromParquet(spark, docsPath, polysPath) // warm
-    val tf0 = System.nanoTime()
-    flagshipFromParquet(spark, docsPath, polysPath)
-    val flagshipSec = (System.nanoTime() - tf0) / 1e9
+    val flagshipSec = (1 to 3).map { _ =>
+      val tf0 = System.nanoTime()
+      flagshipFromParquet(spark, docsPath, polysPath)
+      (System.nanoTime() - tf0) / 1e9
+    }.min
     val docsPerSec = if (flagshipSec > 0) nDocs / flagshipSec else 0.0
 
     val qs = results.toSeq.sortBy(_._1)
