@@ -63,15 +63,27 @@ object Cells {
     if (hash == null || level < 1 || level >= hash.length) hash
     else hash.substring(0, level)
 
+  /** True iff the cell touches the north (dir = 'n') or south pole edge —
+    * the lookup-table `adjacent` wraps lat like a torus there (geohash-js
+    * behavior, reference-faithful), which is geometrically wrong for
+    * neighborhoods, so disk walks must stop at these rows. */
+  private def atPoleEdge(cell: String, dir: Char): Boolean = {
+    val b = Geohash.bounds(cell)
+    if (b == null) true
+    else if (dir == 'n') b(2) >= 90.0
+    else b(0) <= -90.0
+  }
+
   /** All cells within Chebyshev ring-distance <= k of `cell` (the (2k+1)^2
     * disk), deduped; the k-ring primitive under kNN expansion.
     *
-    * The grid is a cylinder: lon wraps (adjacent E/W never dead-ends, and the
-    * LinkedHashSet dedupes a full wrap at coarse levels) but lat clamps at
-    * the poles. The walk north/south truncates there instead of bailing out
-    * — the truncated disk is still exactly "every existing cell within
-    * Chebyshev distance k", which is what the kNN termination bound needs
-    * (there are no cells, hence no points, beyond the pole). */
+    * The grid is a cylinder: lon wraps (correct; the LinkedHashSet dedupes a
+    * full wrap at coarse levels) but the lat walk CLAMPS at the poles —
+    * `adjacent` itself wraps +90 -> -90 like the public table algorithm, so
+    * the walk checks the pole edge explicitly. The truncated disk is exactly
+    * "every existing cell within Chebyshev distance k", which is what the
+    * kNN termination bound needs (no cells, hence no points, beyond the
+    * pole). */
   def cellDisk(cell: String, k: Int): Array[String] = {
     if (cell == null || cell.isEmpty || k < 0) return null
     if (k == 0) return Array(cell)
@@ -79,10 +91,11 @@ object Cells {
     // walk north up to k steps (clamped at the pole), then west k steps
     var corner = cell
     var northSteps = 0
-    var atPole = false
+    var atPole = atPoleEdge(corner, 'n')
     while (!atPole && northSteps < k) {
       val n = Geohash.adjacent(corner, 'n')
-      if (n == null) atPole = true else { corner = n; northSteps += 1 }
+      if (n == null) atPole = true
+      else { corner = n; northSteps += 1; atPole = atPoleEdge(corner, 'n') }
     }
     var i = 0
     while (i < k) {
@@ -101,7 +114,9 @@ object Cells {
         c = Geohash.adjacent(c, 'e')
         j += 1
       }
-      rowStart = Geohash.adjacent(rowStart, 's')
+      rowStart =
+        if (atPoleEdge(rowStart, 's')) null
+        else Geohash.adjacent(rowStart, 's')
       r += 1
     }
     out += cell

@@ -368,6 +368,28 @@ class CoreKernelSpec extends AnyFunSuite {
     assert(d2.length == 25)
   }
 
+  test("cell disk truncates at the poles instead of wrapping over them") {
+    // the table algorithm's adjacent() WRAPS +90 -> -90 (geohash-js
+    // behavior, kept for reference parity) — the disk must not follow it
+    val top = Geohash.encode(89.99, 0.0, 5) // top row: latMax == 90
+    assert(Geohash.bounds(top)(2) >= 90.0)
+    assert(Geohash.bounds(Geohash.adjacent(top, 'n'))(0) <= -90.0 + 1e-9) // the wrap
+    val disk = Cells.cellDisk(top, 2)
+    // truncated grid: (0 north rows + 2 south + centre) x (2k+1) columns
+    assert(disk.length == 3 * 5, s"expected 15 cells, got ${disk.length}")
+    assert(disk.contains(top))
+    assert(disk.contains(Geohash.adjacent(top, 's')))
+    assert(disk.contains(Geohash.adjacent(top, 'e')))
+    assert(disk.contains(Geohash.adjacent(Geohash.adjacent(top, 'w'), 'w')))
+    // no disk member sits in the southern hemisphere (no pole wrap-through)
+    assert(disk.forall(c => Geohash.bounds(c)(0) > 0.0))
+    // south pole symmetric
+    val bot = Geohash.encode(-89.99, 0.0, 5)
+    val botDisk = Cells.cellDisk(bot, 1)
+    assert(botDisk.length == 2 * 3, s"expected 6 cells, got ${botDisk.length}")
+    assert(botDisk.forall(c => Geohash.bounds(c)(2) < 0.0))
+  }
+
   test("coverBox covers all points of the box") {
     val cells = Cells.coverBox(50.0, 10.0, 50.5, 11.0, 4)
     assert(cells != null && cells.nonEmpty)

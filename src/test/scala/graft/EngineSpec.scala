@@ -227,9 +227,12 @@ class EngineSpec extends AnyFunSuite {
     } ++ (0 until 800).map { i =>
       val lon = graft.core.GeoMath.wrap180(179.0 + rngP.nextDouble() * 2.0)
       (s"pd$i", -10.0 + rngP.nextDouble() * 20.0, lon)
+    } ++ (0 until 100).map { i => // extreme polar cap (top grid rows)
+      (s"px$i", 89.0 + rngP.nextDouble() * 0.99, rngP.nextDouble() * 360 - 180)
     }
     val qs = Seq(
       ("q_pole1", 83.9, 10.0), ("q_pole2", 81.2, -170.0), ("q_pole3", 84.0, 179.9),
+      ("q_cap1", 89.9, 0.0), ("q_cap2", 89.2, -120.0),
       ("q_dl1", 0.0, 179.98), ("q_dl2", 0.0, -179.98), ("q_dl3", 5.0, -180.0))
     val got = Knn.knn(spark, qs.toDF("qid", "lat", "lon"), pts.toDF("pid", "lat", "lon"), k)
       .select("qid", "pid", "rank").collect()

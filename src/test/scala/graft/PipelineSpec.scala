@@ -41,6 +41,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(members == Seq("d1", "d2"))
   }
 
+  test("minhash kernel: signature matches a slow reference and estimates jaccard") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def sig(shingles: Seq[String], h: Int): Seq[Long] = {
+      val ad = new GenericArrayData(shingles.map(s =>
+        UTF8String.fromString(s)).toArray[Any])
+      graft.expr.K.minhashSig(ad, h).toLongArray().toSeq
+    }
+    // slow reference: per-shingle md5 halves, h_i = h1 + i*h2, unsigned min
+    def slowSig(shingles: Seq[String], h: Int): Seq[Long] =
+      (0 until h).map { i =>
+        shingles.map { s =>
+          val d = graft.core.Hashing.md5(s.getBytes("UTF-8"))
+          graft.core.Hashing.longBE(d, 0) + i.toLong * graft.core.Hashing.longBE(d, 8)
+        }.min(Ordering.fromLessThan[Long](java.lang.Long.compareUnsigned(_, _) < 0))
+      }
+    val a = Seq("the quick brown", "quick brown fox", "brown fox jumps", "fox jumps over")
+    val b = Seq("the quick brown", "quick brown fox", "brown fox leaps", "fox leaps over")
+    assert(sig(a, 32) == slowSig(a, 32))
+    assert(sig(b, 32) == slowSig(b, 32))
+    // identical sets -> identical signatures; matching fraction estimates J
+    assert(sig(a, 32) == sig(a, 32))
+    val matches = sig(a, 128).zip(sig(b, 128)).count { case (x, y) => x == y }
+    val trueJ = a.intersect(b).size.toDouble / a.union(b).distinct.size // 2/6
+    assert(math.abs(matches / 128.0 - trueJ) < 0.2,
+      s"minhash estimate ${matches / 128.0} far from $trueJ")
+  }
+
   test("hot LSH buckets are capped: all-identical corpus stays bounded") {
     import spark.implicits._
     val n = 20000
