@@ -561,6 +561,14 @@ object OracleSql {
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),
+    // the range-join variant must produce the identical PIP pair set
+    "q38_spatial_join_range" -> q31(nDocs),
+    "q39_dedup_exact_groups" ->
+      ("""SELECT content_hash, doc_id, n FROM (
+        SELECT md5(text) AS content_hash, doc_id,
+          count(*) OVER (PARTITION BY md5(text)) AS n
+        FROM documents)
+      WHERE n > 1 ORDER BY content_hash, doc_id"""),
     "q35_geohash_olc_mgrs" -> q35,
     "q36_polyfill" -> q36(nDocs),
     "q37_media_features" -> q37(nDocs),

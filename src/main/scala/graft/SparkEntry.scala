@@ -348,7 +348,19 @@ object SparkEntry {
         .select(col("doc_id"), col("media_ref"), col("width"), col("height"), col("n_frames"))
         .orderBy(col("doc_id"), col("media_ref"))
     }),
-    // ---- training-data pipeline, rows-only --------------------------------
+    "q38_spatial_join_range" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val polys = Corpus.storedPolys(s, corpusDocs(dir))
+      SpatialJoin.joinRange(SpatialJoin.extractPoints(docs), polys)
+        .select(col("doc_id"), col("offset"), col("poly_id"))
+        .orderBy(col("doc_id"), col("offset"), col("poly_id"))
+    }),
+    "q39_dedup_exact_groups" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      Dedup.exactGroups(t(dir, "documents"))
+        .orderBy(col("content_hash"), col("doc_id"))
+    }),
     "q40_dedup_minhash" -> ((spark, dir) => {
       implicit val s: SparkSession = prep(spark)
       Dedup.minhashLsh(t(dir, "documents").withColumn("doc_id", col("doc_id").cast("string")),
