@@ -554,6 +554,46 @@ object OracleSql {
     WHERE rank <= 10 ORDER BY qid, rank"""
   }
 
+  /** q45: embedding-cosine near-dup — reproduces the SAME hyperplane LSH
+    * bucketing (identical md5-derived planes), bucket cap, and cosine
+    * verification, so equality holds regardless of LSH recall. */
+  def q45: String = {
+    val bands = 16
+    val bitsPerBand = 6
+    val comp = s"CAST(${hexVal("md5('plane:' || CAST(p.p AS VARCHAR) || ':' || CAST(dd AS VARCHAR))", 1, 12)} AS DOUBLE) / ${d(0x800000000000L.toDouble)} - 1.0"
+    s"""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), planes AS (
+      SELECT p.p // $bitsPerBand AS band, p.p % $bitsPerBand AS bit,
+        list_transform(range(0, 64), dd -> $comp) AS pl
+      FROM range(0, ${bands * bitsPerBand}) p(p)
+    ), ck AS (
+      SELECT e.vec_id, pl.band,
+        sum(CASE WHEN list_dot_product(e.emb, pl.pl) >= 0 THEN 1 << pl.bit ELSE 0 END) AS key
+      FROM e CROSS JOIN planes pl GROUP BY 1, 2
+    ), capped AS (
+      SELECT * FROM (
+        SELECT vec_id, band, key,
+          row_number() OVER (PARTITION BY band, key ORDER BY vec_id) AS bn
+        FROM ck) WHERE bn <= 64
+    ), pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM capped a JOIN capped b ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+    ), verified AS (
+      SELECT p.vec_a, p.vec_b,
+        round(${cosSql("ea.emb", "eb.emb")}, 6) + 0.0 AS cos
+      FROM pairs p JOIN e ea ON p.vec_a = ea.vec_id JOIN e eb ON p.vec_b = eb.vec_id
+    )
+    SELECT vec_a, vec_b, cos FROM verified WHERE cos >= 0.2 ORDER BY vec_a, vec_b"""
+  }
+
+  /** q46: whitespace + BPE-ish token counts (TextOps.tokenCounts mirror). */
+  def q46: String =
+    s"""SELECT doc_id,
+      len(list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)) AS n_ws_tokens,
+      len(regexp_extract_all(text, ${q(graft.engine.TextOps.BpeTokenRx)})) AS n_bpe_tokens
+    FROM documents ORDER BY doc_id"""
+
   /** All engine-layer oracles for the corpus size the verify run uses. */
   def engineOracles(nDocs: Long): Map[String, String] = Map(
     "q30_parse_extract" -> q30(nDocs),
@@ -576,6 +616,8 @@ object OracleSql {
     "q41_dedup_simhash" -> q41,
     "q42_lang_quality" -> q42,
     "q43_ann_topk" -> q43,
-    "q44_ann_lsh" -> q44
+    "q44_ann_lsh" -> q44,
+    "q45_embed_neardup" -> q45,
+    "q46_token_counts" -> q46
   )
 }

@@ -392,6 +392,19 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    "q45_embed_neardup" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      Dedup.embeddingNearDup(
+        t(dir, "embeddings").select(col("vec_id"),
+          col("embedding").cast("array<double>").as("embedding")),
+        threshold = 0.2)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+    "q46_token_counts" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      TextOps.tokenCounts(t(dir, "documents"))
+        .orderBy(col("doc_id"))
+    }),
     "q44_ann_lsh" -> ((spark, dir) => {
       implicit val s: SparkSession = prep(spark)
       val e = t(dir, "embeddings")

@@ -133,6 +133,34 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Embedding-cosine near-duplicate pairs: hyperplane-LSH bucket candidates
+    * (same deterministic md5-derived planes as Ann), capped per bucket, then
+    * exact cosine verification. vecs: (vec_id, embedding array<double>).
+    * Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos >= threshold.
+    * Approximate by construction (recall < 1 for moderate thresholds);
+    * identical duplicate vectors share every band so exact copies are always
+    * found. */
+  def embeddingNearDup(vecs: DataFrame, threshold: Double = 0.9,
+                       dims: Int = 64, bands: Int = 16, bitsPerBand: Int = 6,
+                       maxBucket: Int = 64): DataFrame = {
+    val keys = Ann.lshKeys(col("embedding"), dims, bands, bitsPerBand)
+    val banded = vecs.select(col("vec_id"), col("embedding"),
+      posexplode(array(keys: _*)).as(Seq("band", "key")))
+    val wB = Window.partitionBy(col("band"), col("key")).orderBy(col("vec_id"))
+    val capped = banded.withColumn("bn", row_number().over(wB))
+      .where(col("bn") <= maxBucket)
+    val a = capped.select(col("band"), col("key"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = capped.select(col("band"), col("key"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("band", "key"))
+      .where(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .withColumn("cos", round(Ann.cosine(col("emb_a"), col("emb_b")), 6) + 0.0)
+      .where(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
   /** n-gram Jaccard similarity for explicit candidate pairs
     * (pairs: doc_a, doc_b) against the docs table. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",

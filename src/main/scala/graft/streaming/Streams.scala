@@ -44,6 +44,19 @@ object Streams {
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
 
+  /** Streaming exact dedup: keep the first occurrence of each content hash.
+    * State is bounded by the watermark: duplicates arriving more than
+    * `watermark` after the first occurrence's event time may re-emit (the
+    * documented trade-off of watermark-scoped dedup state at 10^12 rows —
+    * unbounded-state dropDuplicates is the non-scalable alternative). */
+  def dedupStream(docs: DataFrame, watermark: String = "10 minutes",
+                  textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class SessionState(count: Long, lastUs: Long, sessions: Long)
   final case class SessionUpdate(user_id: Long, sessions: Long, events: Long)
 

@@ -147,6 +147,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("embedding-cosine near-dup finds planted duplicate/near vectors") {
+    import spark.implicits._
+    val rng = new java.util.Random(77L)
+    def vec(): Array[Double] = Array.fill(64)(rng.nextGaussian())
+    val base = vec()
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.05 else v }
+    val rows = Seq((0L, base), (1L, base), (2L, near)) ++
+      (3L until 60L).map(i => (i, vec()))
+    val got = Dedup.embeddingNearDup(rows.toDF("vec_id", "embedding"), threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = got.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)), s"missed exact dup vector: ${keys.mkString(",")}")
+    assert(keys.contains((0L, 2L)) && keys.contains((1L, 2L)), "missed near vector")
+    assert(got.find(p => p._1 == 0L && p._2 == 1L).get._3 == 1.0)
+    // no false positives among random gaussian vectors at threshold 0.95
+    assert(got.forall(p => p._1 <= 2L && p._2 <= 2L))
+  }
+
+  test("token counts: whitespace and BPE-ish tokenizations") {
+    import spark.implicits._
+    val d = Seq(
+      ("t1", "The cat isn't here, 42 times!"),
+      ("t2", ""),
+      ("t3", "  spaced   out  ")).toDF("doc_id", "text")
+    val got = TextOps.tokenCounts(d).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(got("t1")._1 == 6) // whitespace tokens
+    // BPE-ish: [The][ cat][ isn]['t][ here][,][ 42][ times][!]
+    assert(got("t1")._2 == 9, s"bpe count ${got("t1")._2}")
+    assert(got("t2") == ((0, 0)))
+    assert(got("t3")._1 == 2)
+  }
+
   test("text stats, quality, lang-id, fingerprint are deterministic and sane") {
     import spark.implicits._
     val d = Seq(

@@ -80,6 +80,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length > 0 && got.sameElements(want))
   }
 
+  test("streaming exact dedup keeps one row per content hash (vs batch distinct)") {
+    import spark.implicits._
+    val dir = tmp()
+    // timestamped docs with planted duplicates inside the watermark window
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until 200).map { i =>
+      val text = s"content number ${i % 80}" // 80 distinct texts, 200 rows
+      (s"d$i", text, new java.sql.Timestamp(base.getTime + i * 1000L))
+    }.toDF("doc_id", "text", "ts").write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = Streams.dedupStream(stream)
+      .select("content_hash")
+      .writeStream.format("memory").queryName("dd_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT content_hash FROM dd_out").collect()
+      .map(_.getString(0)).sorted
+    val want = spark.read.parquet(dir).select(md5(col("text"))).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(got.length == 80 && got.sameElements(want))
+  }
+
   test("watermarked windowed counts complete over a bounded stream") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(eventsDir).schema
