@@ -45,4 +45,11 @@ object Hashing {
   /** hex[from, until) as an unsigned value (fits a Long for <= 15 digits). */
   def hexSlice(hex: String, from: Int, until: Int): Long =
     java.lang.Long.parseLong(hex.substring(from, until), 16)
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim) in
+    * [-1, 1): 48 md5 bits of "plane:<p>:<d>" scaled exactly (the 48-bit
+    * integer and the power-of-two division are both exact in double, so any
+    * SQL engine recomputes the identical value from the same md5). */
+  def planeComponent(plane: Int, dim: Int): Double =
+    hexSlice(md5Hex(s"plane:$plane:$dim"), 0, 12).toDouble / 0x800000000000L.toDouble - 1.0
 }

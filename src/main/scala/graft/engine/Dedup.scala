@@ -143,9 +143,9 @@ object Dedup {
   def embeddingNearDup(vecs: DataFrame, threshold: Double = 0.9,
                        dims: Int = 64, bands: Int = 16, bitsPerBand: Int = 6,
                        maxBucket: Int = 64): DataFrame = {
-    val keys = Ann.lshKeys(col("embedding"), dims, bands, bitsPerBand)
     val banded = vecs.select(col("vec_id"), col("embedding"),
-      posexplode(array(keys: _*)).as(Seq("band", "key")))
+      posexplode(Ann.lshBandKeys(col("embedding"), dims, bands, bitsPerBand))
+        .as(Seq("band", "key")))
     val wB = Window.partitionBy(col("band"), col("key")).orderBy(col("vec_id"))
     val capped = banded.withColumn("bn", row_number().over(wB))
       .where(col("bn") <= maxBucket)

@@ -289,6 +289,10 @@ object GraftFunctions {
     "st_simhash" -> ((a: Seq[Expression]) => si(LongType, "simhash64", Seq(a.head))),
     "st_words" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "words", Seq(str(a.head)))),
+    "st_cosine" -> ((a: Seq[Expression]) =>
+      si(DoubleType, "cosineSim", Seq(a(0), a(1)))),
+    "st_lsh_keys" -> ((a: Seq[Expression]) =>
+      si(ArrayType(LongType), "lshKeys64", Seq(a(0), int(a(1)), int(a(2)), int(a(3))))),
     "st_shingles" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "shinglesOf", Seq(str(a(0)), int(a(1)))))
   )

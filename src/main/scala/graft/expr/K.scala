@@ -657,6 +657,68 @@ object K {
     new GenericArrayData(mins)
   }
 
+  /** st_cosine(a, b): cosine similarity of two double arrays — one codegen'd
+    * pass with the same left-to-right accumulation order as the
+    * zip_with/aggregate formulation (and the SQL oracle), including the
+    * 1e-12 denominator floor. */
+  def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
+    if (a == null || b == null) return null
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12))
+  }
+
+  /** Plane vectors for the hyperplane-LSH family, cached per (planes, dims)
+    * — md5-derived constants, identical on driver and executors. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  private def planesFor(nPlanes: Int, dims: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((nPlanes, dims), { key =>
+      Array.tabulate(key._1)(p => Array.tabulate(key._2)(d => Hashing.planeComponent(p, d)))
+    })
+
+  /** st_lsh_keys(emb, dims, bands, bitsPerBand) -> array<long> of sign-bit
+    * band keys. One codegen'd pass replacing bands*bits interpreted
+    * zip_with/aggregate dot products per row; accumulation order matches the
+    * HOF formulation bit-for-bit. */
+  def lshKeys64(emb: ArrayData, dims: Int, bands: Int, bitsPerBand: Int): ArrayData = {
+    if (emb == null || bands <= 0 || bitsPerBand <= 0) return null
+    val planes = planesFor(bands * bitsPerBand, dims)
+    val n = math.min(emb.numElements(), dims)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var i = 0
+      while (i < bitsPerBand) {
+        val pl = planes(b * bitsPerBand + i)
+        var dot = 0.0
+        var d = 0
+        while (d < n) {
+          dot += emb.getDouble(d) * pl(d)
+          d += 1
+        }
+        if (dot >= 0) key |= (1L << i)
+        i += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** st_simhash(words) -> 64-bit SimHash over the word multiset. Word hash =
     * first 8 bytes (big-endian) of md5(word); bit b of the result is set iff
     * the signed vote sum over words of bit b is positive. */
