@@ -8,7 +8,9 @@ import graft.engine._
 /** spark-submit entrypoint for the full production-shaped pipeline with
   * checkpoint-resume and per-stage metrics:
   *
-  *   docs parquet -> extract points (stage, partitioned by cell prefix)
+  *   docs parquet -> dedup-clean (stage: exact content dups + minhash
+  *                   near-dups removed, first doc of each group kept)
+  *                -> extract points (stage, partitioned by cell prefix)
   *                -> spatial join vs polygon layer (stage)
   *                -> tile histogram (stage)
   *
@@ -99,10 +101,28 @@ object Pipeline {
       df
     }
 
+    // stage 0: dedup-clean — drop exact content duplicates and minhash
+    // near-duplicates (jaccard >= 0.9 over concatenated text spans), keeping
+    // the lexicographically-first doc of each duplicate group (pair-loser
+    // removal: the cheap standard approximation of connected components)
+    val cleaned = stage("clean", s"$outDir/clean", s"clean:$docsFp", None) {
+      import org.apache.spark.sql.expressions.Window
+      val textDf = docs.select(col("doc_id"),
+        expr("concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'), s -> s.text))")
+          .as("text"))
+      val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+      val exactLosers = Dedup.exactGroups(textDf)
+        .withColumn("rn", row_number().over(w)).where(col("rn") > 1)
+        .select(col("doc_id"))
+      val nearLosers = Dedup.minhashLsh(textDf, threshold = 0.9)
+        .select(col("doc_b").as("doc_id")).distinct()
+      docs.join(exactLosers.union(nearLosers).distinct(), Seq("doc_id"), "left_anti")
+    }
+
     // stage 1: extract, partitioned by level-2 cell prefix (coarse enough for
     // sane directory counts, fine enough for partition-pruned region reads)
     val points = stage("points", s"$outDir/points", s"extract:$docsFp:$level", Some("cell_p2")) {
-      SpatialJoin.extractPoints(docs, level)
+      SpatialJoin.extractPoints(cleaned, level)
         .withColumn("cell_p2", substring(col("cell"), 1, 2))
     }
 

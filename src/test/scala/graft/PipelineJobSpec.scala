@@ -22,15 +22,27 @@ class PipelineJobSpec extends AnyFunSuite {
   test("pipeline runs staged, commits manifests, and resumes") {
     val out = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
     val docsDir = s"$out/docs_in"
-    graft.engine.Corpus.documentsDf(spark, 500, partitions = 4)
+    // plant exact duplicates: every doc appears twice under a second id,
+    // so the clean stage must halve the corpus
+    val base = graft.engine.Corpus.documentsDf(spark, 250, partitions = 4)
+    import org.apache.spark.sql.functions.{concat, lit, col}
+    base.union(base.withColumn("doc_id", concat(lit("dup-"), col("doc_id"))))
       .write.mode("overwrite").parquet(docsDir)
 
     val first = Pipeline.run(spark, docsDir, "synthetic", out, 5, 7).toMap
-    assert(first.keySet == Set("points", "joined", "tiles"))
+    assert(first.keySet == Set("clean", "points", "joined", "tiles"))
+    // every planted "dup-" doc has an exact twin with a smaller id, so none
+    // survives; the corpus also contains natural duplicates (identical
+    // prose-only docs), so the keep-count is below 250
+    assert(first("clean")._1 <= 250 && first("clean")._1 > 200,
+      s"clean stage kept ${first("clean")._1} of 500")
+    val survivors = spark.read.parquet(s"$out/clean")
+      .select("doc_id").collect().map(_.getString(0))
+    assert(!survivors.exists(_.startsWith("dup-")), "a planted duplicate survived")
     assert(first.values.forall(v => v._1 > 0 && !v._3), s"unexpected resume flags: $first")
 
     // manifests committed with per-partition lineage
-    for (st <- Seq("points", "joined", "tiles"))
+    for (st <- Seq("clean", "points", "joined", "tiles"))
       assert(graft.engine.Checkpoint.readManifestFingerprint(s"$out/$st").isDefined, st)
 
     // rerun: every stage must resume from its manifest with identical rows
@@ -39,9 +51,9 @@ class PipelineJobSpec extends AnyFunSuite {
     assert(second.map { case (k, v) => k -> v._1 } ==
       first.map { case (k, v) => k -> v._1 })
 
-    // stage output equals the direct computation
+    // stage output equals the direct computation over the deduped docs
     val direct = graft.engine.SpatialJoin.join(
-      graft.engine.SpatialJoin.extractPoints(spark.read.parquet(docsDir)),
+      graft.engine.SpatialJoin.extractPoints(spark.read.parquet(s"$out/clean")),
       graft.engine.Corpus.polygons(spark).toDF())
       .select("doc_id", "offset", "poly_id").collect().map(_.toString).sorted
     val staged = spark.read.parquet(s"$out/joined")
