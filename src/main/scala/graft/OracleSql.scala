@@ -399,13 +399,9 @@ object OracleSql {
   private val WordsExpr =
     """list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'), w -> len(w) > 0)"""
 
-  /** q40: near-duplicate pairs == ALL pairs with word-3-gram Jaccard >=
-    * threshold. Independent of the engine's LSH candidate generation — a
-    * stronger statement that holds because MinHash banding (32 hashes x 8
-    * bands) detects every pair at the corpus' similarity levels (verified at
-    * sf0.01 and sf0.1: identical pair sets). */
-  def q40: String =
-    s"""WITH d AS (
+  /** Shared shingle CTEs: d(doc_id, words) + s(doc_id, sh). */
+  private val ShingleCtes =
+    s"""d AS (
       SELECT CAST(doc_id AS VARCHAR) AS doc_id, $WordsExpr AS words FROM documents
     ), s AS (
       SELECT doc_id, CASE WHEN len(words) >= 3
@@ -413,13 +409,71 @@ object OracleSql {
           concat_ws(' ', words[i], words[i+1], words[i+2])))
         ELSE [array_to_string(words, ' ')] END AS sh
       FROM d
+    )"""
+
+  /** 16 hex digits of `expr` starting at 1-based `from`, as a HUGEINT in
+    * [0, 2^64) — digit products exceed BIGINT at the top position. */
+  private def hexVal64(expr: String, from: Int): String =
+    (0 until 16).map { k =>
+      val mult = java.math.BigInteger.valueOf(16).pow(15 - k)
+      s"CAST(strpos('0123456789abcdef', substr($expr, ${from + k}, 1)) - 1 AS HUGEINT) * " +
+        s"CAST('$mult' AS HUGEINT)"
+    }.mkString("(", " + ", ")")
+
+  /** q40: MinHash+LSH near-duplicate pairs, modelled EXACTLY: per-shingle
+    * md5 double hashing (h1 + i*h2 mod 2^64, unsigned min — HUGEINT
+    * arithmetic), band buckets = md5 of the signed-rendered signature slice,
+    * the maxBucket=64 cap via the same row_number rule, then true-Jaccard
+    * verification >= 0.5. No recall assumption: the oracle reproduces the
+    * engine's candidate generation bit-for-bit (it also equals uncapped
+    * all-pairs Jaccard on the test corpora, verified at sf0.01 and sf0.1). */
+  def q40: String = {
+    val numHashes = 32
+    val bands = 8
+    val rows = numHashes / bands
+    val two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    val two63 = "CAST('9223372036854775808' AS HUGEINT)"
+    val minCols = (0 until numHashes).map(i =>
+      s"min((h1 + $i * h2) % $two64) AS m$i").mkString(", ")
+    def signedStr(m: String): String =
+      s"CAST(CASE WHEN $m >= $two63 THEN $m - $two64 ELSE $m END AS VARCHAR)"
+    val bucketCols = (0 until bands).map { b =>
+      val slice = (0 until rows).map(r => signedStr(s"m${b * rows + r}")).mkString(" || ',' || ")
+      s"md5($slice) AS bk$b"
+    }.mkString(", ")
+    val bucketCase = (0 until bands).map(b =>
+      s"WHEN ${b} THEN bk$b").mkString("CASE c.c ", " ", " END")
+    s"""WITH $ShingleCtes, shu AS (
+      SELECT doc_id, UNNEST(sh) AS g FROM s
+    ), ghx AS (
+      SELECT doc_id, md5(g) AS gh FROM shu
+    ), hh AS (
+      SELECT doc_id, ${hexVal64("gh", 1)} AS h1, ${hexVal64("gh", 17)} AS h2 FROM ghx
+    ), sig AS (
+      SELECT doc_id, $minCols FROM hh GROUP BY doc_id
+    ), bk AS (
+      SELECT doc_id, $bucketCols FROM sig
+    ), banded AS (
+      SELECT doc_id, c.c AS band, $bucketCase AS bucket
+      FROM bk, (VALUES ${(0 until bands).map(b => s"($b)").mkString(", ")}) c(c)
+    ), capped AS (
+      SELECT * FROM (
+        SELECT doc_id, band, bucket,
+          row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS bn
+        FROM banded) WHERE bn <= 64
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM capped a JOIN capped b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), verified AS (
+      SELECT p.doc_a, p.doc_b,
+        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+          GREATEST(CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE), 1.0), 6) AS jaccard
+      FROM pairs p JOIN s sa ON p.doc_a = sa.doc_id JOIN s sb ON p.doc_b = sb.doc_id
     )
-    SELECT doc_a, doc_b, jaccard FROM (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-          GREATEST(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 6) AS jaccard
-      FROM s a JOIN s b ON a.doc_id < b.doc_id
-    ) WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= 0.5
+    ORDER BY doc_a, doc_b"""
+  }
 
   /** q41: SimHash near-dup pairs — per-word md5-derived 64-bit hashes, bit
     * votes, 4x16-bit chunk buckets with the engine's maxBucket=64 cap

@@ -75,11 +75,20 @@ object Pipeline {
     // rewriting different data to the same path invalidates committed stages
     // instead of silently resuming over stale results.
     def contentSig(path: String): String = {
-      val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && !f.getName.startsWith("."))
-        .sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-      graft.core.Hashing.md5Hex(files.mkString("|"))
+      // Hadoop FS (not java.io.File): works for hdfs://s3a:// inputs and
+      // recurses into partition subdirectories
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (fs.exists(p)) {
+        val it = fs.listFiles(p, true)
+        while (it.hasNext) {
+          val st = it.next()
+          if (!st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_"))
+            files += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        }
+      }
+      graft.core.Hashing.md5Hex(files.sorted.mkString("|"))
     }
     val docsFp = docsArg + ":" + docs.schema.catalogString + ":" + (
       if (docsArg == "synthetic") contentSig(s"$outDir/input_docs") else contentSig(docsArg))
@@ -107,9 +116,12 @@ object Pipeline {
     // removal: the cheap standard approximation of connected components)
     val cleaned = stage("clean", s"$outDir/clean", s"clean:$docsFp", None) {
       import org.apache.spark.sql.expressions.Window
+      // media-only docs (no text spans) are NOT duplicates of each other:
+      // exclude empty-text docs from dedup consideration entirely
       val textDf = docs.select(col("doc_id"),
         expr("concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'), s -> s.text))")
           .as("text"))
+        .where(length(col("text")) > 0)
       val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
       val exactLosers = Dedup.exactGroups(textDf)
         .withColumn("rn", row_number().over(w)).where(col("rn") > 1)

@@ -219,11 +219,23 @@ object Cells {
     false
   }
 
+  /** PRECONDITION shared by all coverings and PIP: rings must not cross the
+    * antimeridian — the math runs in planar lon space, so a ring whose lon
+    * values jump across +-180 would get a world-spanning bbox and wrong
+    * containment. Checked here (inside the kernel, no extra Spark job);
+    * split such polygons at +-180 upstream. */
+  private def requireNoAntimeridianCross(bb: Array[Double]): Unit =
+    if (bb(3) - bb(1) > 180.0) throw new IllegalArgumentException(
+      s"polygon ring appears to cross the antimeridian (lon span " +
+        s"${bb(3) - bb(1)} deg > 180, lon range [${bb(1)}, ${bb(3)}]) — " +
+        "split it at +-180 before covering/joining")
+
   /** Geohash cells intersecting the polygon ring at `level` (vector->cell
     * covering used by the spatial join build side). Superset-exact: every
     * cell that intersects the ring is returned, nothing else. */
   def coverRing(ring: Array[Double], level: Int): Array[String] = {
     val bb = Pip.bbox(ring)
+    requireNoAntimeridianCross(bb)
     val cells = coverBox(bb(0), bb(1), bb(2), bb(3), level)
     if (cells == null) return null
     cells.filter(c => cellIntersectsRing(Geohash.bounds(c), ring))
@@ -235,6 +247,7 @@ object Cells {
     * prefixes directly. Never null: falls back to level 1 (32 cells max). */
   def coverRingAdaptive(ring: Array[Double], maxLevel: Int, maxCells: Int): Array[String] = {
     val bb = Pip.bbox(ring)
+    requireNoAntimeridianCross(bb)
     var level = math.max(1, maxLevel)
     while (level > 1) {
       val (latDeg, lonDeg) = cellSizeDeg(level)
@@ -291,6 +304,7 @@ object Cells {
     * null when the covering exceeds MaxCoverCells. */
   def tilePolyfill(ring: Array[Double], z: Int): Array[Long] = {
     val bb = Pip.bbox(ring)
+    requireNoAntimeridianCross(bb)
     val x0 = tileX(bb(1), z); val x1 = tileX(bb(3), z)
     val y0 = tileY(bb(2), z); val y1 = tileY(bb(0), z) // y grows southward
     val count = (x1 - x0 + 1) * (y1 - y0 + 1)

@@ -61,11 +61,13 @@ object Dedup {
     require(rows * bands == numHashes, "numHashes must be a multiple of bands")
     val sigDf = shingled(docs, textCol).select(col("doc_id"),
       explode(array(call_function("st_minhash", col("shingles"), lit(numHashes)))).as("sig"))
+    // bucket = md5 of the band's signature slice (the band index is already a
+    // join column, so no seed is needed) — md5 rather than xxhash64 so an
+    // independent SQL oracle reproduces the exact bucketing, cap included
     val banded = sigDf.select(col("doc_id"),
       posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",",
-          (0 until rows).map(r => col("sig")(b * rows + r).cast("string")): _*),
-          lit(b))
+        md5(concat_ws(",",
+          (0 until rows).map(r => col("sig")(b * rows + r).cast("string")): _*))
       }: _*)).as(Seq("band", "bucket")))
     val wB = Window.partitionBy(col("band"), col("bucket")).orderBy(col("doc_id"))
     banded.withColumn("bn", row_number().over(wB))

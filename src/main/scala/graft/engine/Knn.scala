@@ -93,14 +93,21 @@ object Knn {
       val bound = lit(round) * least(
         lit(latDeg * MetersPerDegree),
         lit(lonDeg * MetersPerDegree * slack) * greatest(lit(0.0), cos(radians(maxAbsLat))))
-      val resolvedQ = kth.where(col("n") === k && col("kth") <= bound).select("qid")
+      // strict <: the derivation guarantees outside-disk distance >= bound,
+      // so at exact equality an outside point could still win the (dist, pid)
+      // tie-break — only kth strictly inside the bound proves the top-k
+      val resolvedQ = kth.where(col("n") === k && col("kth") < bound).select("qid")
 
       val resolvedRows = cand.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
       acc = if (acc == null) resolvedRows.select("qid", "pid", "dist", "rank")
             else acc.unionByName(resolvedRows.select("qid", "pid", "dist", "rank"))
       // materialize this round's results before mutating `unresolved`
       acc = acc.localCheckpoint(true)
+      // checkpoint: without this the unresolved plan references itself twice
+      // per round (directly and via resolvedQ), re-executing every earlier
+      // round's disk join on each isEmpty/join/crossJoin
       unresolved = unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti")
+        .localCheckpoint(true)
       round += 1
     }
     // Exact completion for the residual: queries still unresolved after

@@ -64,13 +64,12 @@ object SpatialJoin {
     * covering and the levels probe are per-layer costs, not per-query. */
   final case class PolygonIndex(cells: DataFrame, levels: Array[Int])
 
-  /** PRECONDITION (validated here): rings must not cross the antimeridian —
-    * coverings and PIP run in planar lon space, so a ring whose lon values
-    * jump across +-180 would get a world-spanning bbox and wrong containment.
-    * A ring with lon span > 180 deg is rejected with an error naming the
-    * polygons; split such polygons at +-180 upstream. The validation probe
-    * runs once per layer build on the dimension-sized polygon side. */
-  private def validateNoAntimeridianCross(polys: DataFrame): Unit = {
+  /** PRECONDITION: rings must not cross the antimeridian — coverings and
+    * PIP run in planar lon space. The covering KERNEL enforces it (throws
+    * mid-job with the offending lon range, zero extra Spark jobs);
+    * `validateLayer` is the opt-in pre-flight that additionally NAMES the
+    * offending polygons — run it once when onboarding a new layer. */
+  def validateLayer(polys: DataFrame): Unit = {
     val span = array_max(transform(col("ring"), p => p("lon"))) -
       array_min(transform(col("ring"), p => p("lon")))
     val bad = polys.select(col("poly_id"))
@@ -83,7 +82,6 @@ object SpatialJoin {
   def buildIndex(polys: DataFrame, level: Int = DefaultLevel,
                  maxCells: Int = MaxCellsPerPolygon,
                  cache: Boolean = false): PolygonIndex = {
-    validateNoAntimeridianCross(polys)
     val pc = polygonCells(polys, level, maxCells)
     val pcc = if (cache) pc.cache() else pc
     val levels = pcc.select(length(col("cell")).as("l"))

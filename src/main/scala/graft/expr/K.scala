@@ -184,8 +184,10 @@ object K {
     geohashEncode(lat, lon, level, strict)
 
   def cellLongOf(lat: Double, lon: Double, level: Int, strict: Boolean): java.lang.Long = {
-    if (lat < -90 || lat > 90 || lat.isNaN || lon.isNaN)
+    if (lat < -90 || lat > 90 || lat.isNaN)
       return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
+    if (lon.isNaN)
+      return failIf(strict, new LatLonException("Longitude out of bounds [-180;+180]!"))
     java.lang.Long.valueOf(Cells.cellLong(lat, GeoMath.wrap180(lon), level))
   }
 
@@ -594,7 +596,9 @@ object K {
 
   private def splitWords(text: UTF8String): Array[String] = {
     if (text == null) return Array.empty[String]
-    NonWordRx.split(text.toString.toLowerCase).filter(_.nonEmpty)
+    // Locale.ROOT: default-locale toLowerCase would break determinism and
+    // DuckDB/Spark lower() parity (e.g. Turkish dotless-i)
+    NonWordRx.split(text.toString.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
   }
 
   /** st_words(text): lower-cased alnum word runs — kernel twin of
@@ -663,7 +667,10 @@ object K {
     * 1e-12 denominator floor. */
   def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a == null || b == null) return null
-    val n = math.min(a.numElements(), b.numElements())
+    // ragged input -> NULL (matching the zip_with formulation's null
+    // propagation), never a plausible-but-wrong prefix similarity
+    if (a.numElements() != b.numElements()) return null
+    val n = a.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -695,8 +702,9 @@ object K {
     * HOF formulation bit-for-bit. */
   def lshKeys64(emb: ArrayData, dims: Int, bands: Int, bitsPerBand: Int): ArrayData = {
     if (emb == null || bands <= 0 || bitsPerBand <= 0) return null
+    if (emb.numElements() != dims) return null // ragged -> NULL, like cosineSim
     val planes = planesFor(bands * bitsPerBand, dims)
-    val n = math.min(emb.numElements(), dims)
+    val n = dims
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {

@@ -208,12 +208,18 @@ class EngineSpec extends AnyFunSuite {
       lons.max - lons.min
     }
     assert(spans.forall(_ <= 180.0))
-    // a crossing ring is rejected with a clear error at index-build time
+    // a crossing ring is rejected: the covering kernel throws mid-job (no
+    // extra validation action in the hot path)...
     val crossing = Seq(Poly("bad-poly", Seq(
       PointLL(10, 179.0), PointLL(10, -179.0), PointLL(-10, -179.0), PointLL(-10, 179.0))))
       .toDF()
-    val e = intercept[IllegalArgumentException] { SpatialJoin.buildIndex(crossing) }
-    assert(e.getMessage.contains("antimeridian") && e.getMessage.contains("bad-poly"))
+    val e = intercept[Throwable] { SpatialJoin.buildIndex(crossing) }
+    def chain(t: Throwable): Seq[Throwable] = if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      t.getMessage != null && t.getMessage.contains("antimeridian")), s"got: $e")
+    // ...and the opt-in pre-flight names the offending polygons
+    val e2 = intercept[IllegalArgumentException] { SpatialJoin.validateLayer(crossing) }
+    assert(e2.getMessage.contains("antimeridian") && e2.getMessage.contains("bad-poly"))
   }
 
   test("knn equals brute force at the pole and across the date line") {
