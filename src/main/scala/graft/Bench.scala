@@ -12,7 +12,8 @@ object Bench {
   val HeadlineQueries: Seq[String] = Seq(
     "q31_spatial_join", "q33_tile_histogram", "q32_spatial_join_salted",
     "q01_pricing_agg", "q02_join_nation_revenue", "q08_tile_agg",
-    "q34_knn", "q40_dedup_minhash", "q43_ann_topk", "q30_parse_extract")
+    "q34_knn", "q40_dedup_minhash", "q43_ann_topk", "q30_parse_extract",
+    "q38_spatial_join_range", "q45_embed_neardup", "q46_token_counts")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

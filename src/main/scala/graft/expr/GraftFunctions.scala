@@ -207,9 +207,9 @@ object GraftFunctions {
     }),
     "olc_decode" -> ((a: Seq[Expression]) => si(OlcAreaT, "olcDecode", Seq(str(a.head), strict))),
     "olc_shorten" -> ((a: Seq[Expression]) =>
-      si(StringType, "olcShorten", Seq(str(a(0)), dbl(a(1)), dbl(a(2))))),
+      si(StringType, "olcShorten", Seq(str(a(0)), dbl(a(1)), dbl(a(2)), strict))),
     "olc_recover" -> ((a: Seq[Expression]) =>
-      si(StringType, "olcRecover", Seq(str(a(0)), dbl(a(1)), dbl(a(2))))),
+      si(StringType, "olcRecover", Seq(str(a(0)), dbl(a(1)), dbl(a(2)), strict))),
     "olc_is_valid" -> ((a: Seq[Expression]) =>
       si(BooleanType, "olcIsValid", Seq(str(a.head)), nullable = false)),
     "olc_is_short" -> ((a: Seq[Expression]) =>

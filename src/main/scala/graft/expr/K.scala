@@ -502,14 +502,21 @@ object K {
     }
   }
 
-  def olcShorten(code: UTF8String, lat: Double, lon: Double): UTF8String = {
+  def olcShorten(code: UTF8String, lat: Double, lon: Double, strict: Boolean): UTF8String = {
     if (code == null) return null
-    utf8(Olc.shorten(code.toString, lat, lon).orNull)
+    Olc.shorten(code.toString, lat, lon) match {
+      case Some(c) => utf8(c)
+      case None => failIf(strict,
+        new OlcException(s"Cannot shorten [$code]: invalid/padded code or reference too far!"))
+    }
   }
 
-  def olcRecover(code: UTF8String, lat: Double, lon: Double): UTF8String = {
+  def olcRecover(code: UTF8String, lat: Double, lon: Double, strict: Boolean): UTF8String = {
     if (code == null) return null
-    utf8(Olc.recoverNearest(code.toString, lat, lon).orNull)
+    Olc.recoverNearest(code.toString, lat, lon) match {
+      case Some(c) => utf8(c)
+      case None => failIf(strict, new OlcException(s"Cannot recover [$code]: not a valid code!"))
+    }
   }
 
   def olcIsValid(code: UTF8String): Boolean = code != null && Olc.isValid(code.toString)

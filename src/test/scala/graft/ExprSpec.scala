@@ -183,6 +183,8 @@ class ExprSpec extends AnyFunSuite {
       ("st_geo_to_ecef(95.0, 0.0, 0.0)", "LatLonException"),
       ("olc_encode(1.0, 2.0, 3)", "OlcException"),
       ("olc_decode('not-a-code')", "OlcException"),
+      ("olc_shorten('9C3W9QCJ+2VX', -40.0, -100.0)", "OlcException"), // reference too far
+      ("olc_recover('garbage+!', 0.0, 0.0)", "OlcException"),
       ("st_datum_shift(1d, 2d, 3d, 'no_such_datum')", "DatumException"),
       ("st_ellipsoid_a('no_such_ellipsoid')", "DatumException"))
     for ((expr, exc) <- cases) {
