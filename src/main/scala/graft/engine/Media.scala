@@ -36,6 +36,50 @@ object Media {
     (width, height, nFrames, feat)
   }
 
+  /** Deterministic fake payload bytes for a media ref (STUB — stands in for
+    * fetching the actual blob): 256 bytes derived from md5 of the ref, with
+    * the ref embedded so the decode can recover it. A real pipeline reads
+    * these from the object store instead. */
+  def fetchStub(ref: String): Array[Byte] = {
+    val seed = graft.core.Hashing.md5(ref.getBytes("UTF-8"))
+    val out = new Array[Byte](256)
+    var i = 0
+    while (i < out.length) { out(i) = seed(i % 16); i += 1 }
+    val refBytes = ref.getBytes("UTF-8")
+    System.arraycopy(refBytes, 0, out, 16, math.min(refBytes.length, 200))
+    out(0) = refBytes.length.toByte
+    out
+  }
+
+  /** Decode typed metadata from an opaque payload (STUB — a real
+    * implementation parses the container header here). Recovers the ref
+    * embedded by fetchStub and derives the same metadata as decodeStub, so
+    * the bytes path and the ref path agree. */
+  def decodeBytes(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val len = payload(0) & 0xFF
+    val ref = new String(payload, 16, math.min(len, 200), "UTF-8")
+    decodeStub(ref)
+  }
+
+  /** Binary-column variant: docs with an opaque `payload: binary` column ->
+    * typed metadata, decoded per partition batch. The schema shape a real
+    * image/audio pipeline uses: bytes stay opaque to the engine; only the
+    * typed metadata participates in joins/filters. */
+  def extractFeaturesFromBytes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media_ref"), col("payload"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        // codec init once per partition
+        it.map { case (docId, ref, payload) =>
+          val (w, h, f, feat) = decodeBytes(payload)
+          MediaFeature(docId, ref, w, h, f, feat)
+        }
+      }
+      .toDF()
+  }
+
   /** Extract media spans from the interleaved-doc table and run the decoder
     * partition-batched (mapPartitions: one decoder init per partition, the
     * shape a real codec needs). Output columns are the typed metadata the

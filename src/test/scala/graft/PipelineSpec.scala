@@ -201,6 +201,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp("t3") == graft.core.Hashing.md5Hex(""))
   }
 
+  test("media binary-column path agrees with the ref path") {
+    import spark.implicits._
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val refPath = Media.extractFeatures(spark, docs)
+      .orderBy("doc_id", "media_ref").collect()
+    // build the binary table: (doc_id, media_ref, payload) with stub bytes
+    val media = Media.extractFeatures(spark, docs)
+      .select("doc_id", "media_ref").as[(String, String)]
+      .map { case (d, r) => (d, r, Media.fetchStub(r)) }
+      .toDF("doc_id", "media_ref", "payload")
+    val bytesPath = Media.extractFeaturesFromBytes(spark, media)
+      .orderBy("doc_id", "media_ref").collect()
+    assert(refPath.length == bytesPath.length && refPath.length > 0)
+    assert(refPath.zip(bytesPath).forall { case (a, b) => a == b })
+  }
+
   test("media feature extraction: schema, determinism, batch shape") {
     val docs = Corpus.documentsDf(spark, 300, partitions = 3)
     val f1 = Media.extractFeatures(spark, docs).orderBy("doc_id", "media_ref").collect()
