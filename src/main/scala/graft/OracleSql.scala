@@ -641,10 +641,13 @@ object OracleSql {
     SELECT vec_a, vec_b, cos FROM verified WHERE cos >= 0.2 ORDER BY vec_a, vec_b"""
   }
 
-  /** q46: whitespace + BPE-ish token counts (TextOps.tokenCounts mirror). */
+  /** q46: whitespace + BPE-ish token counts (TextOps.tokenCounts mirror;
+    * the whitespace class is spelled out on both sides because Java \\s and
+    * RE2 \\s disagree on vertical tab). */
   def q46: String =
     s"""SELECT doc_id,
-      len(list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)) AS n_ws_tokens,
+      len(list_filter(regexp_split_to_array(text, ${q(graft.engine.TextOps.WsClass + "+")}),
+        w -> len(w) > 0)) AS n_ws_tokens,
       len(regexp_extract_all(text, ${q(graft.engine.TextOps.BpeTokenRx)})) AS n_bpe_tokens
     FROM documents ORDER BY doc_id"""
 

@@ -114,7 +114,12 @@ object Pipeline {
     // near-duplicates (jaccard >= 0.9 over concatenated text spans), keeping
     // the lexicographically-first doc of each duplicate group (pair-loser
     // removal: the cheap standard approximation of connected components)
-    val cleaned = stage("clean", s"$outDir/clean", s"clean:$docsFp", None) {
+    // stage fingerprints CHAIN: each includes its upstream stage's fp, so a
+    // semantic change anywhere upstream invalidates everything downstream
+    val cleanFp = s"clean:$docsFp:near=0.9"
+    val pointsFp = s"extract:$cleanFp:$level"
+    val joinedFp = s"join:$pointsFp:$polysFp:$level"
+    val cleaned = stage("clean", s"$outDir/clean", cleanFp, None) {
       import org.apache.spark.sql.expressions.Window
       // media-only docs (no text spans) are NOT duplicates of each other:
       // exclude empty-text docs from dedup consideration entirely
@@ -122,30 +127,32 @@ object Pipeline {
         expr("concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'), s -> s.text))")
           .as("text"))
         .where(length(col("text")) > 0)
+        .cache() // consumed by exactGroups + (twice) minhashLsh — one scan, not three
       val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
       val exactLosers = Dedup.exactGroups(textDf)
         .withColumn("rn", row_number().over(w)).where(col("rn") > 1)
         .select(col("doc_id"))
       val nearLosers = Dedup.minhashLsh(textDf, threshold = 0.9)
         .select(col("doc_b").as("doc_id")).distinct()
-      docs.join(exactLosers.union(nearLosers).distinct(), Seq("doc_id"), "left_anti")
+      val out = docs.join(exactLosers.union(nearLosers).distinct(),
+        Seq("doc_id"), "left_anti")
+      out
     }
 
     // stage 1: extract, partitioned by level-2 cell prefix (coarse enough for
     // sane directory counts, fine enough for partition-pruned region reads)
-    val points = stage("points", s"$outDir/points", s"extract:$docsFp:$level", Some("cell_p2")) {
+    val points = stage("points", s"$outDir/points", pointsFp, Some("cell_p2")) {
       SpatialJoin.extractPoints(cleaned, level)
         .withColumn("cell_p2", substring(col("cell"), 1, 2))
     }
 
     // stage 2: spatial join against the polygon layer
-    val joined = stage("joined", s"$outDir/joined",
-      s"join:$docsFp:$polysFp:$level", Some("poly_id")) {
+    val joined = stage("joined", s"$outDir/joined", joinedFp, Some("poly_id")) {
       SpatialJoin.join(points.drop("cell_p2"), polys, level)
     }
 
     // stage 3: tile histogram of the joined points
-    stage("tiles", s"$outDir/tiles", s"tiles:$docsFp:$polysFp:$level:$zoom", None) {
+    stage("tiles", s"$outDir/tiles", s"tiles:$joinedFp:$zoom", None) {
       Tiler.histogram(joined, zoom)
     }
     out.toSeq

@@ -219,23 +219,27 @@ object Cells {
     false
   }
 
-  /** PRECONDITION shared by all coverings and PIP: rings must not cross the
-    * antimeridian — the math runs in planar lon space, so a ring whose lon
-    * values jump across +-180 would get a world-spanning bbox and wrong
-    * containment. Checked here (inside the kernel, no extra Spark job);
-    * split such polygons at +-180 upstream. */
-  private def requireNoAntimeridianCross(bb: Array[Double]): Unit =
+  /** PRECONDITION shared by all coverings and polyfill: ring lon span must
+    * be <= 180 degrees. The math runs in planar lon space, and a span > 180
+    * is indistinguishable from a ring that crosses the antimeridian (whose
+    * planar bbox/covering/containment would be silently wrong), so such
+    * rings are rejected outright — a structural requirement like a malformed
+    * schema, deliberately independent of the strict/relaxed data-quality
+    * mode. Split antimeridian-crossing polygons at +-180 upstream (and
+    * genuinely hemisphere-wide rings into lon-halves). */
+  private def requireLonSpanHalf(bb: Array[Double]): Unit =
     if (bb(3) - bb(1) > 180.0) throw new IllegalArgumentException(
-      s"polygon ring appears to cross the antimeridian (lon span " +
-        s"${bb(3) - bb(1)} deg > 180, lon range [${bb(1)}, ${bb(3)}]) — " +
-        "split it at +-180 before covering/joining")
+      s"polygon ring lon span ${bb(3) - bb(1)} deg > 180 (lon range " +
+        s"[${bb(1)}, ${bb(3)}]): either it crosses the antimeridian or it " +
+        "spans more than a hemisphere — split it at +-180 (or into " +
+        "lon-halves) before covering/joining")
 
   /** Geohash cells intersecting the polygon ring at `level` (vector->cell
     * covering used by the spatial join build side). Superset-exact: every
     * cell that intersects the ring is returned, nothing else. */
   def coverRing(ring: Array[Double], level: Int): Array[String] = {
     val bb = Pip.bbox(ring)
-    requireNoAntimeridianCross(bb)
+    requireLonSpanHalf(bb)
     val cells = coverBox(bb(0), bb(1), bb(2), bb(3), level)
     if (cells == null) return null
     cells.filter(c => cellIntersectsRing(Geohash.bounds(c), ring))
@@ -247,7 +251,7 @@ object Cells {
     * prefixes directly. Never null: falls back to level 1 (32 cells max). */
   def coverRingAdaptive(ring: Array[Double], maxLevel: Int, maxCells: Int): Array[String] = {
     val bb = Pip.bbox(ring)
-    requireNoAntimeridianCross(bb)
+    requireLonSpanHalf(bb)
     var level = math.max(1, maxLevel)
     while (level > 1) {
       val (latDeg, lonDeg) = cellSizeDeg(level)
@@ -304,7 +308,7 @@ object Cells {
     * null when the covering exceeds MaxCoverCells. */
   def tilePolyfill(ring: Array[Double], z: Int): Array[Long] = {
     val bb = Pip.bbox(ring)
-    requireNoAntimeridianCross(bb)
+    requireLonSpanHalf(bb)
     val x0 = tileX(bb(1), z); val x1 = tileX(bb(3), z)
     val y0 = tileY(bb(2), z); val y1 = tileY(bb(0), z) // y grows southward
     val count = (x1 - x0 + 1) * (y1 - y0 + 1)

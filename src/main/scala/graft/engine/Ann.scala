@@ -45,7 +45,10 @@ object Ann {
 
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any band key
     * with the query, then exact cosine + window top-k over candidates only.
-    * Recall < 1 by construction; `bands` trades recall for candidate count. */
+    * Recall < 1 by construction; `bands` trades recall for candidate count.
+    * Rows whose embedding length differs from `dims` get NULL keys and drop
+    * out silently (relaxed null discipline, like unparseable text spans) —
+    * validate embedding dimensionality upstream if that must be an error. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               dims: Int = 64, bands: Int = 16, bitsPerBand: Int = 6): DataFrame = {
     def withKeys(df: DataFrame, emb: String): DataFrame =

@@ -139,25 +139,32 @@ object Dedup {
     * (same deterministic md5-derived planes as Ann), capped per bucket, then
     * exact cosine verification. vecs: (vec_id, embedding array<double>).
     * Returns (vec_a, vec_b, cos) with vec_a < vec_b, cos >= threshold.
-    * Approximate by construction (recall < 1 for moderate thresholds);
-    * identical duplicate vectors share every band so exact copies are always
-    * found. */
+    * Approximate by construction (recall < 1 for moderate thresholds).
+    * Identical vectors share every band bucket, so exact copies are found
+    * UNLESS their duplicate group exceeds maxBucket — members past the cap
+    * are quarantined, the same rule as minhashLsh/simhashPairs.
+    *
+    * Shuffle shape matches minhashLsh: only (vec_id, band, key) rows enter
+    * the band shuffle and the candidate self-join; embeddings re-attach once
+    * per deduped candidate pair for the cosine verify. */
   def embeddingNearDup(vecs: DataFrame, threshold: Double = 0.9,
                        dims: Int = 64, bands: Int = 16, bitsPerBand: Int = 6,
                        maxBucket: Int = 64): DataFrame = {
-    val banded = vecs.select(col("vec_id"), col("embedding"),
+    val banded = vecs.select(col("vec_id"),
       posexplode(Ann.lshBandKeys(col("embedding"), dims, bands, bitsPerBand))
         .as(Seq("band", "key")))
     val wB = Window.partitionBy(col("band"), col("key")).orderBy(col("vec_id"))
     val capped = banded.withColumn("bn", row_number().over(wB))
       .where(col("bn") <= maxBucket)
-    val a = capped.select(col("band"), col("key"),
-      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = capped.select(col("band"), col("key"),
-      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("band", "key"))
+    val a = capped.select(col("band"), col("key"), col("vec_id").as("vec_a"))
+    val b = capped.select(col("band"), col("key"), col("vec_id").as("vec_b"))
+    val idPairs = a.join(b, Seq("band", "key"))
       .where(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b")
       .dropDuplicates("vec_a", "vec_b")
+    idPairs
+      .join(vecs.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), Seq("vec_a"))
+      .join(vecs.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), Seq("vec_b"))
       .withColumn("cos", round(Ann.cosine(col("emb_a"), col("emb_b")), 6) + 0.0)
       .where(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")

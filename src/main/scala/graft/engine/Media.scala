@@ -46,8 +46,10 @@ object Media {
     var i = 0
     while (i < out.length) { out(i) = seed(i % 16); i += 1 }
     val refBytes = ref.getBytes("UTF-8")
-    System.arraycopy(refBytes, 0, out, 16, math.min(refBytes.length, 200))
-    out(0) = refBytes.length.toByte
+    val n = math.min(refBytes.length, 200) // payload carries at most 200 ref bytes
+    System.arraycopy(refBytes, 0, out, 16, n)
+    out(0) = (n >> 8).toByte // 2-byte big-endian length (a 1-byte field would
+    out(1) = (n & 0xFF).toByte // wrap modulo 256 for long refs)
     out
   }
 
@@ -56,8 +58,10 @@ object Media {
     * embedded by fetchStub and derives the same metadata as decodeStub, so
     * the bytes path and the ref path agree. */
   def decodeBytes(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val len = payload(0) & 0xFF
-    val ref = new String(payload, 16, math.min(len, 200), "UTF-8")
+    if (payload == null || payload.length < 16) return null
+    val len = ((payload(0) & 0xFF) << 8) | (payload(1) & 0xFF)
+    if (len < 0 || 16 + len > payload.length) return null
+    val ref = new String(payload, 16, len, "UTF-8")
     decodeStub(ref)
   }
 
@@ -71,10 +75,12 @@ object Media {
       .select(col("doc_id"), col("media_ref"), col("payload"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
-        // codec init once per partition
-        it.map { case (docId, ref, payload) =>
-          val (w, h, f, feat) = decodeBytes(payload)
-          MediaFeature(docId, ref, w, h, f, feat)
+        // codec init once per partition; undecodable payloads are skipped
+        // (relaxed null discipline, like unparseable text spans)
+        it.flatMap { case (docId, ref, payload) =>
+          Option(decodeBytes(payload)).map { case (w, h, f, feat) =>
+            MediaFeature(docId, ref, w, h, f, feat)
+          }
         }
       }
       .toDF()

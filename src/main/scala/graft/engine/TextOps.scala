@@ -25,20 +25,25 @@ object TextOps {
       (length(t) - length(regexp_replace(t, "\\s", ""))).as("n_space"))
   }
 
+  /** Whitespace as an explicit class: Java regex \s includes vertical tab
+    * (\x0B) but RE2's \s does not — spelling the class out keeps the
+    * DuckDB oracle bit-identical on any text. */
+  val WsClass: String = "[ \\t\\n\\x0B\\f\\r]"
+
   /** BPE-style pre-tokenizer pattern (the public GPT-2 regex shape, without
     * lookahead so it runs on both Java regex and RE2): contraction suffixes,
     * optional-space letter runs, digit runs, punctuation runs, whitespace
     * runs. Counting these matches approximates BPE token counts well enough
     * for corpus budgeting without a vocabulary. */
   val BpeTokenRx: String =
-    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+|$WsClass+"
 
   /** doc_id + whitespace-token and BPE-ish token counts. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs.select(
       col("doc_id"),
-      size(filter(split(t, "\\s+"), w => length(w) > 0)).as("n_ws_tokens"),
+      size(filter(split(t, WsClass + "+"), w => length(w) > 0)).as("n_ws_tokens"),
       size(regexp_extract_all(t, lit(BpeTokenRx), lit(0))).as("n_bpe_tokens"))
   }
 

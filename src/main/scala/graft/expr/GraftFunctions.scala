@@ -290,9 +290,11 @@ object GraftFunctions {
     "st_words" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "words", Seq(str(a.head)))),
     "st_cosine" -> ((a: Seq[Expression]) =>
-      si(DoubleType, "cosineSim", Seq(a(0), a(1)))),
+      si(DoubleType, "cosineSim",
+        Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType))))),
     "st_lsh_keys" -> ((a: Seq[Expression]) =>
-      si(ArrayType(LongType), "lshKeys64", Seq(a(0), int(a(1)), int(a(2)), int(a(3))))),
+      si(ArrayType(LongType), "lshKeys64",
+        Seq(Cast(a(0), ArrayType(DoubleType)), int(a(1)), int(a(2)), int(a(3))))),
     "st_shingles" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "shinglesOf", Seq(str(a(0)), int(a(1)))))
   )
