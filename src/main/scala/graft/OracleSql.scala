@@ -651,6 +651,75 @@ object OracleSql {
       len(regexp_extract_all(text, ${q(graft.engine.TextOps.BpeTokenRx)})) AS n_bpe_tokens
     FROM documents ORDER BY doc_id"""
 
+  /** q47: Vincenty inverse geodesic distance — the iteration mirrored as a
+    * recursive CTE (same expression tree per step, same 1e-12 convergence
+    * test on lambda, same 200-iteration bound; non-converged points drop out
+    * on both sides). Each recursive row carries the quantities computed FROM
+    * the pre-update lambda, exactly like the kernel's loop state. */
+  def q47: String = {
+    val a = 6378137.0
+    val f = 1.0 / 298.257223563
+    val b = a * (1.0 - f)
+    val lat2 = 48.8566
+    val lon2 = 2.3522
+    s"""WITH RECURSIVE pts AS ($CustomerPointsSql), base AS (
+      SELECT c_custkey,
+        atan((1.0 - ${d(f)}) * tan(lat * pi() / 180.0)) AS u1,
+        atan((1.0 - ${d(f)}) * tan(${d(lat2)} * pi() / 180.0)) AS u2,
+        (${d(lon2)} - lon) * pi() / 180.0 AS l
+      FROM pts
+    ), b2 AS (
+      SELECT c_custkey, l, sin(u1) AS su1, cos(u1) AS cu1, sin(u2) AS su2, cos(u2) AS cu2
+      FROM base
+    ), it AS (
+      SELECT c_custkey, l, su1, cu1, su2, cu2,
+        l AS lambda,
+        CAST(NULL AS DOUBLE) AS sinSigma, CAST(NULL AS DOUBLE) AS cosSigma,
+        CAST(NULL AS DOUBLE) AS sigma, CAST(NULL AS DOUBLE) AS cosSqAlpha,
+        CAST(NULL AS DOUBLE) AS cos2SigmaM,
+        false AS done, 0 AS iter
+      FROM b2
+      UNION ALL
+      SELECT c_custkey, l, su1, cu1, su2, cu2,
+        newLambda AS lambda,
+        s_sinSigma AS sinSigma, s_cosSigma AS cosSigma, s_sigma AS sigma,
+        s_cosSqAlpha AS cosSqAlpha, s_cos2SigmaM AS cos2SigmaM,
+        abs(newLambda - lambda) < 1e-12 AS done, iter + 1 AS iter
+      FROM (
+        SELECT *,
+          sqrt((cu2 * sl) * (cu2 * sl) +
+            (cu1 * su2 - su1 * cu2 * cl) * (cu1 * su2 - su1 * cu2 * cl)) AS s_sinSigma,
+          su1 * su2 + cu1 * cu2 * cl AS s_cosSigma,
+          atan2(s_sinSigma, s_cosSigma) AS s_sigma,
+          cu1 * cu2 * sl / s_sinSigma AS s_sinAlpha,
+          1.0 - s_sinAlpha * s_sinAlpha AS s_cosSqAlpha,
+          CASE WHEN s_cosSqAlpha = 0.0 THEN 0.0
+            ELSE s_cosSigma - 2.0 * su1 * su2 / s_cosSqAlpha END AS s_cos2SigmaM,
+          ${d(f)} / 16.0 * s_cosSqAlpha * (4.0 + ${d(f)} * (4.0 - 3.0 * s_cosSqAlpha)) AS s_c,
+          l + (1.0 - s_c) * ${d(f)} * s_sinAlpha *
+            (s_sigma + s_c * s_sinSigma * (s_cos2SigmaM +
+              s_c * s_cosSigma * (-1.0 + 2.0 * s_cos2SigmaM * s_cos2SigmaM))) AS newLambda
+        FROM (SELECT *, sin(lambda) AS sl, cos(lambda) AS cl FROM it
+              WHERE NOT done AND iter < 200)
+      )
+    ), fin AS (
+      SELECT c_custkey, sinSigma, cosSigma, sigma, cosSqAlpha, cos2SigmaM,
+        cosSqAlpha * (${d(a)} * ${d(a)} - ${d(b)} * ${d(b)}) / (${d(b)} * ${d(b)}) AS uSq
+      FROM it WHERE done
+    ), ab AS (
+      SELECT c_custkey, sinSigma, cosSigma, sigma, cos2SigmaM,
+        1.0 + uSq / 16384.0 * (4096.0 + uSq * (-768.0 + uSq * (320.0 - 175.0 * uSq))) AS bigA,
+        uSq / 1024.0 * (256.0 + uSq * (-128.0 + uSq * (74.0 - 47.0 * uSq))) AS bigB
+      FROM fin
+    )
+    SELECT c_custkey,
+      round(${d(b)} * bigA * (sigma - bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+        (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+          bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+            (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))), 3) + 0.0 AS dist_m
+    FROM ab ORDER BY c_custkey"""
+  }
+
   /** All engine-layer oracles for the corpus size the verify run uses. */
   def engineOracles(nDocs: Long): Map[String, String] = Map(
     "q30_parse_extract" -> q30(nDocs),
@@ -675,6 +744,7 @@ object OracleSql {
     "q43_ann_topk" -> q43,
     "q44_ann_lsh" -> q44,
     "q45_embed_neardup" -> q45,
-    "q46_token_counts" -> q46
+    "q46_token_counts" -> q46,
+    "q47_vincenty" -> q47
   )
 }

@@ -392,6 +392,15 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    "q47_vincenty" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .select(col("c_custkey"),
+          (round(call_function("st_vincenty",
+            col("lat"), col("lon"), lit(48.8566), lit(2.3522)), 3) + 0.0).as("dist_m"))
+        .where(col("dist_m").isNotNull)
+        .orderBy(col("c_custkey"))
+    }),
     "q45_embed_neardup" -> ((spark, dir) => {
       implicit val s: SparkSession = prep(spark)
       Dedup.embeddingNearDup(
