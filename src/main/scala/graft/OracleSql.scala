@@ -96,6 +96,16 @@ object OracleSql {
     val lonBits = bits - latBits
     val x = s"LEAST(CAST(floor(($lon + 180.0)/360.0 * ${1L << lonBits}) AS BIGINT), ${(1L << lonBits) - 1})"
     val y = s"LEAST(CAST(floor(($lat + 90.0)/180.0 * ${1L << latBits}) AS BIGINT), ${(1L << latBits) - 1})"
+    geohashFromXY(x, y, p)
+  }
+
+  /** Geohash string from the integer (x, y) cell indices at precision p —
+    * the bit-interleave half of geohashSql, reusable for adjacency
+    * (neighbour = +-1 mod 2^bits on one axis, re-encode). */
+  def geohashFromXY(xE: String, yE: String, p: Int): String = {
+    val bits = 5 * p
+    val latBits = bits / 2
+    val lonBits = bits - latBits
     def bit(pos: Int): String =
       if (pos % 2 == 0) s"((gx // ${1L << (lonBits - 1 - pos / 2)}) % 2)"
       else s"((gy // ${1L << (latBits - 1 - (pos - 1) / 2)}) % 2)"
@@ -103,7 +113,7 @@ object OracleSql {
       val idx = (0 until 5).map(k => s"${bit(5 * c + k)} * ${1 << (4 - k)}").mkString(" + ")
       s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST($idx AS INT) + 1, 1)"
     }
-    s"(SELECT concat(${chars.mkString(", ")}) FROM (SELECT $x AS gx, $y AS gy) g)"
+    s"(SELECT concat(${chars.mkString(", ")}) FROM (SELECT $xE AS gx, $yE AS gy) g)"
   }
 
   /** OLC pair/grid encoding in SQL: the same Long arithmetic as the kernel
@@ -250,64 +260,583 @@ object OracleSql {
   private def sinhSql(x: String): String = s"((exp($x) - exp(-($x))) / 2.0)"
   private def coshSql(x: String): String = s"((exp($x) + exp(-($x))) / 2.0)"
 
-  /** q35: geohash(7), OLC(11), and MGRS zone/band/e100k/n100k — the MGRS
-    * letters via the full Krüger n^6 forward series (Karney 2011)
-    * transcribed term-for-term from core.Utm.geoToUtm. */
-  def q35: String = {
-    val a = 6378137.0
-    val f = 1.0 / 298.257223563
-    val e = math.sqrt(f * (2.0 - f))
-    val n = f / (2.0 - f)
-    val alpha = graft.core.Utm.kruegerAlpha(n)
-    val bigA = { val n2 = n * n; val n4 = n2 * n2; val n6 = n4 * n2
-      a / (1.0 + n) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0) }
-    val ka = 0.9996 * bigA // K0 * A, the exact product the kernel multiplies by
+  // ---- Krüger forward/inverse series as reusable CTE chains ----------------
+  // (Karney 2011, transcribed term-for-term from core.Utm.geoToUtm/utmToGeo;
+  // hyperbolics via exp — last-ulp drift only, absorbed by the letter
+  // buckets / the 1e-6-degree output rounding.)
+
+  private val KA = 6378137.0
+  private val KF = 1.0 / 298.257223563
+  private val KE = math.sqrt(KF * (2.0 - KF))
+  private val KN = KF / (2.0 - KF)
+  private val KBigA = { val n2 = KN * KN; val n4 = n2 * n2; val n6 = n4 * n2
+    KA / (1.0 + KN) * (1.0 + n2 / 4.0 + n4 / 64.0 + n6 / 256.0) }
+  /** K0 * A — the exact product the kernels multiply/divide by. */
+  private val KKa = 0.9996 * KBigA
+
+  /** Forward Krüger CTE chain: `src` must provide the `carry` columns plus
+    * lat, lon, zone; appends CTEs ${p}1..${p}9 — ${p}9 exposes carry + zone +
+    * easting + northing. */
+  def kruegerForwardCtes(src: String, p: String, carry: Seq[String]): String = {
+    val alpha = graft.core.Utm.kruegerAlpha(KN)
+    val cs = carry.mkString(", ")
     val zetaTerms = (1 to 6).map(j =>
       s" + ${d(alpha(j))} * sin(2.0 * $j.0 * zetap) * ${coshSql(s"2.0 * $j.0 * etap")}").mkString
     val etaTerms = (1 to 6).map(j =>
       s" + ${d(alpha(j))} * cos(2.0 * $j.0 * zetap) * ${sinhSql(s"2.0 * $j.0 * etap")}").mkString
-    s"""WITH pts AS ($CustomerPointsSql), z AS (
+    s"""${p}1 AS (
+      SELECT $cs, zone,
+        lat * pi() / 180.0 AS phi,
+        lon * pi() / 180.0 - ((zone - 1) * 6.0 - 180.0 + 3.0) * pi() / 180.0 AS lambda
+      FROM $src
+    ), ${p}2 AS (
+      SELECT *, tan(phi) AS tau, cos(lambda) AS cl, sin(lambda) AS sl FROM ${p}1
+    ), ${p}3 AS (
+      SELECT *, ${d(KE)} * (0.5 * ln((1.0 + ${d(KE)} * tau / sqrt(1.0 + tau * tau)) /
+        (1.0 - ${d(KE)} * tau / sqrt(1.0 + tau * tau)))) AS sa FROM ${p}2
+    ), ${p}4 AS (
+      SELECT *, ${sinhSql("sa")} AS sigma FROM ${p}3
+    ), ${p}5 AS (
+      SELECT *, tau * sqrt(1.0 + sigma * sigma) - sigma * sqrt(1.0 + tau * tau) AS taup FROM ${p}4
+    ), ${p}6 AS (
+      SELECT *, atan2(taup, cl) AS zetap, sl / sqrt(taup * taup + cl * cl) AS sx FROM ${p}5
+    ), ${p}7 AS (
+      SELECT *, CASE WHEN sx < 0 THEN -(ln(-sx + sqrt(sx * sx + 1.0)))
+        ELSE ln(sx + sqrt(sx * sx + 1.0)) END AS etap FROM ${p}6
+    ), ${p}8 AS (
+      SELECT *, zetap$zetaTerms AS zeta, etap$etaTerms AS eta FROM ${p}7
+    ), ${p}9 AS (
+      SELECT $cs, zone,
+        ${d(KKa)} * eta + 500000.0 AS easting,
+        CASE WHEN ${d(KKa)} * zeta < 0 THEN ${d(KKa)} * zeta + 10000000.0
+          ELSE ${d(KKa)} * zeta END AS northing
+      FROM ${p}8
+    )"""
+  }
+
+  /** Inverse Krüger + Newton-on-tau CTE chain (recursive — the caller's WITH
+    * must be declared RECURSIVE): `src` must provide the `carry` columns plus
+    * zone, hemi, easting, northing. Appends ${p}1..${p}f — ${p}f exposes
+    * carry + zone + lat + lon. The Newton do-while mirrors core.Utm.utmToGeo
+    * step-for-step: each recursive row computes dTau from the pre-update
+    * tau, adds it, and finishes when |dTau| <= 1e-12 (same convergence test;
+    * a 100-iteration guard that neither side reaches). */
+  def kruegerInverseCtes(src: String, p: String, carry: Seq[String]): String = {
+    val beta = graft.core.Utm.kruegerBeta(KN)
+    val cs = carry.mkString(", ")
+    val eL = d(KE)
+    val zetapTerms = (1 to 6).map(j =>
+      s" - ${d(beta(j))} * sin(2.0 * $j.0 * izeta) * ${coshSql(s"2.0 * $j.0 * ieta")}").mkString
+    val etapTerms = (1 to 6).map(j =>
+      s" - ${d(beta(j))} * cos(2.0 * $j.0 * izeta) * ${sinhSql(s"2.0 * $j.0 * ieta")}").mkString
+    val atanhArg = s"$eL * taui / sqrt(1.0 + taui * taui)"
+    val sigmaExpr = sinhSql(s"($eL * (0.5 * ln((1.0 + $atanhArg) / (1.0 - $atanhArg))))")
+    s"""${p}1 AS (
+      SELECT $cs, zone,
+        (easting - 500000.0) / ${d(KKa)} AS ieta,
+        (CASE WHEN hemi = 'S' THEN northing - 10000000.0 ELSE northing END) / ${d(KKa)} AS izeta
+      FROM $src
+    ), ${p}2 AS (
+      SELECT *, izeta$zetapTerms AS zetap, ieta$etapTerms AS etap FROM ${p}1
+    ), ${p}3 AS (
+      SELECT *, ${sinhSql("etap")} AS sinhetap, sin(zetap) AS szetap, cos(zetap) AS czetap FROM ${p}2
+    ), ${p}4 AS (
+      SELECT $cs, zone, sinhetap, czetap,
+        szetap / sqrt(sinhetap * sinhetap + czetap * czetap) AS taup
+      FROM ${p}3
+    ), ${p}it AS (
+      SELECT $cs, zone, sinhetap, czetap, taup,
+        taup AS taui, false AS done, 0 AS iter
+      FROM ${p}4
+      UNION ALL
+      SELECT $cs, zone, sinhetap, czetap, taup,
+        taui + s_dtaui AS taui, abs(s_dtaui) <= 1e-12 AS done, iter + 1 AS iter
+      FROM (
+        SELECT *, (taup - s_tauip) / sqrt(1.0 + s_tauip * s_tauip) *
+            (1.0 + (1.0 - $eL * $eL) * s_tauip * s_tauip) /
+            ((1.0 - $eL * $eL) * sqrt(1.0 + s_tauip * s_tauip)) AS s_dtaui
+        FROM (
+          SELECT *, taui * sqrt(1.0 + s_sigmai * s_sigmai) -
+              s_sigmai * sqrt(1.0 + taui * taui) AS s_tauip
+          FROM (
+            SELECT *, $sigmaExpr AS s_sigmai FROM ${p}it WHERE NOT done AND iter < 100
+          )
+        )
+      )
+    ), ${p}5 AS (
+      SELECT $cs, zone,
+        atan(taui) * 180.0 / pi() AS lat,
+        (atan2(sinhetap, czetap) + ((zone - 1) * 6.0 - 180.0 + 3.0) * pi() / 180.0)
+          * 180.0 / pi() AS lon0
+      FROM ${p}it WHERE done
+    ), ${p}f AS (
+      SELECT $cs, zone, lat,
+        CASE WHEN lon0 >= -180.0 AND lon0 <= 180.0 THEN lon0
+          ELSE ((lon0 % 360.0) + 540.0) % 360.0 - 180.0 END AS lon
+      FROM ${p}5
+    )"""
+  }
+
+  /** MGRS 100km letter-table fragments (zone-cycled, utm.d:36-39). */
+  private def e100kSql(zoneE: String, eastingE: String): String =
+    s"substr(CASE ($zoneE - 1) % 3 WHEN 0 THEN 'ABCDEFGH' WHEN 1 THEN 'JKLMNPQR' ELSE 'STUVWXYZ' END, " +
+      s"CAST(floor($eastingE / 100000.0) AS INT), 1)"
+  private def n100kSql(zoneE: String, northingE: String): String =
+    s"substr(CASE ($zoneE - 1) % 2 WHEN 0 THEN 'ABCDEFGHJKLMNPQRSTUV' ELSE 'FGHJKLMNPQRSTUVABCDE' END, " +
+      s"CAST(floor($northingE / 100000.0) % 20 AS INT) + 1, 1)"
+
+  /** CTEs z/zz: customer points annotated with band + (exception-corrected)
+    * UTM zone — the shared head of q35/q49. */
+  private val PointsZoneCtes =
+    s"""pts AS ($CustomerPointsSql), z AS (
       SELECT c_custkey, lat, lon, CAST(floor((lon+180.0)/6.0) + 1 AS INT) AS z0,
         substr('CDEFGHJKLMNPQRSTUVWXX', CAST(floor(lat/8.0 + 10.0) AS INT) + 1, 1) AS band
       FROM pts
     ), zz AS (
       SELECT c_custkey, lat, lon, band, $ZoneSql AS zone FROM z
-    ), k1 AS (
-      SELECT c_custkey, lat, lon, band, zone,
-        lat * pi() / 180.0 AS phi,
-        lon * pi() / 180.0 - ((zone - 1) * 6.0 - 180.0 + 3.0) * pi() / 180.0 AS lambda
-      FROM zz
-    ), k2 AS (
-      SELECT *, tan(phi) AS tau, cos(lambda) AS cl, sin(lambda) AS sl FROM k1
-    ), k3 AS (
-      SELECT *, ${d(e)} * (0.5 * ln((1.0 + ${d(e)} * tau / sqrt(1.0 + tau * tau)) /
-        (1.0 - ${d(e)} * tau / sqrt(1.0 + tau * tau)))) AS sa FROM k2
-    ), k4 AS (
-      SELECT *, ${sinhSql("sa")} AS sigma FROM k3
-    ), k5 AS (
-      SELECT *, tau * sqrt(1.0 + sigma * sigma) - sigma * sqrt(1.0 + tau * tau) AS taup FROM k4
-    ), k6 AS (
-      SELECT *, atan2(taup, cl) AS zetap, sl / sqrt(taup * taup + cl * cl) AS sx FROM k5
-    ), k7 AS (
-      SELECT *, CASE WHEN sx < 0 THEN -(ln(-sx + sqrt(sx * sx + 1.0)))
-        ELSE ln(sx + sqrt(sx * sx + 1.0)) END AS etap FROM k6
-    ), k8 AS (
-      SELECT *, zetap$zetaTerms AS zeta, etap$etaTerms AS eta FROM k7
-    ), k9 AS (
-      SELECT c_custkey, lat, lon, band, zone,
-        ${d(ka)} * eta + 500000.0 AS easting,
-        CASE WHEN ${d(ka)} * zeta < 0 THEN ${d(ka)} * zeta + 10000000.0
-          ELSE ${d(ka)} * zeta END AS northing
-      FROM k8
-    )
+    )"""
+
+  /** q35: geohash(7), OLC(11), and MGRS zone/band/e100k/n100k — the MGRS
+    * letters via the full Krüger n^6 forward series. */
+  def q35: String = {
+    s"""WITH $PointsZoneCtes, ${kruegerForwardCtes("zz", "k", Seq("c_custkey", "lat", "lon", "band"))}
     SELECT c_custkey, ${geohashSql("lat", "lon", 7)} AS gh, ${olcSql("lat", "lon", 11)} AS olc,
       zone AS mz, band AS mb,
-      substr(CASE (zone - 1) % 3 WHEN 0 THEN 'ABCDEFGH' WHEN 1 THEN 'JKLMNPQR' ELSE 'STUVWXYZ' END,
-        CAST(floor(easting / 100000.0) AS INT), 1) AS me,
-      substr(CASE (zone - 1) % 2 WHEN 0 THEN 'ABCDEFGHJKLMNPQRSTUV' ELSE 'FGHJKLMNPQRSTUVABCDE' END,
-        CAST(floor(northing / 100000.0) % 20 AS INT) + 1, 1) AS mn
+      ${e100kSql("zone", "easting")} AS me,
+      ${n100kSql("zone", "northing")} AS mn
     FROM k9 ORDER BY c_custkey"""
   }
+
+  // ---- q48-q55: inverse / parse surface oracles -----------------------------
+
+  /** q48: UTM -> geographic over synthesized UTM positions — inverse Krüger
+    * + the Newton loop as a recursive CTE. */
+  def q48: String =
+    s"""WITH RECURSIVE base AS (
+      SELECT c_custkey,
+        CAST(c_custkey % 60 AS INT) + 1 AS zone,
+        CASE WHEN c_custkey % 2 = 0 THEN 'N' ELSE 'S' END AS hemi,
+        CAST(200000.0 AS DOUBLE) + CAST(c_custkey * 13 % 600000 AS DOUBLE) AS easting,
+        CAST(1000000.0 AS DOUBLE) + CAST(c_custkey * 7 % 8000000 AS DOUBLE) AS northing
+      FROM customer
+    ), ${kruegerInverseCtes("base", "ki", Seq("c_custkey", "hemi"))}
+    SELECT c_custkey, zone, hemi, round(lat, 6) + 0.0 AS lat, round(lon, 6) + 0.0 AS lon
+    FROM kif ORDER BY c_custkey"""
+
+  /** q49: geo -> MGRS -> UTM -> geo round trip: forward Krüger for the
+    * letters, the reference's band-bottom 2000km walk (conv.d:292-315) as
+    * ceil arithmetic, then the inverse-Newton chain for the recovered geo.
+    * The per-band bottom northing is computed INDEPENDENTLY by a second
+    * forward-Krüger pass over the 20 band latitudes at lon=3. */
+  def q49: String = {
+    val bands = (0 until 20).map { i =>
+      s"('${graft.core.Utm.MgrsBands.charAt(i)}', CAST(${(i - 10) * 8}.0 AS DOUBLE))"
+    }.mkString(", ")
+    s"""WITH RECURSIVE $PointsZoneCtes,
+    ${kruegerForwardCtes("zz", "k", Seq("c_custkey", "lat", "lon", "band"))},
+    m AS (
+      SELECT c_custkey, band, zone,
+        ${e100kSql("zone", "easting")} AS me, ${n100kSql("zone", "northing")} AS mn,
+        easting % 100000.0 AS meast, northing % 100000.0 AS mnorth
+      FROM k9
+    ), bands0(band, blat) AS (VALUES $bands),
+    bands1 AS (
+      SELECT band, blat AS lat, CAST(3.0 AS DOUBLE) AS lon,
+        CASE WHEN band = 'V' THEN 32 ELSE 31 END AS zone
+      FROM bands0
+    ), ${kruegerForwardCtes("bands1", "bk", Seq("band"))},
+    nb AS (SELECT band, floor(northing / 100000.0) * 100000.0 AS nband FROM bk9),
+    mu AS (
+      SELECT m.c_custkey, m.band, m.zone AS zone, m.me, m.mn, m.meast, m.mnorth,
+        CASE WHEN m.band >= 'N' THEN 'N' ELSE 'S' END AS hemi,
+        CAST(strpos(CASE (m.zone - 1) % 3 WHEN 0 THEN 'ABCDEFGH' WHEN 1 THEN 'JKLMNPQR' ELSE 'STUVWXYZ' END, m.me) AS DOUBLE) * 100000.0 AS e100knum,
+        CAST(strpos(CASE (m.zone - 1) % 2 WHEN 0 THEN 'ABCDEFGHJKLMNPQRSTUV' ELSE 'FGHJKLMNPQRSTUVABCDE' END, m.mn) - 1 AS DOUBLE) * 100000.0 AS n100knum,
+        nb.nband AS nband
+      FROM m JOIN nb ON m.band = nb.band
+    ), mu2 AS (
+      SELECT *, 2000000.0 * GREATEST(CAST(0.0 AS DOUBLE),
+        ceil((nband - n100knum - mnorth) / 2000000.0)) AS n2m FROM mu
+    ), uu AS (
+      SELECT c_custkey, band, me, mn, hemi, zone,
+        e100knum + meast AS easting, n2m + n100knum + mnorth AS northing,
+        e100knum + meast AS ueast, n2m + n100knum + mnorth AS unorth
+      FROM mu2
+    ), ${kruegerInverseCtes("uu", "ri", Seq("c_custkey", "band", "me", "mn", "hemi", "ueast", "unorth"))}
+    SELECT c_custkey, zone AS mz, band AS mb, me, mn, hemi AS uhemi,
+      round(ueast, 3) + 0.0 AS ueast, round(unorth, 3) + 0.0 AS unorth,
+      round(lat, 6) + 0.0 AS rlat, round(lon, 6) + 0.0 AS rlon
+    FROM rif ORDER BY c_custkey"""
+  }
+
+  /** q50: geo -> ECEF (with altitude) -> geo via Bowring's closed form,
+    * mirroring core.Ecef term-for-term (0/0 -> NULL stands in for the
+    * kernel's NaN polar-branch guard). */
+  def q50: String = {
+    val e2 = KF * (2.0 - KF)
+    val b = KA * (1.0 - KF)
+    val ep2 = e2 / ((1.0 - KF) * (1.0 - KF))
+    s"""WITH pts AS ($CustomerPointsSql), pa AS (
+      SELECT c_custkey, lat, lon, CAST(c_custkey % 5000 AS DOUBLE) AS alt FROM pts
+    ), c1 AS (
+      SELECT c_custkey, alt, lat * pi() / 180.0 AS phi, lon * pi() / 180.0 AS lam FROM pa
+    ), c2 AS (
+      SELECT *, sin(phi) AS sphi, cos(phi) AS cphi, sin(lam) AS slam, cos(lam) AS clam,
+        ${d(KA)} / sqrt(1.0 - ${d(e2)} * sin(phi) * sin(phi)) AS nu
+      FROM c1
+    ), e AS (
+      SELECT c_custkey, (nu + alt) * cphi * clam AS x, (nu + alt) * cphi * slam AS y,
+        (nu * (1.0 - ${d(e2)}) + alt) * sphi AS z
+      FROM c2
+    ), g1 AS (
+      SELECT *, sqrt(x * x + y * y) AS p FROM e
+    ), g2 AS (
+      SELECT *, sqrt(p * p + z * z) AS r FROM g1
+    ), g3 AS (
+      SELECT *, (${d(b)} * z) / (${d(KA)} * p) * (1.0 + ${d(ep2)} * ${d(b)} / r) AS tbeta FROM g2
+    ), g4 AS (
+      SELECT *, tbeta / sqrt(1.0 + tbeta * tbeta) AS sbeta FROM g3
+    ), g5 AS (
+      SELECT *, sbeta / tbeta AS cbeta FROM g4
+    ), g6 AS (
+      SELECT *, CASE WHEN cbeta IS NULL THEN 0.0
+        ELSE atan2(z + ${d(ep2)} * ${d(b)} * sbeta * sbeta * sbeta,
+                   p - ${d(e2)} * ${d(KA)} * cbeta * cbeta * cbeta) END AS phi2,
+        atan2(y, x) AS lam2
+      FROM g5
+    ), g7 AS (
+      SELECT *, ${d(KA)} / sqrt(1.0 - ${d(e2)} * sin(phi2) * sin(phi2)) AS nu2 FROM g6
+    )
+    SELECT c_custkey,
+      round(phi2 * 180.0 / pi(), 6) + 0.0 AS rlat,
+      round(lam2 * 180.0 / pi(), 6) + 0.0 AS rlon,
+      round(p * cos(phi2) + z * sin(phi2) - ${d(KA)} * ${d(KA)} / nu2, 4) + 0.0 AS rh
+    FROM g7 ORDER BY c_custkey"""
+  }
+
+  /** q51: free-text UTM/MGRS parsing — the reference grammars (utm.d:192,
+    * 297) as RE2 regexes plus the comma/space/compact split rules mirrored
+    * in SQL over identically synthesized strings. */
+  def q51: String = {
+    val utmRx = """(?i)(\d{1,2})\s*([c-x]{1,2}?)\s*(\d+(?:[.,]?\d+))\s(\d+(?:[.,]?\d+))"""
+    val mgrsRx = """(?i)(\d{1,2})\s*([c-x])\s*([a-z]{2})\s*([\d,.\s]*)"""
+    s"""WITH base AS (
+      SELECT c_custkey,
+        CAST(c_custkey % 60 AS INT) + 1 AS zone,
+        substr('CDEFGHJKLMNPQRSTUVWX', CAST(c_custkey % 20 AS INT) + 1, 1) AS letter,
+        200000 + c_custkey * 13 % 600000 AS e_int,
+        c_custkey * 7 % 9000000 AS n_int,
+        substr('ABCDEFGH', CAST(c_custkey % 8 AS INT) + 1, 1) AS ge,
+        substr('ABCDEFGHJKLMNPQRSTUV', CAST(c_custkey % 20 AS INT) + 1, 1) AS gn,
+        c_custkey * 3 % 100000 AS me_int,
+        c_custkey * 11 % 100000 AS mn_int
+      FROM customer
+    ), strs AS (
+      SELECT c_custkey,
+        CAST(zone AS VARCHAR) || ' ' || letter || ' ' || CAST(e_int AS VARCHAR) || '.25 ' ||
+          CAST(n_int AS VARCHAR) || '.75' AS utm_str,
+        CASE WHEN c_custkey % 2 = 0
+          THEN CAST(zone AS VARCHAR) || ' ' || letter || ' ' || ge || gn || ' ' ||
+            CAST(me_int AS VARCHAR) || '.5 ' || CAST(mn_int AS VARCHAR) || '.25'
+          ELSE CAST(zone AS VARCHAR) || letter || ge || gn ||
+            lpad(CAST(me_int AS VARCHAR), 5, '0') || lpad(CAST(mn_int AS VARCHAR), 5, '0')
+        END AS mgrs_str
+      FROM base
+    ), pu AS (
+      SELECT c_custkey, mgrs_str,
+        CAST(regexp_extract(utm_str, ${q(utmRx)}, 1) AS INT) AS u_zone,
+        upper(regexp_extract(utm_str, ${q(utmRx)}, 2)) AS u_letter,
+        CAST(replace(regexp_extract(utm_str, ${q(utmRx)}, 3), ',', '.') AS DOUBLE) AS u_east,
+        CAST(replace(regexp_extract(utm_str, ${q(utmRx)}, 4), ',', '.') AS DOUBLE) AS u_north
+      FROM strs
+    ), pm0 AS (
+      SELECT *, CAST(regexp_extract(mgrs_str, ${q(mgrsRx)}, 1) AS INT) AS m_zone,
+        upper(regexp_extract(mgrs_str, ${q(mgrsRx)}, 2)) AS m_band,
+        upper(regexp_extract(mgrs_str, ${q(mgrsRx)}, 3)) AS grid,
+        regexp_extract(mgrs_str, ${q(mgrsRx)}, 4) AS rest
+      FROM pu
+    ), pm1 AS (
+      SELECT *, string_split(rest, ' ') AS parts FROM pm0
+    ), pm2 AS (
+      -- parts[1:0] (the single-token compact case) slices to NULL in DuckDB,
+      -- where the kernel's slice(0,0).mkString is '' — normalize with COALESCE
+      SELECT *, COALESCE(array_to_string(parts[1:len(parts)//2], ' '), '') AS e0,
+        array_to_string(parts[len(parts)//2+1:len(parts)], ' ') AS n0
+      FROM pm1
+    ), pm3 AS (
+      SELECT *, CASE WHEN e0 = '' THEN substr(n0, 1, len(n0)//2) ELSE e0 END AS e1,
+        CASE WHEN e0 = '' THEN substr(n0, len(n0)//2 + 1) ELSE n0 END AS n1
+      FROM pm2
+    )
+    SELECT c_custkey, u_zone,
+      CASE WHEN u_letter IN ('N','S') THEN u_letter
+           WHEN u_letter >= 'N' THEN 'N' ELSE 'S' END AS u_hemi,
+      u_east, u_north,
+      m_zone, m_band, substr(grid, 1, 1) AS m_e100k, substr(grid, 2, 1) AS m_n100k,
+      CAST(replace(trim(e1), ',', '.') AS DOUBLE) AS m_east,
+      CAST(replace(trim(n1), ',', '.') AS DOUBLE) AS m_north
+    FROM pm3 ORDER BY c_custkey"""
+  }
+
+  /** q52: geohash decode / bounds / adjacent at precision 5. Decode is bit
+    * extraction back to the integer (gx, gy) cell — every bound is an exact
+    * dyadic rational, so the outputs compare RAW. Adjacency = +-1 modulo the
+    * axis size, re-encoded; equivalent to the lookup-table carry walk (the
+    * tables implement binary increment with carry — property-tested in
+    * CoreKernelSpec). */
+  def q52: String = {
+    val B32 = "'0123456789bcdefghjkmnpqrstuvwxyz'"
+    def idx(i: Int) = s"(strpos($B32, substr(gh, ${i + 1}, 1)) - 1)"
+    def bit(pos: Int) = s"((i${pos / 5} // ${1 << (4 - pos % 5)}) % 2)"
+    val gx = (0 until 13).map(j => s"${bit(2 * j)} * ${1L << (12 - j)}").mkString(" + ")
+    val gy = (0 until 12).map(j => s"${bit(2 * j + 1)} * ${1L << (11 - j)}").mkString(" + ")
+    s"""WITH pts AS ($CustomerPointsSql), g0 AS (
+      SELECT c_custkey, ${geohashSql("lat", "lon", 5)} AS gh FROM pts
+    ), g1 AS (
+      SELECT c_custkey, gh, ${(0 until 5).map(i => s"${idx(i)} AS i$i").mkString(", ")} FROM g0
+    ), g2 AS (
+      SELECT c_custkey, gh, CAST($gx AS BIGINT) AS gx, CAST($gy AS BIGINT) AS gy FROM g1
+    ), g3 AS (
+      SELECT c_custkey, gh, gx, gy,
+        CAST(gy AS DOUBLE) * CAST(180.0 AS DOUBLE) / 4096.0 - 90.0 AS bs,
+        CAST(gx AS DOUBLE) * CAST(360.0 AS DOUBLE) / 8192.0 - 180.0 AS bw,
+        CAST(gy + 1 AS DOUBLE) * CAST(180.0 AS DOUBLE) / 4096.0 - 90.0 AS bn,
+        CAST(gx + 1 AS DOUBLE) * CAST(360.0 AS DOUBLE) / 8192.0 - 180.0 AS be
+      FROM g2
+    )
+    SELECT c_custkey, gh, (bs + bn) / 2.0 AS clat, (bw + be) / 2.0 AS clon,
+      bs, bw, bn, be,
+      ${geohashFromXY("g3.gx", "(g3.gy + 1) % 4096", 5)} AS adj_n,
+      ${geohashFromXY("(g3.gx + 1) % 8192", "g3.gy", 5)} AS adj_e,
+      ${geohashFromXY("g3.gx", "(g3.gy + 4095) % 4096", 5)} AS adj_s,
+      ${geohashFromXY("(g3.gx + 8191) % 8192", "g3.gy", 5)} AS adj_w
+    FROM g3 ORDER BY c_custkey"""
+  }
+
+  // OLC decode of an 11-digit separator-stripped code column: scaled-integer
+  // accumulation identical to core.Olc.decode (pair digits MSB-first, grid
+  // digit //4 and %4, final places 625 / 256).
+  private def olcDigit(dg: String, pos1: Int): String =
+    s"CAST(strpos('23456789CFGHJMPQRVWX', substr($dg, $pos1, 1)) - 1 AS BIGINT)"
+  private def olcLatValExpr(dg: String): String = {
+    val places = (0 until 5).map(k => (25000000L * 400L) / math.pow(20, k + 1).toLong)
+    val pairs = (0 until 5).map(k => s"${olcDigit(dg, 2 * k + 1)} * ${places(k)}")
+    // -90 * LatIntMult precomputed: the 2-literal product overflows INT32
+    s"(${-90L * 25000000L} + ${pairs.mkString(" + ")} + (${olcDigit(dg, 11)} // 4) * 625)"
+  }
+  private def olcLonValExpr(dg: String): String = {
+    val places = (0 until 5).map(k => (8192000L * 400L) / math.pow(20, k + 1).toLong)
+    val pairs = (0 until 5).map(k => s"${olcDigit(dg, 2 * k + 2)} * ${places(k)}")
+    s"(${-180L * 8192000L} + ${pairs.mkString(" + ")} + (${olcDigit(dg, 11)} % 4) * 256)"
+  }
+
+  /** q53: OLC decode / shorten / recover — the full integer decode, the
+    * shorten precision ladder (openlocationcode.d:254-290), and
+    * recoverNearest's prefix + nudge logic (openlocationcode.d:327-357)
+    * mirrored per tier (the per-row offset selects the tier). */
+  def q53: String = {
+    import graft.core.Olc
+    val shortThresh = (1 to 4).map(i => Olc.computeLatitudePrecision(i * 2) * 0.3)
+    val prefPrec = (1 to 4).map(i => math.pow(20.0, 2 - (i * 2) / 2.0))
+    s"""WITH pts AS ($CustomerPointsSql), b0 AS (
+      SELECT c_custkey, lat, lon, ${olcSql("lat", "lon", 11)} AS code,
+        CASE WHEN c_custkey % 4 = 0 THEN 0.0002 WHEN c_custkey % 4 = 1 THEN 0.002
+             WHEN c_custkey % 4 = 2 THEN 0.02 ELSE 0.5 END AS off
+      FROM pts
+    ), b1 AS (
+      SELECT c_custkey, code, lat + off AS ref_lat, lon + off AS ref_lon,
+        replace(code, '+', '') AS dg
+      FROM b0
+    ), b2 AS (
+      SELECT *, ${olcLatValExpr("dg")} AS latval, ${olcLonValExpr("dg")} AS lonval FROM b1
+    ), b3 AS (
+      SELECT c_custkey, code, ref_lat, ref_lon,
+        CAST(latval AS DOUBLE) / 25000000.0 AS ds, CAST(lonval AS DOUBLE) / 8192000.0 AS dw,
+        CAST(latval + 625 AS DOUBLE) / 25000000.0 AS dn,
+        CAST(lonval + 256 AS DOUBLE) / 8192000.0 AS de
+      FROM b2
+    ), b4 AS (
+      SELECT *, GREATEST(abs(ref_lat - (ds + dn) / 2.0),
+        abs(ref_lon - (dw + de) / 2.0)) AS rng FROM b3
+    ), b5 AS (
+      SELECT *, CASE WHEN rng < ${d(shortThresh(3))} THEN 4
+        WHEN rng < ${d(shortThresh(2))} THEN 3
+        WHEN rng < ${d(shortThresh(1))} THEN 2
+        WHEN rng < ${d(shortThresh(0))} THEN 1 ELSE 0 END AS si
+      FROM b4
+    ), b6 AS (
+      SELECT *, CASE WHEN si > 0 THEN substr(code, 2 * si + 1) ELSE NULL END AS short,
+        LEAST(GREATEST(ref_lat, -90.0), 90.0) AS rfc_lat,
+        CASE WHEN ref_lon >= 180.0 THEN ref_lon - 360.0
+             WHEN ref_lon < -180.0 THEN ref_lon + 360.0 ELSE ref_lon END AS rfc_lon,
+        CASE si WHEN 4 THEN ${d(prefPrec(3))} WHEN 3 THEN ${d(prefPrec(2))}
+                WHEN 2 THEN ${d(prefPrec(1))} WHEN 1 THEN ${d(prefPrec(0))} END AS pp
+      FROM b5
+    ), b7 AS (
+      SELECT *, substr(${olcSql("rfc_lat", "rfc_lon", 10)}, 1, 2 * si) || short AS recovered
+      FROM b6
+    ), b8 AS (
+      SELECT *, replace(recovered, '+', '') AS rdg FROM b7
+    ), b9 AS (
+      SELECT *, ${olcLatValExpr("rdg")} AS rlatval, ${olcLonValExpr("rdg")} AS rlonval FROM b8
+    ), b10 AS (
+      SELECT *,
+        (CAST(rlatval AS DOUBLE) / 25000000.0 +
+         CAST(rlatval + 625 AS DOUBLE) / 25000000.0) / 2.0 AS rc_lat0,
+        (CAST(rlonval AS DOUBLE) / 8192000.0 +
+         CAST(rlonval + 256 AS DOUBLE) / 8192000.0) / 2.0 AS rc_lon0
+      FROM b9
+    ), b11 AS (
+      SELECT *,
+        CASE WHEN rc_lat0 - rfc_lat > pp / 2.0 AND rc_lat0 - pp > -90.0 THEN rc_lat0 - pp
+             WHEN rc_lat0 - rfc_lat < -(pp / 2.0) AND rc_lat0 + pp < 90.0 THEN rc_lat0 + pp
+             ELSE rc_lat0 END AS rc_lat,
+        CASE WHEN rc_lon0 - rfc_lon > pp / 2.0 THEN rc_lon0 - pp
+             WHEN rc_lon0 - rfc_lon < -(pp / 2.0) THEN rc_lon0 + pp
+             ELSE rc_lon0 END AS rc_lon
+      FROM b10
+    ), b12 AS (
+      SELECT *, LEAST(GREATEST(rc_lat, -90.0), 90.0) AS e_lat,
+        CASE WHEN rc_lon >= 180.0 THEN rc_lon - 360.0
+             WHEN rc_lon < -180.0 THEN rc_lon + 360.0 ELSE rc_lon END AS e_lon
+      FROM b11
+    )
+    SELECT c_custkey, code, ds, dw, dn, de, 11 AS dlen, short,
+      ${olcSql("e_lat", "e_lon", 11)} AS rec
+    FROM b12 ORDER BY c_custkey"""
+  }
+
+  /** q54: helmert3 / helmert7 with convention flags / Molodensky-Badekas /
+    * registry datum shift (osgb1970) — pure arithmetic mirrors of
+    * core.Transform over derived ECEF positions. */
+  def q54: String = {
+    val e2 = KF * (2.0 - KF)
+    val p7 = graft.core.Registry.helmert7ByDatum(6277L)
+    val s0 = 1.0 + (-8.3) * 1e-6
+    val sMb = 1.0 + (-5.109) * 1e-6
+    val sDs = 1.0 + p7.ds * 1e-6
+    def arc(vE: String): String = s"($vE / 3600.0) * pi() / 180.0"
+    val mbOx = 2464351.59; val mbOy = -5783466.61; val mbOz = 974809.81
+    s"""WITH pts AS ($CustomerPointsSql), c1 AS (
+      SELECT c_custkey, lat * pi() / 180.0 AS phi, lon * pi() / 180.0 AS lam FROM pts
+    ), c2 AS (
+      SELECT *, sin(phi) AS sphi, cos(phi) AS cphi,
+        ${d(KA)} / sqrt(1.0 - ${d(e2)} * sin(phi) * sin(phi)) AS nu
+      FROM c1
+    ), e AS (
+      SELECT c_custkey, (nu + 0.0) * cphi * cos(lam) AS x, (nu + 0.0) * cphi * sin(lam) AS y,
+        (nu * (1.0 - ${d(e2)}) + 0.0) * sphi AS z,
+        c_custkey % 2 = 0 AS inv
+      FROM c2
+    ), hx AS (
+      SELECT *,
+        CASE WHEN inv THEN 581.99 ELSE -581.99 END AS dx2,
+        CASE WHEN inv THEN 105.01 ELSE -105.01 END AS dy2,
+        CASE WHEN inv THEN 414.0 ELSE -414.0 END AS dz2,
+        ${arc("CASE WHEN inv THEN 1.04 ELSE -1.04 END")} AS rx,
+        ${arc("CASE WHEN inv THEN 0.35 ELSE -0.35 END")} AS ry,
+        ${arc("CASE WHEN inv THEN -3.08 ELSE 3.08 END")} AS rz,
+        CASE WHEN inv THEN ${d(-s0)} ELSE ${d(s0)} END AS sc
+      FROM e
+    ), mb AS (
+      SELECT *, x - ${d(mbOx)} AS sx, y - ${d(mbOy)} AS sy, z - ${d(mbOz)} AS sz,
+        ${arc(d(-5.266))} AS mrx, ${arc(d(-1.238))} AS mry, ${arc(d(2.381))} AS mrz
+      FROM hx
+    ), ds AS (
+      SELECT *, ${arc(d(p7.rx))} AS prx, ${arc(d(p7.ry))} AS pry, ${arc(d(p7.rz))} AS prz
+      FROM mb
+    )
+    SELECT c_custkey,
+      round(x + 100.5, 4) + 0.0 AS h3x,
+      round(dx2 + sc * (x + rz * y - ry * z), 4) + 0.0 AS h7x,
+      round(dy2 + sc * (-(rz) * x + y + rx * z), 4) + 0.0 AS h7y,
+      round(dz2 + sc * (ry * x - rx * y + z), 4) + 0.0 AS h7z,
+      round(${d(-270.933 + mbOx)} + ${d(sMb)} * (sx + mrz * sy - mry * sz), 4) + 0.0 AS mbx,
+      round(${d(115.599 + mbOy)} + ${d(sMb)} * (-(mrz) * sx + sy + mrx * sz), 4) + 0.0 AS mby,
+      round(${d(-360.226 + mbOz)} + ${d(sMb)} * (mry * sx - mrx * sy + sz), 4) + 0.0 AS mbz,
+      round(${d(p7.dx)} + ${d(sDs)} * (x + prz * y - pry * z), 4) + 0.0 AS dsx,
+      round(${d(p7.dy)} + ${d(sDs)} * (-(prz) * x + y + prx * z), 4) + 0.0 AS dsy,
+      round(${d(p7.dz)} + ${d(sDs)} * (pry * x - prx * y + z), 4) + 0.0 AS dsz
+    FROM ds ORDER BY c_custkey"""
+  }
+
+  /** q55: abridged Molodensky direct geodetic shift — published formula
+    * mirror (Transform.molodenskyAbridged), WGS84 -> International 1924. */
+  def q55: String = {
+    val e2 = KF * (2.0 - KF)
+    val adffda = KA * SparkEntry.MolodenskyDf + KF * 251.0
+    s"""WITH pts AS ($CustomerPointsSql), c1 AS (
+      SELECT c_custkey, lat, lon, CAST(c_custkey % 3000 AS DOUBLE) AS alt,
+        lat * pi() / 180.0 AS phi, lon * pi() / 180.0 AS lam
+      FROM pts
+    ), c2 AS (
+      SELECT *, sin(phi) AS sphi, cos(phi) AS cphi, sin(lam) AS slam, cos(lam) AS clam,
+        1.0 - ${d(e2)} * sin(phi) * sin(phi) AS s2
+      FROM c1
+    ), c3 AS (
+      SELECT *, ${d(KA)} / sqrt(s2) AS nn,
+        ${d(KA)} * (1.0 - ${d(e2)}) / (s2 * sqrt(s2)) AS m FROM c2
+    ), c4 AS (
+      SELECT *,
+        (-(87.0) * sphi * clam - 98.0 * sphi * slam + 121.0 * cphi +
+          ${d(adffda)} * sin(2.0 * phi)) / m AS dphi,
+        (-(87.0) * slam + 98.0 * clam) / (nn * cphi) AS dlam,
+        87.0 * cphi * clam + 98.0 * cphi * slam + 121.0 * sphi +
+          ${d(adffda)} * sphi * sphi - 251.0 AS dh
+      FROM c3
+    )
+    SELECT c_custkey, round(lat + dphi * 180.0 / pi(), 6) + 0.0 AS mlat,
+      round(lon + dlam * 180.0 / pi(), 6) + 0.0 AS mlon,
+      round(alt + dh, 4) + 0.0 AS mh
+    FROM c4 ORDER BY c_custkey"""
+  }
+
+  def polysHoledGlob(nDocs: Long): String =
+    s"${Corpus.corpusBase(nDocs)}/polys_holed/*.parquet"
+
+  /** q56: spatial join against the multi-ring layer — brute-force even-odd
+    * crossing count over ALL rings of each polygon (holes subtract,
+    * multipolygon components add, uniformly). */
+  def q56(nDocs: Long): String =
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, r0 AS (
+      SELECT poly_id, UNNEST(rings) AS ring FROM read_parquet(${q(polysHoledGlob(nDocs))})
+    ), edges0 AS (
+      SELECT poly_id, UNNEST(list_transform(range(1, len(ring) + 1), i -> {
+        'yi': ring[i].lat, 'xi': ring[i].lon,
+        'yj': ring[CASE WHEN i = 1 THEN len(ring) ELSE i - 1 END].lat,
+        'xj': ring[CASE WHEN i = 1 THEN len(ring) ELSE i - 1 END].lon})) AS e
+      FROM r0
+    ), edges AS (
+      SELECT poly_id, e.yi AS yi, e.xi AS xi, e.yj AS yj, e.xj AS xj FROM edges0
+    ), hits AS (
+      SELECT p.doc_id, p."offset", ed.poly_id,
+        count(*) FILTER (WHERE $CrossingCond) AS cr
+      FROM parsed p CROSS JOIN edges ed
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, "offset", poly_id FROM hits WHERE cr % 2 = 1
+    ORDER BY doc_id, "offset", poly_id"""
+
+  /** q57: streaming tile assignment (Trigger.AvailableNow) == the batch tile
+    * assignment — parse + slippy tile id per span. */
+  def q57(nDocs: Long): String = {
+    val z = 7
+    s"""WITH ${parsedCte(docsGlob(nDocs))}
+    SELECT doc_id, "offset",
+      ${z.toLong << 58} + ${tileXExpr("lon", z)} * ${1L << 29} + ${tileYExpr("lat", z)} AS tile_id
+    FROM parsed ORDER BY doc_id, "offset", tile_id"""
+  }
+
+  /** Customer-table-based oracles for the inverse/parse surface (no corpus
+    * dependency). */
+  def inverseOracles: Map[String, String] = Map(
+    "q48_utm_to_geo" -> q48,
+    "q49_mgrs_roundtrip" -> q49,
+    "q50_ecef_to_geo" -> q50,
+    "q51_parse_utm_mgrs" -> q51,
+    "q52_geohash_inverse" -> q52,
+    "q53_olc_inverse" -> q53,
+    "q54_datum_transforms" -> q54,
+    "q55_molodensky" -> q55)
 
   // ---- q36: tile polyfill (vector->raster covering) ------------------------
 
@@ -745,6 +1274,8 @@ object OracleSql {
     "q44_ann_lsh" -> q44,
     "q45_embed_neardup" -> q45,
     "q46_token_counts" -> q46,
-    "q47_vincenty" -> q47
+    "q47_vincenty" -> q47,
+    "q56_pip_multiring" -> q56(nDocs),
+    "q57_stream_tiles" -> q57(nDocs)
   )
 }

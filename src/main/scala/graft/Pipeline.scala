@@ -119,6 +119,7 @@ object Pipeline {
     val cleanFp = s"clean:$docsFp:near=0.9"
     val pointsFp = s"extract:$cleanFp:$level"
     val joinedFp = s"join:$pointsFp:$polysFp:$level"
+    var cleanTextDf: DataFrame = null
     val cleaned = stage("clean", s"$outDir/clean", cleanFp, None) {
       import org.apache.spark.sql.expressions.Window
       // media-only docs (no text spans) are NOT duplicates of each other:
@@ -128,6 +129,7 @@ object Pipeline {
           .as("text"))
         .where(length(col("text")) > 0)
         .cache() // consumed by exactGroups + (twice) minhashLsh — one scan, not three
+      cleanTextDf = textDf
       val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
       val exactLosers = Dedup.exactGroups(textDf)
         .withColumn("rn", row_number().over(w)).where(col("rn") > 1)
@@ -138,6 +140,10 @@ object Pipeline {
         Seq("doc_id"), "left_anti")
       out
     }
+    // the clean stage's write + count above materialized everything that
+    // needs the cached text projection — release the executor storage before
+    // the downstream stages run
+    if (cleanTextDf != null) cleanTextDf.unpersist()
 
     // stage 1: extract, partitioned by level-2 cell prefix (coarse enough for
     // sane directory counts, fine enough for partition-pruned region reads)

@@ -30,9 +30,16 @@ object SparkEntry {
     math.max(1000L, (sf * 1e6).toLong)
   }
 
-  /** Doc-count caps for the quadratic-ish engine queries (kNN / media). */
+  /** Doc-count caps for the quadratic-ish engine queries (kNN / media).
+    * These bound the DRIVER-GATE inputs only (the DuckDB brute-force oracles
+    * for kNN/media are quadratic); the operators themselves are uncapped.
+    * Bench emits both caps in its JSON so the bound is never silent. */
   val KnnDocCap = 20000L
   val MediaDocCap = 10000L
+
+  /** q55 flattening delta: International 1924 (1/297) minus WGS84 —
+    * computed once so the oracle SQL embeds the identical double. */
+  val MolodenskyDf: Double = 1.0 / 297.0 - 1.0 / 298.257223563
 
   private def prep(spark: SparkSession): SparkSession = {
     GraftFunctions.register(spark)
@@ -374,10 +381,9 @@ object SparkEntry {
     }),
     "q42_lang_quality" -> ((spark, dir) => {
       implicit val s: SparkSession = prep(spark)
-      val d = t(dir, "documents")
-      TextOps.langId(d)
-        .join(TextOps.qualityScore(d), Seq("doc_id"))
-        .join(TextOps.fingerprint(d), Seq("doc_id"))
+      // fused single-scan profile (was langId JOIN quality JOIN fingerprint:
+      // 3 scans + 2 shuffles; PlanSpec gates the single-FileScan shape)
+      TextOps.profile(t(dir, "documents"))
         .orderBy(col("doc_id"))
     }),
     "q43_ann_topk" -> ((spark, dir) => {
@@ -414,6 +420,222 @@ object SparkEntry {
       TextOps.tokenCounts(t(dir, "documents"))
         .orderBy(col("doc_id"))
     }),
+    // ---- inverse / parse surface (round-3 driver-oracle coverage) ---------
+    // q48: UTM -> geographic (Newton inverse + Krüger beta series), over
+    // synthesized UTM positions; oracle = recursive-CTE Newton mirror.
+    "q48_utm_to_geo" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      t(dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_custkey") % 60 + 1).cast("int").as("zone"),
+          when(col("c_custkey") % 2 === 0, "N").otherwise("S").as("hemi"),
+          (lit(200000.0) + (col("c_custkey") * 13 % 600000).cast("double")).as("easting"),
+          (lit(1000000.0) + (col("c_custkey") * 7 % 8000000).cast("double")).as("northing"))
+        .withColumn("g", call_function("st_utm_to_geo",
+          col("zone"), col("hemi"), col("easting"), col("northing")))
+        .select(col("c_custkey"), col("zone"), col("hemi"),
+          (round(col("g.lat"), 6) + 0.0).as("lat"),
+          (round(col("g.lon"), 6) + 0.0).as("lon"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q49: MGRS round trip geo -> MGRS -> UTM -> geo (letters + recovered
+    // UTM + recovered geo); exercises st_geo_to_mgrs / st_mgrs_to_utm /
+    // st_mgrs_to_geo against a forward-Krüger + walk + inverse-Newton oracle.
+    "q49_mgrs_roundtrip" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("m", call_function("st_geo_to_mgrs", col("lat"), col("lon")))
+        .withColumn("u", call_function("st_mgrs_to_utm",
+          col("m.zone"), col("m.band"), col("m.e100k"), col("m.n100k"),
+          col("m.easting"), col("m.northing")))
+        .withColumn("g", call_function("st_mgrs_to_geo",
+          col("m.zone"), col("m.band"), col("m.e100k"), col("m.n100k"),
+          col("m.easting"), col("m.northing")))
+        .select(col("c_custkey"),
+          col("m.zone").as("mz"), col("m.band").as("mb"),
+          col("m.e100k").as("me"), col("m.n100k").as("mn"),
+          col("u.hemisphere").as("uhemi"),
+          (round(col("u.easting"), 3) + 0.0).as("ueast"),
+          (round(col("u.northing"), 3) + 0.0).as("unorth"),
+          (round(col("g.lat"), 6) + 0.0).as("rlat"),
+          (round(col("g.lon"), 6) + 0.0).as("rlon"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q50: ECEF -> geographic (Bowring) round trip with altitude.
+    "q50_ecef_to_geo" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("alt", (col("c_custkey") % 5000).cast("double"))
+        .withColumn("e", call_function("st_geo_to_ecef", col("lat"), col("lon"), col("alt")))
+        .withColumn("g", call_function("st_ecef_to_geo", col("e.x"), col("e.y"), col("e.z")))
+        .select(col("c_custkey"),
+          (round(col("g.lat"), 6) + 0.0).as("rlat"),
+          (round(col("g.lon"), 6) + 0.0).as("rlon"),
+          (round(col("g.h"), 4) + 0.0).as("rh"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q51: free-text UTM + MGRS parsing over synthesized coordinate strings
+    // (spaced-decimal and compact zero-padded MGRS forms; hemisphere vs
+    // band letters both exercised).
+    "q51_parse_utm_mgrs" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      val bandLetters = "CDEFGHJKLMNPQRSTUVWX"
+      val base = t(dir, "customer").select(
+        col("c_custkey"),
+        (col("c_custkey") % 60 + 1).cast("int").as("zone"),
+        lit(bandLetters).substr((col("c_custkey") % 20).cast("int") + 1, lit(1)).as("letter"),
+        (lit(200000) + col("c_custkey") * 13 % 600000).cast("long").as("e_int"),
+        (col("c_custkey") * 7 % 9000000).cast("long").as("n_int"),
+        lit("ABCDEFGH").substr((col("c_custkey") % 8).cast("int") + 1, lit(1)).as("ge"),
+        lit("ABCDEFGHJKLMNPQRSTUV").substr((col("c_custkey") % 20).cast("int") + 1, lit(1)).as("gn"),
+        (col("c_custkey") * 3 % 100000).cast("long").as("me_int"),
+        (col("c_custkey") * 11 % 100000).cast("long").as("mn_int"))
+      val withStrs = base
+        .withColumn("utm_str", concat(col("zone"), lit(" "), col("letter"), lit(" "),
+          col("e_int"), lit(".25 "), col("n_int"), lit(".75")))
+        .withColumn("mgrs_str",
+          when(col("c_custkey") % 2 === 0,
+            concat(col("zone"), lit(" "), col("letter"), lit(" "), col("ge"), col("gn"),
+              lit(" "), col("me_int"), lit(".5 "), col("mn_int"), lit(".25")))
+          .otherwise(concat(col("zone"), col("letter"), col("ge"), col("gn"),
+            lpad(col("me_int"), 5, "0"), lpad(col("mn_int"), 5, "0"))))
+        .withColumn("pu", call_function("st_parse_utm", col("utm_str")))
+        .withColumn("pm", call_function("st_parse_mgrs", col("mgrs_str")))
+      withStrs.select(col("c_custkey"),
+        col("pu.zone").as("u_zone"), col("pu.hemisphere").as("u_hemi"),
+        col("pu.easting").as("u_east"), col("pu.northing").as("u_north"),
+        col("pm.zone").as("m_zone"), col("pm.band").as("m_band"),
+        col("pm.e100k").as("m_e100k"), col("pm.n100k").as("m_n100k"),
+        col("pm.easting").as("m_east"), col("pm.northing").as("m_north"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q52: geohash decode / bounds / adjacent (all four directions) —
+    // dyadic-rational arithmetic, compared RAW (bit-exact on both engines).
+    "q52_geohash_inverse" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("gh", call_function("st_geohash", col("lat"), col("lon"), lit(5)))
+        .withColumn("d", call_function("st_geohash_decode", col("gh")))
+        .withColumn("b", call_function("st_geohash_bounds", col("gh")))
+        .select(col("c_custkey"), col("gh"),
+          col("d.lat").as("clat"), col("d.lon").as("clon"),
+          col("b.south").as("bs"), col("b.west").as("bw"),
+          col("b.north").as("bn"), col("b.east").as("be"),
+          call_function("st_geohash_adjacent", col("gh"), lit("n")).as("adj_n"),
+          call_function("st_geohash_adjacent", col("gh"), lit("e")).as("adj_e"),
+          call_function("st_geohash_adjacent", col("gh"), lit("s")).as("adj_s"),
+          call_function("st_geohash_adjacent", col("gh"), lit("w")).as("adj_w"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q53: OLC decode / shorten / recover — integer-pipeline mirror; the
+    // per-row reference offset cycles through the four shorten tiers.
+    "q53_olc_inverse" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("code", call_function("olc_encode", col("lat"), col("lon"), lit(11)))
+        .withColumn("off",
+          when(col("c_custkey") % 4 === 0, 0.0002)
+            .when(col("c_custkey") % 4 === 1, 0.002)
+            .when(col("c_custkey") % 4 === 2, 0.02)
+            .otherwise(0.5))
+        .withColumn("ref_lat", col("lat") + col("off"))
+        .withColumn("ref_lon", col("lon") + col("off"))
+        .withColumn("d", call_function("olc_decode", col("code")))
+        .withColumn("short", call_function("olc_shorten",
+          col("code"), col("ref_lat"), col("ref_lon")))
+        .withColumn("rec", call_function("olc_recover",
+          col("short"), col("ref_lat"), col("ref_lon")))
+        .select(col("c_custkey"), col("code"),
+          col("d.south").as("ds"), col("d.west").as("dw"),
+          col("d.north").as("dn"), col("d.east").as("de"),
+          col("d.length").as("dlen"), col("short"), col("rec"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q54: cartesian datum transforms — helmert3, helmert7 with the
+    // reference's convention flags, Molodensky-Badekas, and the registry
+    // datum shift (osgb1970) over derived ECEF positions.
+    "q54_datum_transforms" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("e", call_function("st_geo_to_ecef", col("lat"), col("lon"), lit(0.0)))
+        .withColumn("h3", call_function("st_helmert3",
+          col("e.x"), col("e.y"), col("e.z"), lit(100.5), lit(-200.25), lit(50.125)))
+        .withColumn("h7x", call_function("st_helmert7_ex",
+          col("e.x"), col("e.y"), col("e.z"),
+          lit(-581.99), lit(-105.01), lit(-414.0),
+          lit(1.04), lit(0.35), lit(-3.08), lit(-8.3),
+          lit(true), (col("c_custkey") % 2 === 0)))
+        .withColumn("mb", call_function("st_molodensky_badekas",
+          col("e.x"), col("e.y"), col("e.z"),
+          lit(-270.933), lit(115.599), lit(-360.226),
+          lit(-5.266), lit(-1.238), lit(2.381),
+          lit(2464351.59), lit(-5783466.61), lit(974809.81), lit(-5.109)))
+        .withColumn("ds", call_function("st_datum_shift",
+          col("e.x"), col("e.y"), col("e.z"), lit("osgb1970")))
+        .select(col("c_custkey"),
+          (round(col("h3.x"), 4) + 0.0).as("h3x"),
+          (round(col("h7x.x"), 4) + 0.0).as("h7x"),
+          (round(col("h7x.y"), 4) + 0.0).as("h7y"),
+          (round(col("h7x.z"), 4) + 0.0).as("h7z"),
+          (round(col("mb.x"), 4) + 0.0).as("mbx"),
+          (round(col("mb.y"), 4) + 0.0).as("mby"),
+          (round(col("mb.z"), 4) + 0.0).as("mbz"),
+          (round(col("ds.x"), 4) + 0.0).as("dsx"),
+          (round(col("ds.y"), 4) + 0.0).as("dsy"),
+          (round(col("ds.z"), 4) + 0.0).as("dsz"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q55: abridged Molodensky direct geodetic shift (the reference's empty
+    // geodetic5p stub completed) — WGS84 -> ED50-like (International 1924).
+    "q55_molodensky" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("alt", (col("c_custkey") % 3000).cast("double"))
+        .withColumn("m", call_function("st_molodensky",
+          col("lat"), col("lon"), col("alt"),
+          lit(87.0), lit(98.0), lit(121.0),
+          lit(251.0), lit(MolodenskyDf)))
+        .select(col("c_custkey"),
+          (round(col("m.lat"), 6) + 0.0).as("mlat"),
+          (round(col("m.lon"), 6) + 0.0).as("mlon"),
+          (round(col("m.h"), 4) + 0.0).as("mh"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q56: spatial join against a MULTI-RING layer (holes + multipolygons),
+    // even-odd refine; oracle = brute-force crossing count over all rings.
+    "q56_pip_multiring" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val mp = Corpus.storedPolysHoled(s, corpusDocs(dir))
+      SpatialJoin.joinMulti(SpatialJoin.extractPoints(docs), mp)
+        .select(col("doc_id"), col("offset"), col("poly_id"))
+        .orderBy(col("doc_id"), col("offset"), col("poly_id"))
+    }),
+    // q57: Structured Streaming tile assignment under Trigger.AvailableNow
+    // over the stored corpus directory, parquet sink, read back for the
+    // oracle compare — puts the streaming path into the driver gate.
+    "q57_stream_tiles" -> ((spark, dir) => {
+      val s = prep(spark)
+      val nDocs = corpusDocs(dir)
+      val (docsPath, _) = Corpus.ensure(s, nDocs)
+      val sch = s.read.parquet(docsPath).schema
+      val outBase = s"${sys.props("java.io.tmpdir")}/graft_q57_${java.util.UUID.randomUUID()}"
+      val q = graft.streaming.Streams.tileAssign(
+          s.readStream.schema(sch).parquet(docsPath), 7)
+        .select(col("doc_id"), col("offset"), col("tile_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outBase/data")
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outBase/data")
+        .orderBy(col("doc_id"), col("offset"), col("tile_id"))
+    }),
     "q44_ann_lsh" -> ((spark, dir) => {
       implicit val s: SparkSession = prep(spark)
       val e = t(dir, "embeddings")
@@ -440,7 +662,8 @@ object SparkEntry {
   @volatile var oracleDir: String = "/root/testdata/sf0.01"
 
   def oracleSql: Map[String, String] =
-    relationalOracleSql ++ OracleSql.engineOracles(corpusDocs(oracleDir))
+    relationalOracleSql ++ OracleSql.engineOracles(corpusDocs(oracleDir)) ++
+      OracleSql.inverseOracles
 
   private def relationalOracleSql: Map[String, String] = Map(
     "q21_geohash_sql" ->

@@ -31,6 +31,38 @@ object Pip {
     inside
   }
 
+  /** Even-odd containment over MULTIPLE rings (polygon with holes and/or
+    * multipolygon): a point is inside iff its total crossing count over ALL
+    * ring edges is odd. With rings = [outer, hole...] this punches holes;
+    * with several disjoint outers it is a multipolygon — the uniform
+    * even-odd rule handles both without classifying rings. Rings with fewer
+    * than 3 vertices are ignored (degenerate, contribute no area). */
+  def containsRings(lat: Double, lon: Double, rings: Array[Array[Double]]): Boolean = {
+    if (rings == null) return false
+    var crossings = 0
+    var r = 0
+    while (r < rings.length) {
+      val ring = rings(r)
+      if (ring != null && ring.length >= 6) {
+        val n = ring.length / 2
+        var j = n - 1
+        var i = 0
+        while (i < n) {
+          val yi = ring(2 * i); val xi = ring(2 * i + 1)
+          val yj = ring(2 * j); val xj = ring(2 * j + 1)
+          if (((yi > lat) != (yj > lat)) &&
+              (lon < (xj - xi) * (lat - yi) / (yj - yi) + xi)) {
+            crossings += 1
+          }
+          j = i
+          i += 1
+        }
+      }
+      r += 1
+    }
+    (crossings & 1) == 1
+  }
+
   /** Bounding box of a packed ring: Array(latMin, lonMin, latMax, lonMax). */
   def bbox(ring: Array[Double]): Array[Double] = {
     var latMin = Double.MaxValue; var latMax = -Double.MaxValue

@@ -52,6 +52,45 @@ object Transform {
                   dsPpm: Double): Array[Double] =
     helmert7(x, y, z, dx, dy, dz, rxArcsec, ryArcsec, rzArcsec, 1.0 + dsPpm * 1e-6)
 
+  /** Abridged Molodensky direct geodetic datum shift (the 5-parameter
+    * transform the reference declares but leaves as an empty stub,
+    * transform.d:151-153 — implemented here from the published formulas,
+    * DMA TM 8350.2 / Deakin 2004). Works in geodetic coordinates directly
+    * (no ECEF round trip): given a point on the SOURCE ellipsoid (a, f),
+    * translation (dx, dy, dz) metres and ellipsoid change (da = aTgt - aSrc,
+    * df = fTgt - fSrc), returns Array(lat, lon, h) on the target datum.
+    *
+    *   dphi    = (-dx sinφ cosλ - dy sinφ sinλ + dz cosφ
+    *              + (a·df + f·da) sin 2φ) / M
+    *   dlambda = (-dx sinλ + dy cosλ) / (N cosφ)
+    *   dh      =  dx cosφ cosλ + dy cosφ sinλ + dz sinφ
+    *              + (a·df + f·da) sin²φ - da
+    *
+    * with M the meridian and N the prime-vertical curvature radius. The
+    * abridged form drops the h/M and h/N terms of the full Molodensky
+    * series — sub-metre agreement for |h| < 10 km, the published trade-off. */
+  def molodenskyAbridged(lat: Double, lon: Double, h0: Double,
+                         dx: Double, dy: Double, dz: Double,
+                         a: Double, f: Double,
+                         da: Double, df: Double): Array[Double] = {
+    val h = if (h0.isNaN) 0.0 else h0
+    val phi = toRadians(lat)
+    val lam = toRadians(lon)
+    val sphi = math.sin(phi); val cphi = math.cos(phi)
+    val slam = math.sin(lam); val clam = math.cos(lam)
+    val e2 = f * (2.0 - f)
+    val s2 = 1.0 - e2 * sphi * sphi
+    val nN = a / math.sqrt(s2)                    // prime vertical
+    val m = a * (1.0 - e2) / (s2 * math.sqrt(s2)) // meridian
+    val adffda = a * df + f * da
+    val dphi = (-dx * sphi * clam - dy * sphi * slam + dz * cphi +
+      adffda * math.sin(2.0 * phi)) / m
+    val dlam = (-dx * slam + dy * clam) / (nN * cphi)
+    val dh = dx * cphi * clam + dy * cphi * slam + dz * sphi +
+      adffda * sphi * sphi - da
+    Array(lat + toDegrees(dphi), lon + toDegrees(dlam), h + dh)
+  }
+
   /** 10-parameter Molodensky-Badekas: Helmert about an explicit rotation
     * origin (transform.d:129-137). Not reversible. */
   def molodenskyBadekas(x: Double, y: Double, z: Double,

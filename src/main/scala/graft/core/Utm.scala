@@ -68,7 +68,7 @@ object Utm {
       212378941.0 / 319334400 * n6)
   }
 
-  private def kruegerBeta(n: Double): Array[Double] = {
+  private[graft] def kruegerBeta(n: Double): Array[Double] = {
     val n2 = n * n; val n3 = n * n2; val n4 = n * n3; val n5 = n * n4; val n6 = n * n5
     Array(0.0,
       n / 2 - 2.0 / 3 * n2 + 37.0 / 96 * n3 - 1.0 / 360 * n4 - 81.0 / 512 * n5 + 96199.0 / 604800 * n6,

@@ -8,6 +8,7 @@ final case class Span(kind: String, text: String, media_ref: String, offset: Int
 final case class Doc(doc_id: String, spans: Seq[Span])
 final case class PointLL(lat: Double, lon: Double)
 final case class Poly(poly_id: String, ring: Seq[PointLL])
+final case class MultiPoly(poly_id: String, rings: Seq[Seq[PointLL]])
 
 /** Deterministic synthetic corpus of interleaved text+media documents whose
   * text spans carry embedded coordinates in the reference's parseable
@@ -114,20 +115,50 @@ object Corpus {
     spark.createDataset((0 until nPolys).map(genPoly))
   }
 
-  def genPoly(p: Int): Poly = {
+  /** Deterministic polygon parameters (center, vertex count, radius) —
+    * the rng draw order is identical to the original genPoly so stored
+    * corpora stay byte-stable. */
+  private def polyParams(p: Int): (Double, Double, Int, Double) = {
     val rng = new java.util.Random(mix(Seed + 1, p.toLong))
     val (cLat, cLon) =
       if (p < 45) Hotspots(p % Hotspots.length)
       else (rng.nextDouble() * 140 - 70, rng.nextDouble() * 340 - 170)
     val n = 5 + rng.nextInt(8)
     val radius = 0.1 + rng.nextDouble() * 1.9
-    val ring = (0 until n).map { k =>
+    (cLat, cLon, n, radius)
+  }
+
+  private def ringAt(cLat: Double, cLon: Double, n: Int, radius: Double): Seq[PointLL] =
+    (0 until n).map { k =>
       val a = 2 * math.Pi * k / n
       PointLL(
         math.max(-89.0, math.min(89.0, cLat + radius * math.cos(a))),
         graft.core.GeoMath.wrap180(cLon + radius * math.sin(a)))
     }
-    Poly(f"poly-$p%03d", ring)
+
+  def genPoly(p: Int): Poly = {
+    val (cLat, cLon, n, radius) = polyParams(p)
+    Poly(f"poly-$p%03d", ringAt(cLat, cLon, n, radius))
+  }
+
+  /** Multi-ring layer derived from the same deterministic parameters:
+    * every 5th polygon is a two-outer MULTIPOLYGON (second component offset
+    * north, disjoint); the rest are the base ring with a concentric HOLE at
+    * 0.4x radius. Exercises the even-odd multi-ring PIP path. */
+  def genPolyHoled(p: Int): MultiPoly = {
+    val (cLat, cLon, n, radius) = polyParams(p)
+    val outer = ringAt(cLat, cLon, n, radius)
+    val rings =
+      if (p % 5 == 4)
+        Seq(outer, ringAt(math.min(85.0, cLat + 4.5), cLon, n, radius * 0.8))
+      else
+        Seq(outer, ringAt(cLat, cLon, n, radius * 0.4))
+    MultiPoly(f"poly-$p%03d", rings)
+  }
+
+  def polygonsHoled(spark: SparkSession, nPolys: Int = 50): Dataset[MultiPoly] = {
+    import spark.implicits._
+    spark.createDataset((0 until nPolys).map(genPolyHoled))
   }
 
   /** Documents as a DataFrame with the exact input-hint schema. */
@@ -141,15 +172,42 @@ object Corpus {
   /** Materialize the deterministic corpus + polygon layer once per size
     * (parquet on local disk). Queries and benchmarks read THIS — the realistic
     * stored-input shape — so per-query timings measure the operator, not
-    * corpus generation, and the DuckDB oracle can read the same files. */
+    * corpus generation, and the DuckDB oracle can read the same files.
+    *
+    * Cross-process safety: the corpus is written to a process-private temp
+    * dir and atomically renamed into place, so two concurrent JVMs (e.g.
+    * Bench and Verify at the same scale) never see a half-written corpus —
+    * the loser of the rename race deletes its copy and reads the winner's
+    * (identical, deterministic) output. `synchronized` still serializes
+    * threads within one JVM. */
   def ensure(spark: SparkSession, nDocs: Long): (String, String) = synchronized {
     val base = corpusBase(nDocs)
     val docsPath = s"$base/docs"
     val polysPath = s"$base/polys"
-    if (!new java.io.File(s"$docsPath/_SUCCESS").exists() ||
-        !new java.io.File(s"$polysPath/_SUCCESS").exists()) {
-      documentsDf(spark, nDocs, partitions = 64).write.mode("overwrite").parquet(docsPath)
-      polygons(spark).write.mode("overwrite").parquet(polysPath)
+    def complete() = new java.io.File(s"$docsPath/_SUCCESS").exists() &&
+      new java.io.File(s"$polysPath/_SUCCESS").exists() &&
+      new java.io.File(s"$base/polys_holed/_SUCCESS").exists()
+    if (!complete()) {
+      val tmp = s"$base.tmp.${java.lang.ProcessHandle.current().pid()}"
+      documentsDf(spark, nDocs, partitions = 64).write.mode("overwrite").parquet(s"$tmp/docs")
+      polygons(spark).write.mode("overwrite").parquet(s"$tmp/polys")
+      polygonsHoled(spark).write.mode("overwrite").parquet(s"$tmp/polys_holed")
+      try {
+        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException =>
+          // another process won the race (or a stale partial base dir
+          // exists); keep the existing base only if it is complete
+          if (!complete()) {
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          } else {
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          }
+      }
     }
     (docsPath, polysPath)
   }
@@ -160,4 +218,10 @@ object Corpus {
 
   def storedPolys(spark: SparkSession, nDocs: Long): DataFrame =
     spark.read.parquet(ensure(spark, nDocs)._2)
+
+  /** Stored multi-ring (holes + multipolygon) layer for a scale dir. */
+  def storedPolysHoled(spark: SparkSession, nDocs: Long): DataFrame = {
+    ensure(spark, nDocs)
+    spark.read.parquet(s"${corpusBase(nDocs)}/polys_holed")
+  }
 }

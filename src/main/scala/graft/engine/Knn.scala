@@ -60,6 +60,19 @@ object Knn {
   def knn(spark: SparkSession, queries: DataFrame, points: DataFrame, k: Int,
           level: Int = 4, maxRounds: Int = 6): DataFrame = {
     import org.apache.spark.sql.functions.{call_function => cf}
+    // Durability: the per-round accumulators below are RELIABLY checkpointed
+    // (written to the checkpoint dir, readable after executor loss), not
+    // localCheckpoint'ed — localCheckpoint stores blocks on executors and
+    // TRUNCATES lineage, so on a real cluster one lost executor after round r
+    // would kill the whole job with no way to recompute. The checkpointed
+    // data is query-side only (<= k rows per query + the unresolved query
+    // list), never the point table, so the write cost is negligible at any
+    // scale. The remaining driver-side serialization points are the two
+    // isEmpty actions per round (maxRounds * 2 tiny jobs) — inherent to the
+    // adaptive loop and documented here.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        s"${sys.props("java.io.tmpdir")}/graft_knn_ckpt_${java.lang.ProcessHandle.current().pid()}")
     val pts = points
       .select(col("pid"), col("lat").as("p_lat"), col("lon").as("p_lon"))
       .withColumn("cell", cf("st_cell", col("p_lat"), col("p_lon"), lit(level)))
@@ -102,12 +115,13 @@ object Knn {
       acc = if (acc == null) resolvedRows.select("qid", "pid", "dist", "rank")
             else acc.unionByName(resolvedRows.select("qid", "pid", "dist", "rank"))
       // materialize this round's results before mutating `unresolved`
-      acc = acc.localCheckpoint(true)
+      // (reliable checkpoint: survives executor loss, see header note)
+      acc = acc.checkpoint(true)
       // checkpoint: without this the unresolved plan references itself twice
       // per round (directly and via resolvedQ), re-executing every earlier
       // round's disk join on each isEmpty/join/crossJoin
       unresolved = unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti")
-        .localCheckpoint(true)
+        .checkpoint(true)
       round += 1
     }
     // Exact completion for the residual: queries still unresolved after
@@ -124,7 +138,7 @@ object Knn {
         .where(col("rank") <= k)
         .select("qid", "pid", "dist", "rank")
       acc = if (acc == null) rest else acc.unionByName(rest)
-      acc = acc.localCheckpoint(true)
+      acc = acc.checkpoint(true)
     }
     pts.unpersist()
     acc

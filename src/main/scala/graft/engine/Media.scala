@@ -37,16 +37,21 @@ object Media {
   }
 
   /** Deterministic fake payload bytes for a media ref (STUB — stands in for
-    * fetching the actual blob): 256 bytes derived from md5 of the ref, with
-    * the ref embedded so the decode can recover it. A real pipeline reads
+    * fetching the actual blob): >= 256 bytes derived from md5 of the ref, with
+    * the ref embedded in full so the decode can recover it exactly (the
+    * payload grows past 256 bytes rather than truncating long refs — a
+    * truncated ref would make decodeBytes disagree with decodeStub(ref)).
+    * Refs longer than the 2-byte length field (65535 UTF-8 bytes) are
+    * rejected with null, like an unfetchable blob. A real pipeline reads
     * these from the object store instead. */
   def fetchStub(ref: String): Array[Byte] = {
-    val seed = graft.core.Hashing.md5(ref.getBytes("UTF-8"))
-    val out = new Array[Byte](256)
+    val refBytes = ref.getBytes("UTF-8")
+    if (refBytes.length > 0xFFFF) return null
+    val seed = graft.core.Hashing.md5(refBytes)
+    val out = new Array[Byte](math.max(256, 16 + refBytes.length))
     var i = 0
     while (i < out.length) { out(i) = seed(i % 16); i += 1 }
-    val refBytes = ref.getBytes("UTF-8")
-    val n = math.min(refBytes.length, 200) // payload carries at most 200 ref bytes
+    val n = refBytes.length
     System.arraycopy(refBytes, 0, out, 16, n)
     out(0) = (n >> 8).toByte // 2-byte big-endian length (a 1-byte field would
     out(1) = (n & 0xFF).toByte // wrap modulo 256 for long refs)

@@ -171,6 +171,42 @@ object SpatialJoin {
                 broadcastPolys: Boolean = true): DataFrame =
     joinRangeWithIndex(points, buildIndex(polys, level), broadcastPolys)
 
+  /** Multi-ring spatial join: polygons with holes and/or multipolygons
+    * (`polys`: poly_id, rings: array<array<struct<lat,lon>>>).
+    *
+    * Covering: the union of each ring's adaptive covering — holes only
+    * subtract area so any covering that includes the outer ring's cells is
+    * superset-exact, and covering every component handles multipolygons.
+    * Rings of one polygon may cover at different adaptive levels, so the
+    * same (point, poly) candidate can arise through two nested cells —
+    * deduped on the pair key BEFORE the even-odd refine (one PIP per pair).
+    * Refine: st_point_in_polygon_multi (even-odd over all rings). */
+  def joinMulti(points: DataFrame, polys: DataFrame, level: Int = DefaultLevel,
+                maxCells: Int = MaxCellsPerPolygon,
+                broadcastPolys: Boolean = true): DataFrame = {
+    val pc0 = polys
+      .select(col("poly_id"), col("rings"), explode(col("rings")).as("ring"))
+      .select(col("poly_id"), col("rings"),
+        explode(call_function("st_cover_cells_adaptive",
+          col("ring"), lit(level), lit(maxCells))).as("cell"))
+      .dropDuplicates("poly_id", "cell")
+    val pc1 = pc0.cache()
+    val levels = pc1.select(length(col("cell")).as("l"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val prefixes = array(levels.map(l => substring(col("cell"), 1, l)): _*)
+    val pc = {
+      val base = pc1.withColumnRenamed("cell", "jcell")
+      if (broadcastPolys) broadcast(base) else base.hint("merge")
+    }
+    points
+      .withColumn("jcell", explode(prefixes))
+      .join(pc, Seq("jcell"), "inner")
+      .dropDuplicates("doc_id", "offset", "poly_id")
+      .where(call_function("st_point_in_polygon_multi",
+        col("lat"), col("lon"), col("rings")))
+      .drop("rings", "jcell")
+  }
+
   /** Containment-only variants: docs that have >=1 point in any polygon
     * (left-semi) or in none (left-anti) — no row multiplication. */
   def containedDocs(points: DataFrame, polys: DataFrame,

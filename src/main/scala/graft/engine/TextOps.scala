@@ -91,6 +91,43 @@ object TextOps {
     scored.withColumn("lang_pred", best).select("doc_id", "lang_pred")
   }
 
+  /** Fused per-document profile: language ID + quality score + fingerprint
+    * in ONE projection over ONE scan (doc_id, lang_pred, quality, fp).
+    * Exactly the values of langId/qualityScore/fingerprint — but where
+    * joining those three would scan `documents` three times and shuffle
+    * twice on doc_id, this is a single FileScan + Project (all three are
+    * per-row scalar computations over the same text column; common
+    * subexpressions like the word split are eliminated inside whole-stage
+    * codegen). At 100 TB that is 3x less scan I/O and zero shuffles. */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = wordsCol(t)
+    // langId mirror (argmax over stopword hits, ties in sorted lang order)
+    val hits = StopwordTables.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      lang -> size(array_intersect(words, array(ws.map(lit): _*)))
+    }
+    val hitMap = hits.toMap
+    val langs = StopwordTables.keys.toSeq.sorted
+    val best = langs.foldRight(lit("und")) { (lang, acc) =>
+      when(hitMap(lang) > 0 &&
+        hitMap(lang) === greatest(langs.map(hitMap): _*), lang).otherwise(acc)
+    }
+    // qualityScore mirror
+    val nChars = length(t).cast("double")
+    val nWords = size(words).cast("double")
+    val punctRatio = (nChars - length(regexp_replace(t, "[\\p{Punct}]", ""))) / greatest(nChars, lit(1.0))
+    val alphaRatio = length(regexp_replace(t, "[^\\p{L}]", "")) / greatest(nChars, lit(1.0))
+    val lenScore = when(nChars.between(20, 10000), 1.0)
+      .when(nChars < 20, nChars / 20.0)
+      .otherwise(lit(10000.0) / nChars)
+    val wordScore = when(nWords >= 5, 1.0).otherwise(nWords / 5.0)
+    docs.select(
+      col("doc_id"),
+      best.as("lang_pred"),
+      round(lenScore * wordScore * (lit(1.0) - punctRatio) * alphaRatio, 6).as("quality"),
+      md5(concat_ws(" ", words)).as("fp"))
+  }
+
   /** Document fingerprint: md5 over the normalized word sequence — a
     * shard-stable content identity for exact near-clone detection that any
     * SQL engine can recompute verbatim. `fingerprint64` is the cheaper

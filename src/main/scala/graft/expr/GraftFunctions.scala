@@ -131,6 +131,10 @@ object GraftFunctions {
     // predicates
     "st_point_in_polygon" -> ((a: Seq[Expression]) =>
       si(BooleanType, "pointInPolygon", Seq(dbl(a(0)), dbl(a(1)), a(2)))),
+    // multi-ring even-odd PIP: rings = array<array<struct<lat,lon>>> —
+    // [outer, hole...] for holes, several outers for a multipolygon
+    "st_point_in_polygon_multi" -> ((a: Seq[Expression]) =>
+      si(BooleanType, "pointInPolygonMulti", Seq(dbl(a(0)), dbl(a(1)), a(2)))),
     "st_box_contains" -> ((a: Seq[Expression]) =>
       si(BooleanType, "boxContains",
         Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), dbl(a(3)), dbl(a(4)), dbl(a(5))), nullable = false)),
@@ -195,6 +199,14 @@ object GraftFunctions {
       si(EcefT, "helmert7", a.take(10).map(dbl))),
     "st_molodensky_badekas" -> ((a: Seq[Expression]) =>
       si(EcefT, "molodenskyBadekas", a.take(13).map(dbl))),
+    // abridged Molodensky direct geodetic shift: (lat, lon, h, dx, dy, dz,
+    // da, df) on WGS84, or 10-arg with explicit source (a, f)
+    "st_molodensky" -> ((a: Seq[Expression]) => a.length match {
+      case 8 => si(GeoHT, "molodensky",
+        a.take(6).map(dbl) ++ Seq(litA, litF) ++ a.slice(6, 8).map(dbl) ++ Seq(strict))
+      case 10 => si(GeoHT, "molodensky", a.take(10).map(dbl) ++ Seq(strict))
+      case n => fail("st_molodensky", n)
+    }),
     "st_datum_shift" -> ((a: Seq[Expression]) =>
       si(EcefT, "datumShiftToWgs84", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), str(a(3)), strict))),
     "st_ellipsoid_a" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidA", Seq(str(a.head), strict))),

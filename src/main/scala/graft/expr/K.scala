@@ -276,6 +276,27 @@ object K {
                   lat: Double, lon: Double): Boolean =
     Pip.boxContains(lat, lon, south, west, north, east)
 
+  /** array<array<struct<lat,lon>>> column -> packed rings. */
+  private def ringsOf(ad: ArrayData): Array[Array[Double]] = {
+    if (ad == null) return null
+    val n = ad.numElements()
+    val out = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (ad.isNullAt(i)) null else ringOf(ad.getArray(i))
+      i += 1
+    }
+    out
+  }
+
+  /** st_point_in_polygon_multi(lat, lon, rings): even-odd over all rings —
+    * polygon with holes ([outer, hole...]) or multipolygon (several outers). */
+  def pointInPolygonMulti(lat: Double, lon: Double, rings: ArrayData): java.lang.Boolean = {
+    val rs = ringsOf(rings)
+    if (rs == null || rs.length < 1) return null
+    java.lang.Boolean.valueOf(Pip.containsRings(lat, lon, rs))
+  }
+
   // ---- UTM / MGRS / ECEF ------------------------------------------------
 
   /** st_geo_to_utm(lat, lon, a, f) -> struct<zone:int, hemisphere:string,
@@ -433,6 +454,22 @@ object K {
   def helmert3(x: Double, y: Double, z: Double,
                dx: Double, dy: Double, dz: Double): InternalRow = {
     val r = Transform.helmert3(x, y, z, dx, dy, dz)
+    new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
+  }
+
+  /** st_molodensky(lat, lon, h, dx, dy, dz, a, f, da, df) -> struct<lat,lon,h>:
+    * abridged Molodensky direct geodetic shift (the reference's empty
+    * geodetic5p stub, transform.d:151-153, completed from the published
+    * formulas). */
+  def molodensky(lat: Double, lon: Double, h: Double,
+                 dx: Double, dy: Double, dz: Double,
+                 a: Double, f: Double, da: Double, df: Double,
+                 strict: Boolean): InternalRow = {
+    if (lat < -90 || lat > 90 || lat.isNaN)
+      return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
+    if (lon < -180 || lon > 180 || lon.isNaN)
+      return failIf(strict, new LatLonException("Longitude out of bounds [-180;+180]!"))
+    val r = Transform.molodenskyAbridged(lat, lon, h, dx, dy, dz, a, f, da, df)
     new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
   }
 

@@ -437,4 +437,105 @@ class CoreKernelSpec extends AnyFunSuite {
       assert(tiles.contains(Cells.tileId(lat, lon, 8)), s"($lat,$lon)")
     }
   }
+
+  test("geohash adjacent equals integer +-1 (mod axis) re-encode — the q52 oracle identity") {
+    // The neighbour lookup tables implement binary increment with carry on
+    // the de-interleaved (x, y) integers; the q52 SQL oracle relies on this.
+    def xy(h: String): (Long, Long) = {
+      val bits = 5 * h.length
+      val lonBits = bits - bits / 2
+      val latBits = bits / 2
+      var gx = 0L; var gy = 0L
+      var even = true
+      for (c <- h; k <- 4 to 0 by -1) {
+        val b = (Geohash.Base32.indexOf(c) >> k) & 1
+        if (even) gx = gx * 2 + b else gy = gy * 2 + b
+        even = !even
+      }
+      (gx, gy)
+    }
+    def enc(gx: Long, gy: Long, p: Int): String = {
+      val bits = 5 * p
+      val lonBits = bits - bits / 2
+      val latBits = bits / 2
+      val sb = new StringBuilder
+      var idx = 0
+      var xi = lonBits - 1; var yi = latBits - 1
+      var even = true
+      var bit = 0
+      while (sb.length < p) {
+        val b = if (even) { val v = ((gx >> xi) & 1).toInt; xi -= 1; v }
+                else { val v = ((gy >> yi) & 1).toInt; yi -= 1; v }
+        idx = idx * 2 + b
+        even = !even
+        bit += 1
+        if (bit == 5) { sb.append(Geohash.Base32.charAt(idx)); bit = 0; idx = 0 }
+      }
+      sb.toString
+    }
+    val rnd = new scala.util.Random(77)
+    for (p <- 1 to 6; _ <- 1 to 120) {
+      val lat = rnd.nextDouble() * 180 - 90
+      val lon = rnd.nextDouble() * 360 - 180
+      val h = Geohash.encode(lat, lon, p)
+      val bits = 5 * p
+      val lonN = 1L << (bits - bits / 2)
+      val latN = 1L << (bits / 2)
+      val (gx, gy) = xy(h)
+      assert(Geohash.adjacent(h, 'e') == enc((gx + 1) % lonN, gy, p), s"e of $h")
+      assert(Geohash.adjacent(h, 'w') == enc((gx + lonN - 1) % lonN, gy, p), s"w of $h")
+      assert(Geohash.adjacent(h, 'n') == enc(gx, (gy + 1) % latN, p), s"n of $h")
+      assert(Geohash.adjacent(h, 's') == enc(gx, (gy + latN - 1) % latN, p), s"s of $h")
+    }
+    // explicit pole/date-line wrap rows
+    assert(Geohash.adjacent("zzzzz", 'n') == {
+      val (gx, _) = xy("zzzzz"); enc(gx, 0L, 5)
+    })
+    assert(Geohash.adjacent("pzzzz", 'e') != null)
+  }
+
+  test("multi-ring even-odd PIP: holes subtract, multipolygon components add") {
+    val outer = Array(0.0, 0.0, 0.0, 10.0, 10.0, 10.0, 10.0, 0.0)
+    val hole = Array(4.0, 4.0, 4.0, 6.0, 6.0, 6.0, 6.0, 4.0)
+    val island = Array(20.0, 20.0, 20.0, 25.0, 25.0, 25.0, 25.0, 20.0)
+    val holed = Array(outer, hole)
+    assert(Pip.containsRings(2.0, 2.0, holed))      // in ring, outside hole
+    assert(!Pip.containsRings(5.0, 5.0, holed))     // punched out by the hole
+    assert(!Pip.containsRings(11.0, 5.0, holed))    // outside everything
+    val multi = Array(outer, island)
+    assert(Pip.containsRings(5.0, 5.0, multi))
+    assert(Pip.containsRings(22.0, 22.0, multi))
+    assert(!Pip.containsRings(15.0, 15.0, multi))
+    // degenerate rings are ignored, single-ring agrees with Pip.contains
+    assert(Pip.containsRings(2.0, 2.0, Array(outer, Array(1.0, 1.0))) ==
+      Pip.contains(2.0, 2.0, outer))
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 400) {
+      val lat = rnd.nextDouble() * 30 - 2
+      val lon = rnd.nextDouble() * 30 - 2
+      val expect = Pip.contains(lat, lon, outer) ^ Pip.contains(lat, lon, hole)
+      assert(Pip.containsRings(lat, lon, holed) == expect, s"($lat,$lon)")
+    }
+  }
+
+  test("abridged Molodensky: identity at zero params, agrees with ECEF translation") {
+    val id = Transform.molodenskyAbridged(47.5, 11.25, 300.0, 0, 0, 0,
+      6378137.0, 1.0 / 298.257223563, 0, 0)
+    assert(id(0) == 47.5 && id(1) == 11.25 && id(2) == 300.0)
+    // against the exact route: ECEF translate + Bowring inverse. The
+    // abridged form drops the h/M, h/N terms -> sub-metre agreement.
+    val rnd = new scala.util.Random(21)
+    for (_ <- 1 to 50) {
+      val lat = rnd.nextDouble() * 160 - 80
+      val lon = rnd.nextDouble() * 360 - 180
+      val (dx, dy, dz) = (87.0, -98.0, 121.0)
+      val m = Transform.molodenskyAbridged(lat, lon, 0.0, dx, dy, dz,
+        6378137.0, 1.0 / 298.257223563, 0, 0)
+      val e = Ecef.geoToEcef(lat, lon, 0.0, 6378137.0, 1.0 / 298.257223563)
+      val g = Ecef.ecefToGeo(e(0) + dx, e(1) + dy, e(2) + dz, 6378137.0, 1.0 / 298.257223563)
+      assert(math.abs(m(0) - g(0)) < 2e-5, s"dlat at ($lat,$lon): ${m(0)} vs ${g(0)}")
+      assert(math.abs(m(1) - g(1)) < 2e-5, s"dlon at ($lat,$lon): ${m(1)} vs ${g(1)}")
+      assert(math.abs(m(2) - g(2)) < 1.0, s"dh at ($lat,$lon): ${m(2)} vs ${g(2)}")
+    }
+  }
 }

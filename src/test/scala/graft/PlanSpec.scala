@@ -102,6 +102,17 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin"), s"no SMJ:\n${plan.take(1200)}")
   }
 
+  test("q42 fused text profile is one scan, zero joins, zero shuffles") {
+    val df = SparkEntry.queries("q42_lang_quality")(spark, sf)
+    val plan = physical(df)
+    // one parquet scan of documents (formatted explain mentions each node
+    // twice: tree + details); the old shape was 3 scans + 2 joins
+    assert("Scan parquet".r.findAllIn(plan).size == 2, s"expected 1 scan:\n${plan.take(1500)}")
+    assert(!plan.contains("Join"), s"unexpected join:\n${plan.take(1500)}")
+    // orderBy adds one range-partition exchange; no hash shuffle allowed
+    assert(!plan.contains("hashpartitioning"), s"unexpected hash shuffle:\n${plan.take(1500)}")
+  }
+
   test("salted join key includes the salt (skew split)") {
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
     val polys = Corpus.polygons(spark).toDF()
