@@ -177,9 +177,14 @@ object SpatialJoin {
     * Covering: the union of each ring's adaptive covering — holes only
     * subtract area so any covering that includes the outer ring's cells is
     * superset-exact, and covering every component handles multipolygons.
-    * Rings of one polygon may cover at different adaptive levels, so the
-    * same (point, poly) candidate can arise through two nested cells —
-    * deduped on the pair key BEFORE the even-odd refine (one PIP per pair).
+    * Rings of one polygon may cover at different adaptive levels, which
+    * would let the same (point, poly) candidate arise through two NESTED
+    * cells; instead of deduping the fact-side pairs (a full shuffle of all
+    * candidates before the refine — measured 3.7x the single-ring join),
+    * cells nested under a coarser cell of the same polygon are removed on
+    * the dimension side (tiny, broadcast). The survivors are pairwise
+    * disjoint per polygon, so each point matches at most one covering cell
+    * per polygon and the plan stays shuffle-free after the broadcast join.
     * Refine: st_point_in_polygon_multi (even-odd over all rings). */
   def joinMulti(points: DataFrame, polys: DataFrame, level: Int = DefaultLevel,
                 maxCells: Int = MaxCellsPerPolygon,
@@ -190,7 +195,16 @@ object SpatialJoin {
         explode(call_function("st_cover_cells_adaptive",
           col("ring"), lit(level), lit(maxCells))).as("cell"))
       .dropDuplicates("poly_id", "cell")
-    val pc1 = pc0.cache()
+    // drop cells strictly nested under a coarser cell of the SAME polygon:
+    // coverage is unchanged (the coarser cell contains them) and the
+    // remaining per-polygon cells are pairwise disjoint
+    val pruned = pc0.alias("a").join(pc0.select("poly_id", "cell").alias("b"),
+        col("a.poly_id") === col("b.poly_id") &&
+          length(col("b.cell")) < length(col("a.cell")) &&
+          col("a.cell").startsWith(col("b.cell")), "left_anti")
+      .select(col("a.poly_id").as("poly_id"), col("a.rings").as("rings"),
+        col("a.cell").as("cell"))
+    val pc1 = pruned.cache()
     val levels = pc1.select(length(col("cell")).as("l"))
       .distinct().collect().map(_.getInt(0)).sorted
     val prefixes = array(levels.map(l => substring(col("cell"), 1, l)): _*)
@@ -201,7 +215,6 @@ object SpatialJoin {
     points
       .withColumn("jcell", explode(prefixes))
       .join(pc, Seq("jcell"), "inner")
-      .dropDuplicates("doc_id", "offset", "poly_id")
       .where(call_function("st_point_in_polygon_multi",
         col("lat"), col("lon"), col("rings")))
       .drop("rings", "jcell")
