@@ -40,6 +40,13 @@ final case class HelmertParams(datumEpsg: Long, name: String,
   * resources (same data files the reference ships; reference loader:
   * source/coordinate/datums.d:205-387). Rows without a usable EPSG code get
   * synthetic negative keys, mirroring the reference (datums.d:220, 235).
+  *
+  * Data quirk (inherited VERBATIM from the reference's CSV, which its loader
+  * ingests unscaled as `real`, datums.d:219): some semi-major axes carry a
+  * dropped decimal point from the EPSG source — e.g. Bessel 1841 (7004) is
+  * stored as 6377397155 (nominally mm) while WGS84 is 6378137 (m). Lookups
+  * return the stored values bit-for-bit; nothing in the engine's live
+  * conversion paths consumes them (defaults are explicit WGS84 literals).
   * Everything is resolved at plan/driver time and is tiny (~500 rows), so
   * expressions can fold the (a, f) pair into constants.
   */

@@ -45,6 +45,9 @@ object GraftFunctions {
   val OlcAreaT: StructType = new StructType()
     .add("south", DoubleType).add("west", DoubleType)
     .add("north", DoubleType).add("east", DoubleType).add("length", IntegerType)
+  val DatumT: StructType = new StructType()
+    .add("epsg", LongType).add("short_name", StringType).add("name", StringType)
+    .add("ellipsoid_epsg", LongType).add("a", DoubleType).add("f", DoubleType)
   val TileT: StructType = new StructType()
     .add("z", IntegerType).add("x", LongType).add("y", LongType)
   val GeoFullT: StructType = new StructType()
@@ -209,6 +212,9 @@ object GraftFunctions {
     }),
     "st_datum_shift" -> ((a: Seq[Expression]) =>
       si(EcefT, "datumShiftToWgs84", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), str(a(3)), strict))),
+    "st_box_center" -> ((a: Seq[Expression]) =>
+      si(PointT, "boxCenter", a.take(4).map(dbl), nullable = false)),
+    "st_datum" -> ((a: Seq[Expression]) => si(DatumT, "datumInfo", Seq(str(a.head), strict))),
     "st_ellipsoid_a" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidA", Seq(str(a.head), strict))),
     "st_ellipsoid_f" -> ((a: Seq[Expression]) => si(DoubleType, "ellipsoidF", Seq(str(a.head), strict))),
     // OLC

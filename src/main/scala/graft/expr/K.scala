@@ -499,6 +499,26 @@ object K {
 
   // ---- ellipsoid / registry lookups (foldable at plan time) ---------------
 
+  /** st_box_center(south, west, north, east) -> struct<lat,lon>: midpoint of
+    * a box — CodeArea.center generalized (openlocationcode.d:479-484). */
+  def boxCenter(south: Double, west: Double, north: Double, east: Double): InternalRow =
+    new GenericInternalRow(Array[Any]((south + north) / 2.0, (west + east) / 2.0))
+
+  /** st_datum(name_or_epsg) -> struct<epsg, short_name, name, ellipsoid_epsg,
+    * a, f>: datum resolution at plan time (foldable — the registry is a
+    * driver-side constant map, datums.d:84-197 semantics). */
+  def datumInfo(nameOrEpsg: UTF8String, strict: Boolean): InternalRow = {
+    if (nameOrEpsg == null) return null
+    val d = Registry.resolveDatum(nameOrEpsg.toString).orNull
+    if (d == null)
+      return failIf(strict, new DatumException(s"Unknown datum [$nameOrEpsg]!"))
+    val e = Registry.ellipsoidByEpsg.get(d.ellipsoidEpsg).orNull
+    new GenericInternalRow(Array[Any](
+      d.epsg, utf8(d.shortName), utf8(d.name), d.ellipsoidEpsg,
+      if (e == null) Double.NaN else e.a,
+      if (e == null) Double.NaN else e.f))
+  }
+
   def ellipsoidA(nameOrEpsg: UTF8String, strict: Boolean): java.lang.Double = {
     if (nameOrEpsg == null) return null
     ellipsoidOf(nameOrEpsg.toString).map(e => java.lang.Double.valueOf(e.a))

@@ -257,4 +257,19 @@ class ExprSpec extends AnyFunSuite {
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("staticinvoke"), s"not folded:\n$optimized")
   }
+
+  test("st_box_center is the box midpoint; st_datum resolves the registry") {
+    val r = spark.sql(
+      """SELECT st_box_center(10.0, 20.0, 11.0, 22.0) AS c,
+        |       st_datum('wgs84') AS d, st_datum('epsg:6326') AS d2,
+        |       st_datum('no-such-datum') AS bad""".stripMargin).collect()(0)
+    val c = r.getStruct(0)
+    assert(c.getDouble(0) == 10.5 && c.getDouble(1) == 21.0)
+    val d = r.getStruct(1)
+    assert(d.getLong(0) == 6326L && d.getLong(3) == 7030L)
+    assert(d.getDouble(4) == 6378137.0)
+    assert(math.abs(d.getDouble(5) - 1.0 / 298.257223563) < 1e-15)
+    assert(r.getStruct(2) == d, "epsg form resolves to the same datum")
+    assert(r.isNullAt(3), "unknown datum -> NULL in relaxed mode")
+  }
 }
