@@ -93,6 +93,52 @@ class EngineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("multi-ring join (holes + multipolygons) equals brute-force even-odd oracle") {
+    val docs = Corpus.documentsDf(spark, NDocs, partitions = 4)
+    val mp = Corpus.polygonsHoled(spark).toDF()
+    val got = SpatialJoin.joinMulti(SpatialJoin.extractPoints(docs), mp)
+      .select("doc_id", "offset", "poly_id").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    // brute force: same kernels, straight loops
+    val ringsById = (0 until 50).map(Corpus.genPolyHoled).map(p =>
+      p.poly_id -> p.rings.map(_.flatMap(q => Seq(q.lat, q.lon)).toArray).toArray)
+    val want = scala.collection.mutable.Set.empty[(String, Int, String)]
+    var i = 0L
+    while (i < NDocs) {
+      val doc = Corpus.genDoc(i)
+      for (sp <- doc.spans if sp.kind == "text") {
+        val pt = graft.core.Parsers.parsePoint(sp.text)
+        if (pt != null) {
+          for ((pid, rings) <- ringsById if Pip.containsRings(pt(0), pt(1), rings))
+            want += ((doc.doc_id, sp.offset, pid))
+        }
+      }
+      i += 1
+    }
+    assert(got == want.toSet, s"got ${got.size} vs want ${want.size}")
+    // hole subtraction is actually exercised: some point inside an outer ring
+    // must be excluded by its hole on this corpus
+    val single = (0 until 50).map(Corpus.genPoly).map(p =>
+      p.poly_id -> p.ring.flatMap(q => Seq(q.lat, q.lon)).toArray).toMap
+    val excludedByHole = want.exists { case _ => false } || {
+      var found = false
+      var j = 0L
+      while (j < NDocs && !found) {
+        val doc = Corpus.genDoc(j)
+        for (sp <- doc.spans if sp.kind == "text") {
+          val pt = graft.core.Parsers.parsePoint(sp.text)
+          if (pt != null)
+            for ((pid, ring) <- single)
+              if (Pip.contains(pt(0), pt(1), ring) &&
+                  !want.contains((doc.doc_id, sp.offset, pid))) found = true
+        }
+        j += 1
+      }
+      found
+    }
+    assert(excludedByHole, "no point was excluded by a hole — layer not exercising holes")
+  }
+
   test("semi/anti containment split covers all docs exactly once") {
     val docs = Corpus.documentsDf(spark, 500, partitions = 4)
     val polys = Corpus.polygons(spark).toDF()
