@@ -198,7 +198,7 @@ object SpatialJoin {
     // drop cells strictly nested under a coarser cell of the SAME polygon:
     // coverage is unchanged (the coarser cell contains them) and the
     // remaining per-polygon cells are pairwise disjoint
-    val pruned = pc0.alias("a").join(pc0.select("poly_id", "cell").alias("b"),
+    val pruned = pc0.alias("a").join(broadcast(pc0.select("poly_id", "cell")).alias("b"),
         col("a.poly_id") === col("b.poly_id") &&
           length(col("b.cell")) < length(col("a.cell")) &&
           col("a.cell").startsWith(col("b.cell")), "left_anti")

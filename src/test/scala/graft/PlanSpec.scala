@@ -113,6 +113,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning"), s"unexpected hash shuffle:\n${plan.take(1500)}")
   }
 
+  test("multi-ring join broadcasts the pruned covering and adds no fact-side shuffle") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val mp = Corpus.polygonsHoled(spark).toDF()
+    val df = SpatialJoin.joinMulti(SpatialJoin.extractPoints(docs), mp)
+    df.collect()
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n${plan.take(1200)}")
+    // the nested-cell pruning removed the need to dedupe candidate pairs —
+    // no shuffle may appear on the FACT side (everything above the cached
+    // dimension-side covering, whose own tiny dropDuplicates shuffle is the
+    // per-layer index-build cost, not a per-row cost)
+    val factSide = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    assert(!factSide.contains("hashpartitioning"),
+      s"fact-side shuffle crept back in:\n${factSide.take(1500)}")
+  }
+
   test("salted join key includes the salt (skew split)") {
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
     val polys = Corpus.polygons(spark).toDF()
