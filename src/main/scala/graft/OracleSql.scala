@@ -826,9 +826,39 @@ object OracleSql {
     FROM parsed ORDER BY doc_id, "offset", tile_id"""
   }
 
-  /** Customer-table-based oracles for the inverse/parse surface (no corpus
-    * dependency). */
+  /** q58: n-gram Jaccard over all pairs of the first 20 docs (BIGINT ids —
+    * the dedup oracles' shingle CTEs use string ids, so this is standalone). */
+  def q58: String =
+    s"""WITH d AS (
+      SELECT doc_id, $WordsExpr AS words FROM documents WHERE doc_id < 20
+    ), s AS (
+      SELECT doc_id, CASE WHEN len(words) >= 3
+        THEN list_distinct(list_transform(range(1, len(words) - 1), i ->
+          concat_ws(' ', words[i], words[i+1], words[i+2])))
+        ELSE [array_to_string(words, ' ')] END AS sh
+      FROM d
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        GREATEST(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 6) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b"""
+
+  /** q59: streaming tumbling-window counts == the batch aggregation (epoch-
+    * aligned 5-minute windows; the DECIMAL-routed sum is exact on both
+    * sides, so totals compare raw). */
+  def q59: String =
+    s"""SELECT (epoch_us(ts) // 300000000) * 300000000 AS ws_us,
+      (epoch_us(ts) // 300000000) * 300000000 + 300000000 AS we_us,
+      event_type, count(*) AS n,
+      CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2, 3 ORDER BY ws_us, event_type"""
+
+  /** Driver-table-based oracles added in round 3 (inverse/parse surface +
+    * the q58/q59 pipeline rows; no corpus dependency). */
   def inverseOracles: Map[String, String] = Map(
+    "q58_ngram_jaccard" -> q58,
+    "q59_stream_window" -> q59,
     "q48_utm_to_geo" -> q48,
     "q49_mgrs_roundtrip" -> q49,
     "q50_ecef_to_geo" -> q50,

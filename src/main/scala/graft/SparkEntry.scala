@@ -636,6 +636,49 @@ object SparkEntry {
       s.read.parquet(s"$outBase/data")
         .orderBy(col("doc_id"), col("offset"), col("tile_id"))
     }),
+    // q58: n-gram Jaccard for explicit candidate pairs (the similarity
+    // verifier as its own operator, over all pairs of the first 20 docs).
+    "q58_ngram_jaccard" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val ids = t(dir, "documents").select(col("doc_id")).where(col("doc_id") < 20)
+      val pairs = ids.select(col("doc_id").as("doc_a"))
+        .crossJoin(ids.select(col("doc_id").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+      Dedup.ngramJaccard(t(dir, "documents"), pairs)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+    // q59: streaming watermarked tumbling-window counts under
+    // Trigger.AvailableNow (complete mode, memory sink) — must equal the
+    // batch aggregation exactly (the DECIMAL-routed sum is order-independent).
+    "q59_stream_window" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      // readStream needs a DIRECTORY; stage the single events.parquet file
+      val srcDir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_q59_src_" +
+        Integer.toHexString(dir.hashCode))
+      if (!new java.io.File(srcDir, "events.parquet").exists()) {
+        srcDir.mkdirs()
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$dir/events.parquet"),
+          java.nio.file.Paths.get(srcDir.getPath, "events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      val sch = s.read.parquet(srcDir.getPath).schema
+      val qname = "graft_q59_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.Streams.windowedCounts(
+          s.readStream.schema(sch).parquet(srcDir.getPath))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          unix_micros(col("window.end")).as("we_us"),
+          col("event_type"), col("n"), col("total"))
+        .writeStream
+        .format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qname).orderBy(col("ws_us"), col("event_type"))
+    }),
     "q44_ann_lsh" -> ((spark, dir) => {
       implicit val s: SparkSession = prep(spark)
       val e = t(dir, "embeddings")

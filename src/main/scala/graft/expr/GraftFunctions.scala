@@ -314,7 +314,12 @@ object GraftFunctions {
       si(ArrayType(LongType), "lshKeys64",
         Seq(Cast(a(0), ArrayType(DoubleType)), int(a(1)), int(a(2)), int(a(3))))),
     "st_shingles" -> ((a: Seq[Expression]) =>
-      si(ArrayType(StringType), "shinglesOf", Seq(str(a(0)), int(a(1)))))
+      si(ArrayType(StringType), "shinglesOf", Seq(str(a(0)), int(a(1))))),
+    // the reference's test-only matrix product (transform.d:38-50), corrected
+    "st_matmul" -> ((a: Seq[Expression]) =>
+      si(ArrayType(ArrayType(DoubleType)), "matMul",
+        Seq(Cast(a(0), ArrayType(ArrayType(DoubleType))),
+          Cast(a(1), ArrayType(ArrayType(DoubleType))))))
   )
 
   @volatile private var registered: Set[Int] = Set.empty

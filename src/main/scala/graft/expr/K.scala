@@ -654,6 +654,47 @@ object K {
     new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
   }
 
+  /** st_matmul(a, b): the reference's `cross` matrix product
+    * (transform.d:38-50 — result[m][p] = dot(a-row m, b-row p); B is stored
+    * column-order per its doc). The reference's version is a test-only toy
+    * with two defects we do NOT reproduce: a fixed 3-double backing buffer
+    * (breaks for m*p > 3) and a transposed return (quirk Q8); this is the
+    * corrected m x p result. Null on ragged/empty/mismatched shapes. */
+  def matMul(a: ArrayData, b: ArrayData): ArrayData = {
+    if (a == null || b == null) return null
+    val m = a.numElements()
+    val p = b.numElements()
+    if (m == 0 || p == 0) return null
+    val ar = new Array[Array[Double]](m)
+    var i = 0
+    while (i < m) {
+      if (a.isNullAt(i)) return null
+      ar(i) = a.getArray(i).toDoubleArray()
+      if (i > 0 && ar(i).length != ar(0).length) return null
+      i += 1
+    }
+    val n = ar(0).length
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      val row = new Array[Double](p)
+      var j = 0
+      while (j < p) {
+        if (b.isNullAt(j)) return null
+        val bc = b.getArray(j)
+        if (bc.numElements() != n) return null
+        var acc = 0.0
+        var k = 0
+        while (k < n) { acc += ar(i)(k) * bc.getDouble(k); k += 1 }
+        row(j) = acc
+        j += 1
+      }
+      out(i) = new GenericArrayData(row)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- text hashing kernels (dedup family) --------------------------------
 
   private val NonWordRx = java.util.regex.Pattern.compile("[^\\p{L}\\p{N}]+")

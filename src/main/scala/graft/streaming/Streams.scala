@@ -42,7 +42,12 @@ object Streams {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      // sum through DECIMAL: exact and order-independent, so the streaming
+      // result is bit-identical to the batch plan (and to a SQL oracle)
+      // regardless of micro-batch/partition arrival order
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+          .cast("double").as("total"))
 
   /** Streaming exact dedup: keep the first occurrence of each content hash.
     * State is bounded by the watermark: duplicates arriving more than

@@ -272,4 +272,16 @@ class ExprSpec extends AnyFunSuite {
     assert(r.getStruct(2) == d, "epsg form resolves to the same datum")
     assert(r.isNullAt(3), "unknown datum -> NULL in relaxed mode")
   }
+
+  test("st_matmul: corrected reference cross product (m x p dot-product grid)") {
+    val r = spark.sql(
+      """SELECT st_matmul(array(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+        |                 array(array(5.0d, 6.0d), array(7.0d, 8.0d), array(9.0d, 10.0d))) AS m,
+        |       st_matmul(array(array(1.0d, 2.0d)), array(array(1.0d))) AS ragged
+        |""".stripMargin).collect()(0)
+    val m = r.getSeq[Seq[Double]](0)
+    // result[i][j] = dot(a row i, b row j): rows (1,2),(3,4) x cols (5,6),(7,8),(9,10)
+    assert(m == Seq(Seq(17.0, 23.0, 29.0), Seq(39.0, 53.0, 67.0)), m.toString)
+    assert(r.isNullAt(1), "shape mismatch -> NULL")
+  }
 }
