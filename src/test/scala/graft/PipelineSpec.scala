@@ -217,6 +217,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(refPath.zip(bytesPath).forall { case (a, b) => a == b })
   }
 
+  test("fetchStub/decodeBytes agree for refs longer than 240 UTF-8 bytes") {
+    // the payload grows past 256 bytes rather than truncating the ref
+    val longRef = "media://" + ("x" * 300) + "/\u00e9nd" // multi-byte tail
+    val decodedRef = Media.decodeBytes(Media.fetchStub(longRef))
+    val direct = Media.decodeStub(longRef)
+    assert(decodedRef != null)
+    assert(decodedRef._1 == direct._1 && decodedRef._2 == direct._2 &&
+      decodedRef._3 == direct._3 && decodedRef._4.sameElements(direct._4),
+      "bytes path must agree with the ref path for long refs")
+    assert(Media.fetchStub("x" * 70000) == null, "oversized ref -> null (unfetchable)")
+  }
+
   test("media feature extraction: schema, determinism, batch shape") {
     val docs = Corpus.documentsDf(spark, 300, partitions = 3)
     val f1 = Media.extractFeatures(spark, docs).orderBy("doc_id", "media_ref").collect()
