@@ -621,7 +621,12 @@ object SparkEntry {
       val nDocs = corpusDocs(dir)
       val (docsPath, _) = Corpus.ensure(s, nDocs)
       val sch = s.read.parquet(docsPath).schema
-      val outBase = s"${sys.props("java.io.tmpdir")}/graft_q57_${java.util.UUID.randomUUID()}"
+      // deterministic per-scale sink dir, wiped up front: bounded /tmp usage
+      // across repeated bench/verify runs (a fresh UUID per run would leak a
+      // full tile dataset + checkpoint every invocation)
+      val outBase = s"${sys.props("java.io.tmpdir")}/graft_q57_" +
+        Integer.toHexString(dir.hashCode)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
       val q = graft.streaming.Streams.tileAssign(
           s.readStream.schema(sch).parquet(docsPath), 7)
         .select(col("doc_id"), col("offset"), col("tile_id"))
@@ -653,16 +658,16 @@ object SparkEntry {
     "q59_stream_window" -> ((spark, dir) => {
       val s = prep(spark)
       implicit val ss: SparkSession = s
-      // readStream needs a DIRECTORY; stage the single events.parquet file
+      // readStream needs a DIRECTORY; stage the single events.parquet file.
+      // Copied UNCONDITIONALLY: a stale staged copy after the source is
+      // regenerated would silently desync the stream from the oracle.
       val srcDir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_q59_src_" +
         Integer.toHexString(dir.hashCode))
-      if (!new java.io.File(srcDir, "events.parquet").exists()) {
-        srcDir.mkdirs()
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$dir/events.parquet"),
-          java.nio.file.Paths.get(srcDir.getPath, "events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      srcDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(srcDir.getPath, "events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val sch = s.read.parquet(srcDir.getPath).schema
       val qname = "graft_q59_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.Streams.windowedCounts(

@@ -174,12 +174,13 @@ object Corpus {
     * stored-input shape — so per-query timings measure the operator, not
     * corpus generation, and the DuckDB oracle can read the same files.
     *
-    * Cross-process safety: the corpus is written to a process-private temp
-    * dir and atomically renamed into place, so two concurrent JVMs (e.g.
-    * Bench and Verify at the same scale) never see a half-written corpus —
-    * the loser of the rename race deletes its copy and reads the winner's
-    * (identical, deterministic) output. `synchronized` still serializes
-    * threads within one JVM. */
+    * Cross-process safety: builders serialize on an exclusive FILE LOCK
+    * (one `<base>.lock` per corpus size), build into a process-private temp
+    * dir, and atomically rename into place while holding the lock — so a
+    * concurrent JVM (e.g. Bench and Verify at the same scale) either finds
+    * the corpus complete and reads it, or blocks until the single builder
+    * finishes; nobody ever deletes a directory another live process wrote.
+    * `synchronized` still serializes threads within one JVM. */
   def ensure(spark: SparkSession, nDocs: Long): (String, String) = synchronized {
     val base = corpusBase(nDocs)
     val docsPath = s"$base/docs"
@@ -188,25 +189,26 @@ object Corpus {
       new java.io.File(s"$polysPath/_SUCCESS").exists() &&
       new java.io.File(s"$base/polys_holed/_SUCCESS").exists()
     if (!complete()) {
-      val tmp = s"$base.tmp.${java.lang.ProcessHandle.current().pid()}"
-      documentsDf(spark, nDocs, partitions = 64).write.mode("overwrite").parquet(s"$tmp/docs")
-      polygons(spark).write.mode("overwrite").parquet(s"$tmp/polys")
-      polygonsHoled(spark).write.mode("overwrite").parquet(s"$tmp/polys_holed")
+      val lockCh = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(s"$base.lock"),
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+      val lock = lockCh.lock() // blocks until any concurrent builder finishes
       try {
-        java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException =>
-          // another process won the race (or a stale partial base dir
-          // exists); keep the existing base only if it is complete
-          if (!complete()) {
+        if (!complete()) { // re-check: the lock holder before us may have built it
+          val tmp = s"$base.tmp.${java.lang.ProcessHandle.current().pid()}"
+          documentsDf(spark, nDocs, partitions = 64).write.mode("overwrite").parquet(s"$tmp/docs")
+          polygons(spark).write.mode("overwrite").parquet(s"$tmp/polys")
+          polygonsHoled(spark).write.mode("overwrite").parquet(s"$tmp/polys_holed")
+          // a stale/partial base (e.g. pre-upgrade layout) is safe to replace
+          // here: we hold the exclusive build lock
+          if (new java.io.File(base).exists())
             org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
-            java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          } else {
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-          }
+          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally {
+        lock.release()
+        lockCh.close()
       }
     }
     (docsPath, polysPath)

@@ -78,8 +78,9 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs: band the signature (bands x rows),
     * bucket-join within bands (capped at maxBucket rows per bucket), then
     * verify with true shingle Jaccard. Returns (doc_a, doc_b, jaccard) with
-    * doc_a < doc_b, jaccard >= threshold. */
-  /** Shingle recompute-vs-store: the shingle projection is consumed twice —
+    * doc_a < doc_b, jaccard >= threshold.
+    *
+    * Shingle recompute-vs-store: the shingle projection is consumed twice —
     * banding and Jaccard verification. By default it is RECOMPUTED (two
     * tokenization passes over the corpus); `stageShingles = true` persists
     * it (memory/disk) between the two consumers instead.

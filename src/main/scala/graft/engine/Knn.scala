@@ -67,12 +67,29 @@ object Knn {
     // would kill the whole job with no way to recompute. The checkpointed
     // data is query-side only (<= k rows per query + the unresolved query
     // list), never the point table, so the write cost is negligible at any
-    // scale. The remaining driver-side serialization points are the two
-    // isEmpty actions per round (maxRounds * 2 tiny jobs) — inherent to the
-    // adaptive loop and documented here.
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
+    // scale. Contract: on a CLUSTER the caller must configure a SHARED
+    // checkpoint dir (spark.checkpoint.dir on HDFS/object storage) — a
+    // node-local path would strand partitions on the writer; this fallback
+    // only auto-provisions a tmp dir for local[*] masters, where one
+    // filesystem serves all "executors". The remaining driver-side
+    // serialization points are the two isEmpty actions per round
+    // (maxRounds * 2 tiny jobs) — inherent to the adaptive loop.
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      require(spark.sparkContext.master.startsWith("local"),
+        "Knn.knn on a cluster needs spark.checkpoint.dir on SHARED storage " +
+          "(a node-local default would strand checkpoint partitions)")
       spark.sparkContext.setCheckpointDir(
         s"${sys.props("java.io.tmpdir")}/graft_knn_ckpt_${java.lang.ProcessHandle.current().pid()}")
+    }
+    // persist-then-checkpoint: the eager checkpoint job populates the cache
+    // while writing, so each round's plan is computed ONCE (a bare
+    // checkpoint(true) would recompute the whole round for the write)
+    def durable(df: DataFrame): DataFrame = {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(true)
+      cached.unpersist()
+      out
+    }
     val pts = points
       .select(col("pid"), col("lat").as("p_lat"), col("lon").as("p_lon"))
       .withColumn("cell", cf("st_cell", col("p_lat"), col("p_lon"), lit(level)))
@@ -116,12 +133,11 @@ object Knn {
             else acc.unionByName(resolvedRows.select("qid", "pid", "dist", "rank"))
       // materialize this round's results before mutating `unresolved`
       // (reliable checkpoint: survives executor loss, see header note)
-      acc = acc.checkpoint(true)
+      acc = durable(acc)
       // checkpoint: without this the unresolved plan references itself twice
       // per round (directly and via resolvedQ), re-executing every earlier
       // round's disk join on each isEmpty/join/crossJoin
-      unresolved = unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti")
-        .checkpoint(true)
+      unresolved = durable(unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti"))
       round += 1
     }
     // Exact completion for the residual: queries still unresolved after
@@ -138,7 +154,7 @@ object Knn {
         .where(col("rank") <= k)
         .select("qid", "pid", "dist", "rank")
       acc = if (acc == null) rest else acc.unionByName(rest)
-      acc = acc.checkpoint(true)
+      acc = durable(acc)
     }
     pts.unpersist()
     acc

@@ -204,12 +204,15 @@ object SpatialJoin {
           col("a.cell").startsWith(col("b.cell")), "left_anti")
       .select(col("a.poly_id").as("poly_id"), col("a.rings").as("rings"),
         col("a.cell").as("cell"))
-    val pc1 = pruned.cache()
-    val levels = pc1.select(length(col("cell")).as("l"))
+    // like buildIndex, the covering is recomputed for the levels probe and
+    // the join rather than cached — dimension-sized work, and caching here
+    // would pin executor storage for the session (nothing ever unpersists a
+    // DataFrame the returned plan still references)
+    val levels = pruned.select(length(col("cell")).as("l"))
       .distinct().collect().map(_.getInt(0)).sorted
     val prefixes = array(levels.map(l => substring(col("cell"), 1, l)): _*)
     val pc = {
-      val base = pc1.withColumnRenamed("cell", "jcell")
+      val base = pruned.withColumnRenamed("cell", "jcell")
       if (broadcastPolys) broadcast(base) else base.hint("merge")
     }
     points

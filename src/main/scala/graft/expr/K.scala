@@ -467,6 +467,12 @@ object K {
                  strict: Boolean): InternalRow = {
     if (lat < -90 || lat > 90 || lat.isNaN)
       return failIf(strict, new LatLonException("Latitude out of bounds [-90;+90]!"))
+    // the abridged formula divides dlambda by N*cos(phi): undefined at the
+    // poles (and meaningless in their immediate neighbourhood) — null/throw
+    // instead of emitting a blown-up longitude shift
+    if (math.abs(lat) > 89.9)
+      return failIf(strict, new LatLonException(
+        "Abridged Molodensky is undefined near the poles (|lat| > 89.9)!"))
     if (lon < -180 || lon > 180 || lon.isNaN)
       return failIf(strict, new LatLonException("Longitude out of bounds [-180;+180]!"))
     val r = Transform.molodenskyAbridged(lat, lon, h, dx, dy, dz, a, f, da, df)

@@ -120,7 +120,7 @@ class EngineSpec extends AnyFunSuite {
     // must be excluded by its hole on this corpus
     val single = (0 until 50).map(Corpus.genPoly).map(p =>
       p.poly_id -> p.ring.flatMap(q => Seq(q.lat, q.lon)).toArray).toMap
-    val excludedByHole = want.exists { case _ => false } || {
+    val excludedByHole = {
       var found = false
       var j = 0L
       while (j < NDocs && !found) {

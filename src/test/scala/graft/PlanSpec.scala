@@ -121,10 +121,12 @@ class PlanSpec extends AnyFunSuite {
     val plan = physical(df)
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n${plan.take(1200)}")
     // the nested-cell pruning removed the need to dedupe candidate pairs —
-    // no shuffle may appear on the FACT side (everything above the cached
-    // dimension-side covering, whose own tiny dropDuplicates shuffle is the
+    // no shuffle may appear on the FACT side (the tree above the broadcast
+    // subtree; the dimension side's own tiny dropDuplicates shuffle is the
     // per-layer index-build cost, not a per-row cost)
-    val factSide = plan.substring(0, plan.indexOf("InMemoryRelation"))
+    val cut = { val i = plan.indexOf("BroadcastQueryStage")
+      if (i >= 0) i else plan.indexOf("BroadcastExchange") }
+    val factSide = plan.substring(0, cut)
     assert(!factSide.contains("hashpartitioning"),
       s"fact-side shuffle crept back in:\n${factSide.take(1500)}")
   }
