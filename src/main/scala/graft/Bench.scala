@@ -15,7 +15,7 @@ object Bench {
     "q34_knn", "q40_dedup_minhash", "q43_ann_topk", "q30_parse_extract",
     "q38_spatial_join_range", "q45_embed_neardup", "q46_token_counts",
     "q36_polyfill", "q41_dedup_simhash", "q47_vincenty",
-    "q48_utm_to_geo", "q56_pip_multiring")
+    "q48_utm_to_geo", "q56_pip_multiring", "q61_ann_ivf")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

@@ -854,11 +854,55 @@ object OracleSql {
       CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2, 3 ORDER BY ws_us, event_type"""
 
+  /** q60: streaming sessionize (flatMapGroupsWithState) == the batch
+    * 30-minute gap rule — identical to q18's oracle by construction. */
+  def q60: String =
+    """WITH x AS (SELECT user_id, epoch_us(ts) AS us,
+      lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events)
+    SELECT user_id, CAST(1 + sum(CASE WHEN prev_us IS NOT NULL AND us - prev_us > 1800000000
+      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, count(*) AS n_events
+    FROM x GROUP BY user_id ORDER BY user_id"""
+
+  /** q61: IVF-flat ANN modelled exactly — centroids = vec_id < 16,
+    * list assignment by argmax cosine (ties -> smallest cid), queries probe
+    * their 4 nearest lists, exact cosine top-10 within the probed lists.
+    * Same cosSql accumulation as q43/q44 so ranks are bit-deterministic. */
+  def q61: String =
+    s"""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16
+    ), assign AS (
+      SELECT vec_id, emb, cid FROM (
+        SELECT e.vec_id, e.emb, c.cid,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY ${cosSql("e.emb", "c.cemb")} DESC, c.cid) AS rn
+        FROM e CROSS JOIN cent c) WHERE rn = 1
+    ), qs AS (
+      SELECT 'q' || CAST(vec_id AS VARCHAR) AS qid, emb AS q_emb FROM e WHERE vec_id < 8
+    ), probes AS (
+      SELECT qid, q_emb, cid FROM (
+        SELECT qs.qid, qs.q_emb, c.cid,
+          row_number() OVER (PARTITION BY qs.qid
+            ORDER BY ${cosSql("qs.q_emb", "c.cemb")} DESC, c.cid) AS crn
+        FROM qs CROSS JOIN cent c) WHERE crn <= 4
+    ), ranked AS (
+      SELECT p.qid, a.vec_id, ${cosSql("a.emb", "p.q_emb")} AS sim,
+        row_number() OVER (PARTITION BY p.qid
+          ORDER BY ${cosSql("a.emb", "p.q_emb")} DESC, a.vec_id) AS rank
+      FROM probes p JOIN assign a ON a.cid = p.cid
+    )
+    SELECT qid, vec_id, round(sim, 6) + 0.0 AS sim, rank FROM ranked
+    WHERE rank <= 10 ORDER BY qid, rank"""
+
   /** Driver-table-based oracles added in round 3 (inverse/parse surface +
-    * the q58/q59 pipeline rows; no corpus dependency). */
+    * the q58-q61 pipeline rows; no corpus dependency). */
   def inverseOracles: Map[String, String] = Map(
     "q58_ngram_jaccard" -> q58,
     "q59_stream_window" -> q59,
+    "q60_stream_sessionize" -> q60,
+    "q61_ann_ivf" -> q61,
     "q48_utm_to_geo" -> q48,
     "q49_mgrs_roundtrip" -> q49,
     "q50_ecef_to_geo" -> q50,

@@ -695,6 +695,61 @@ object SparkEntry {
         queries, k = 10, dims = 64)
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+    // q60: custom keyed streaming state (flatMapGroupsWithState sessionize)
+    // under Trigger.AvailableNow — the last streaming shape missing from the
+    // driver gate. The per-user counters it emits are MONOTONE, so max() per
+    // user over the update stream is the final state no matter how the
+    // source splits into micro-batches. The gap rule itself assumes per-key
+    // event-time order ACROSS batches (within a batch the operator sorts):
+    // guaranteed here because the single staged file is one AvailableNow
+    // batch. The oracle is the batch gap-rule SQL (same as q18).
+    "q60_stream_sessionize" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      val srcDir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_q60_src_" +
+        Integer.toHexString(dir.hashCode))
+      srcDir.mkdirs()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(srcDir.getPath, "events.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      val sch = s.read.parquet(srcDir.getPath).schema
+      val outBase = s"${sys.props("java.io.tmpdir")}/graft_q60_" +
+        Integer.toHexString(dir.hashCode)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
+      // update-mode output can't go to a parquet sink directly; foreachBatch
+      // appends each batch's updates and the readback reduces to the final
+      // (= max) counter per user
+      val q = graft.streaming.Streams.sessionize(s,
+          s.readStream.schema(sch).parquet(srcDir.getPath))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(s"$outBase/data")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outBase/data")
+        .groupBy(col("user_id"))
+        .agg(max(col("sessions")).as("n_sessions"), max(col("events")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+    // q61: IVF-flat ANN (coarse quantizer + nprobe list search) — the
+    // second scale path for similarity search next to q44's LSH buckets.
+    "q61_ann_ivf" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val queries = e.where(col("vec_id") < 8)
+        .select(concat(lit("q"), col("vec_id")).as("qid"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      Ann.ivfTopK(
+        e.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        queries, k = 10, nCentroids = 16, nprobe = 4)
+        .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
     })
   )
 

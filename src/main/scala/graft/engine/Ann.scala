@@ -43,6 +43,64 @@ object Ann {
   def lshBandKeys(emb: Column, dims: Int, bands: Int, bitsPerBand: Int): Column =
     call_function("st_lsh_keys", emb, lit(dims), lit(bands), lit(bitsPerBand))
 
+  /** IVF-flat ANN top-k: a coarse quantizer assigns every corpus vector to
+    * its nearest of `nCentroids` centroids (the inverted lists); a query
+    * probes its `nprobe` nearest centroids and searches only those lists
+    * with exact cosine.
+    *
+    * Centroid "training" here is a deterministic sample — the first
+    * `nCentroids` vectors by id — the sampled-training IVF analogue (FAISS
+    * trains on a sample too; at 100 TB you would fit k-means|| over a
+    * sample and feed the fitted centroids in, leaving assignment / probe /
+    * search below unchanged).
+    *
+    * Scale shape: the centroids are collected once (dimension-sized,
+    * nCentroids x dims doubles) and inlined as foldable literals, so list
+    * assignment is a map-only projection over the corpus scan — no shuffle,
+    * no join. Probing is driver-side over the tiny query set; the candidate
+    * join broadcasts (qid, cid) pairs, so the only shuffle in the whole
+    * plan is the per-query top-k window over the ~nprobe/nCentroids
+    * candidate fraction. On a persisted index you would bucket the corpus
+    * by cid so probes touch only matching files. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    // tolerate array<float> input (raw parquet vectors): all math is double
+    val cents: Array[(Long, Array[Double])] = corpus
+      .where(col("vec_id") < nCentroids)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.length >= 2, s"need >= 2 centroids, got ${cents.length}")
+    // argmax over literal centroids: greatest() over (sim, -cid) structs —
+    // highest sim wins, ties break to the SMALLEST centroid id
+    def litVec(v: Array[Double]): Column = array(v.map(lit): _*)
+    def bestCid(emb: Column): Column =
+      -greatest(cents.map { case (cid, ce) =>
+        struct(cosine(emb, litVec(ce)).as("sim"), lit(-cid).as("ncid"))
+      }: _*).getField("ncid")
+    val assigned = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("cid", bestCid(col("embedding")))
+    // probe: nprobe nearest centroids per query — tiny x tiny, driver-adjacent
+    val centDf = spark.createDataFrame(cents.map { case (cid, ce) => (cid, ce) })
+      .toDF("cid", "cemb")
+    val pw = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
+    val probes = queries.select(col("qid"), col("q_emb"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("csim", cosine(col("q_emb"), col("cemb")))
+      .withColumn("crn", row_number().over(pw))
+      .where(col("crn") <= nprobe)
+      .select("qid", "q_emb", "cid")
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
+  }
+
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any band key
     * with the query, then exact cosine + window top-k over candidates only.
     * Recall < 1 by construction; `bands` trades recall for candidate count.

@@ -147,6 +147,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"LSH recall $recall too low")
   }
 
+  test("IVF ANN: probing every list is exactly brute force; partial probe finds self") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.where(col("vec_id") < 8)
+      .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+    // nprobe == nCentroids -> every inverted list searched -> exact
+    val brute = Ann.bruteForceTopK(e, queries, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    val full = Ann.ivfTopK(e, queries, k = 5, nCentroids = 4, nprobe = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == brute, s"full-probe IVF != brute force: ${full.diff(brute)} / ${brute.diff(full)}")
+    // partial probe: the query's own vector lives in its nearest list
+    // (assignment and probe share the argmax), so self must be rank 1
+    val part = Ann.ivfTopK(e, queries, k = 5, nCentroids = 16, nprobe = 2).collect()
+    for (q <- 0 until 8) {
+      val r1 = part.find(r => r.getString(0) == s"q$q" && r.getInt(3) == 1).get
+      assert(r1.getLong(1) == q, s"q$q rank1 is ${r1.getLong(1)}")
+    }
+  }
+
   test("embedding-cosine near-dup finds planted duplicate/near vectors") {
     import spark.implicits._
     val rng = new java.util.Random(77L)
