@@ -189,35 +189,53 @@ object SpatialJoin {
   def joinMulti(points: DataFrame, polys: DataFrame, level: Int = DefaultLevel,
                 maxCells: Int = MaxCellsPerPolygon,
                 broadcastPolys: Boolean = true): DataFrame = {
-    val pc0 = polys
-      .select(col("poly_id"), col("rings"), explode(col("rings")).as("ring"))
-      .select(col("poly_id"), col("rings"),
+    // The covering machinery moves ONLY (poly_id, cell) string pairs —
+    // carrying the full nested `rings` geometry through the dedup/prune
+    // shuffles (and duplicating it per covering cell in the broadcast)
+    // multiplies the dimension payload by the per-polygon cell count; the
+    // geometry is re-attached once per MATCHED row by a second broadcast
+    // join on poly_id, where each polygon's rings ship exactly once.
+    val cells0 = polys
+      .select(col("poly_id"), explode(col("rings")).as("ring"))
+      .select(col("poly_id"),
         explode(call_function("st_cover_cells_adaptive",
           col("ring"), lit(level), lit(maxCells))).as("cell"))
       .dropDuplicates("poly_id", "cell")
     // drop cells strictly nested under a coarser cell of the SAME polygon:
     // coverage is unchanged (the coarser cell contains them) and the
     // remaining per-polygon cells are pairwise disjoint
-    val pruned = pc0.alias("a").join(broadcast(pc0.select("poly_id", "cell")).alias("b"),
+    val pruned = cells0.alias("a").join(broadcast(cells0).alias("b"),
         col("a.poly_id") === col("b.poly_id") &&
           length(col("b.cell")) < length(col("a.cell")) &&
           col("a.cell").startsWith(col("b.cell")), "left_anti")
-      .select(col("a.poly_id").as("poly_id"), col("a.rings").as("rings"),
-        col("a.cell").as("cell"))
-    // like buildIndex, the covering is recomputed for the levels probe and
-    // the join rather than cached — dimension-sized work, and caching here
-    // would pin executor storage for the session (nothing ever unpersists a
-    // DataFrame the returned plan still references)
-    val levels = pruned.select(length(col("cell")).as("l"))
-      .distinct().collect().map(_.getInt(0)).sorted
+      .select(col("a.poly_id").as("poly_id"), col("a.cell").as("cell"))
+    val ringsDim = polys.select(col("poly_id"), col("rings"))
+    // Broadcast path: the pruned covering is DIMENSION-sized (it is about
+    // to be broadcast anyway), so collect it once and serve both consumers
+    // from the driver copy — the levels probe reads the collected rows and
+    // the join side is a LocalRelation. One covering computation, no
+    // executor cache pinned for the session (a .cache() here is never
+    // unpersistable: the returned lazy plan still references it).
+    // Non-broadcast path (big dimension): keep the distributed plan and pay
+    // one recompute for the levels probe.
+    val (levels, pc) =
+      if (broadcastPolys) {
+        val rows = pruned.collect()
+        val ls = rows.map(_.getString(1).length).distinct.sorted
+        val local = pruned.sparkSession.createDataFrame(
+          java.util.Arrays.asList(rows: _*), pruned.schema)
+        (ls, broadcast(local.withColumnRenamed("cell", "jcell")))
+      } else {
+        val ls = pruned.select(length(col("cell")).as("l"))
+          .distinct().collect().map(_.getInt(0)).sorted
+        (ls, pruned.withColumnRenamed("cell", "jcell").hint("merge"))
+      }
     val prefixes = array(levels.map(l => substring(col("cell"), 1, l)): _*)
-    val pc = {
-      val base = pruned.withColumnRenamed("cell", "jcell")
-      if (broadcastPolys) broadcast(base) else base.hint("merge")
-    }
+    val ringsSide = if (broadcastPolys) broadcast(ringsDim) else ringsDim.hint("merge")
     points
       .withColumn("jcell", explode(prefixes))
       .join(pc, Seq("jcell"), "inner")
+      .join(ringsSide, Seq("poly_id"), "inner")
       .where(call_function("st_point_in_polygon_multi",
         col("lat"), col("lon"), col("rings")))
       .drop("rings", "jcell")
