@@ -896,9 +896,170 @@ object OracleSql {
     SELECT qid, vec_id, round(sim, 6) + 0.0 AS sim, rank FROM ranked
     WHERE rank <= 10 ORDER BY qid, rank"""
 
+  /** q62: cell/geohash/tile scalar surface. All cell arithmetic is exact
+    * dyadic (RAW compare): packed long ids are the base-32 digit value
+    * shifted 6 with the level tag; neighbors/ring are +-1 mod the axis size
+    * re-encoded (the kernel's lookup-table walk, q52-equivalent); auto
+    * precision of a level-5 cell CENTRE is provably 5 (an odd numerator
+    * over 2^k is no coarser cell's centre); cover_box of the cell's closed
+    * bounds extended one exact cell north/east is the 2x2 walk
+    * [cell, E, N, NE]. Tile lat bounds and the derived centre lat are trig
+    * (sinh via exp in DuckDB) -> 6dp. */
+  def q62: String = {
+    val B32 = "'0123456789bcdefghjkmnpqrstuvwxyz'"
+    def b32val(colE: String, n: Int): String =
+      (0 until n).map { i =>
+        s"(strpos($B32, substr($colE, ${i + 1}, 1)) - 1) * ${math.pow(32.0, (n - 1 - i).toDouble).toLong}"
+      }.mkString("(", " + ", ")")
+    // neighbour cells in the kernel's order [n, ne, e, se, s, sw, w, nw]
+    val offs = Seq(
+      ("g0.gx", "(g0.gy + 1) % 4096"), ("(g0.gx + 1) % 8192", "(g0.gy + 1) % 4096"),
+      ("(g0.gx + 1) % 8192", "g0.gy"), ("(g0.gx + 1) % 8192", "(g0.gy + 4095) % 4096"),
+      ("g0.gx", "(g0.gy + 4095) % 4096"), ("(g0.gx + 8191) % 8192", "(g0.gy + 4095) % 4096"),
+      ("(g0.gx + 8191) % 8192", "g0.gy"), ("(g0.gx + 8191) % 8192", "(g0.gy + 1) % 4096"))
+    val nbCells = offs.map { case (x, y) => geohashFromXY(x, y, 5) }
+    def latOf(yy: String): String = {
+      val n = s"(pi() - 2.0 * pi() * CAST($yy AS DOUBLE) / 512.0)"
+      s"degrees(atan((exp($n) - exp(-$n)) / 2.0))"
+    }
+    s"""WITH pts AS ($CustomerPointsSql), g0 AS (
+      SELECT c_custkey, lat, lon,
+        LEAST(CAST(floor((lon + 180.0)/360.0 * 8192) AS BIGINT), 8191) AS gx,
+        LEAST(CAST(floor((lat + 90.0)/180.0 * 4096) AS BIGINT), 4095) AS gy,
+        ${tileXExpr("lon", 9)} AS tx, ${tileYExpr("lat", 9)} AS ty
+      FROM pts
+    ), g1 AS (
+      SELECT *, ${geohashFromXY("g0.gx", "g0.gy", 5)} AS gh5,
+        list_value(${nbCells.mkString(", ")}) AS nbl,
+        ${geohashFromXY("(g0.gx + 1)", "g0.gy", 5)} AS ce,
+        ${geohashFromXY("g0.gx", "(g0.gy + 1)", 5)} AS cn,
+        ${geohashFromXY("(g0.gx + 1)", "(g0.gy + 1)", 5)} AS cne,
+        CAST(tx AS DOUBLE) / 512.0 * 360.0 - 180.0 AS tbw_r,
+        CAST(tx + 1 AS DOUBLE) / 512.0 * 360.0 - 180.0 AS tbe_r,
+        ${latOf("ty + 1")} AS tbs_r, ${latOf("ty")} AS tbn_r
+      FROM g0
+    )
+    SELECT c_custkey, gh5, substr(gh5, 1, 3) AS parent3,
+      CAST(${b32val("gh5", 5)} * 64 + 5 AS BIGINT) AS cl5,
+      CAST(${b32val("gh5", 3)} * 64 + 3 AS BIGINT) AS c2l3,
+      array_to_string(nbl, ',') AS nb,
+      array_to_string(list_sort(nbl), ',') AS ring1,
+      gh5 AS auto5,
+      concat_ws(',', gh5, ce, cn, cne) AS cb,
+      round(tbs_r, 6) + 0.0 AS tbs, tbw_r AS tbw,
+      round(tbn_r, 6) + 0.0 AS tbn, tbe_r AS tbe,
+      round((tbs_r + tbn_r) / 2.0, 6) + 0.0 AS bclat,
+      (tbw_r + tbe_r) / 2.0 AS bclon
+    FROM g1 ORDER BY c_custkey"""
+  }
+
+  /** q63: UTM/registry/validity scalar surface. Forward Krüger (q35's CTE
+    * chain) for easting/northing; convergence + scale continue off the kf8
+    * intermediates with the Karney eq 23-25 sums term-for-term; st_utm_band
+    * is the inverse-Newton chain's lat pushed through the band substr (8°
+    * boundary rows filtered identically on both sides — the round trip is
+    * within 1e-9°, a boundary-exact lat could floor apart); the registry
+    * columns compare against independent EPSG literals (incl. the
+    * dropped-decimal bessel1841 semi-major axis the reference also loads
+    * unscaled, registry CSV quirk). */
+  def q63: String = {
+    val alpha = graft.core.Utm.kruegerAlpha(KN)
+    val pTerms = (1 to 6).map(j =>
+      s" + 2.0 * $j.0 * ${d(alpha(j))} * cos(2.0 * $j.0 * zetap) * ${coshSql(s"2.0 * $j.0 * etap")}").mkString
+    val qTerms = (1 to 6).map(j =>
+      s" + 2.0 * $j.0 * ${d(alpha(j))} * sin(2.0 * $j.0 * zetap) * ${sinhSql(s"2.0 * $j.0 * etap")}").mkString
+    s"""WITH RECURSIVE pts AS ($CustomerPointsSql), p0 AS (
+      SELECT * FROM pts WHERE lat % 8 <> 0
+    ), z AS (
+      SELECT c_custkey, lat, lon, CAST(floor((lon+180.0)/6.0) + 1 AS INT) AS z0,
+        substr('CDEFGHJKLMNPQRSTUVWXX', CAST(floor(lat/8.0 + 10.0) AS INT) + 1, 1) AS band
+      FROM p0
+    ), zz AS (
+      SELECT c_custkey, lat, lon, band, $ZoneSql AS zone FROM z
+    ), ${kruegerForwardCtes("zz", "kf", Seq("c_custkey", "lat", "lon", "band"))},
+    kc AS (
+      SELECT c_custkey, lat, zone, tau, cl, lambda, phi, taup, zetap, etap,
+        1.0$pTerms AS pp, 0.0$qTerms AS qq
+      FROM kf8
+    ), kg AS (
+      SELECT c_custkey,
+        degrees(atan(taup / sqrt(1.0 + taup * taup) * tan(lambda)) + atan2(qq, pp)) AS conv_r,
+        ${d(0.9996)} * (sqrt(1.0 - ${d(KE * KE)} * sin(phi) * sin(phi)) *
+          sqrt(1.0 + tau * tau) / sqrt(taup * taup + cl * cl)) *
+          (${d(KBigA / KA)} * sqrt(pp * pp + qq * qq)) AS k_r
+      FROM kc
+    ), ib AS (
+      SELECT c_custkey, zone,
+        CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END AS hemi, easting, northing
+      FROM kf9
+    ), ${kruegerInverseCtes("ib", "ki", Seq("c_custkey", "hemi"))}
+    SELECT f.c_custkey, f.zone,
+      CASE WHEN f.lat >= 0 THEN 'N' ELSE 'S' END AS hemi,
+      round(f.easting, 4) + 0.0 AS easting,
+      round(f.northing, 4) + 0.0 AS northing,
+      round(g.conv_r, 6) + 0.0 AS conv,
+      round(g.k_r, 9) + 0.0 AS kscale,
+      substr('CDEFGHJKLMNPQRSTUVWXX', CAST(floor(i.lat/8.0 + 10.0) AS INT) + 1, 1) AS band,
+      CASE WHEN substr('CDEFGHJKLMNPQRSTUVWXX',
+        CAST(floor(f.lat/8.0 + 10.0) AS INT) + 1, 1) >= 'N' THEN 'N' ELSE 'S' END AS bh,
+      CAST(123.25 AS DOUBLE) AS ualt,
+      f.zone BETWEEN 1 AND 60 AS v_ok,
+      (f.zone + 61) BETWEEN 1 AND 60 AS v_zone,
+      f.lat BETWEEN -90.0 AND 90.0 AS g_ok,
+      (f.lat + 200.0) BETWEEN -90.0 AND 90.0 AS g_lat,
+      (f.lat + 200.0) > 90.0 AS gnull,
+      TRUE AS unull,
+      CAST(6378137.0 AS DOUBLE) AS wa,
+      1.0 / CAST('298.257223563' AS DOUBLE) AS wf,
+      CAST(6377397155.0 AS DOUBLE) AS ba,
+      CAST(6326 AS BIGINT) AS depsg,
+      CAST(7030 AS BIGINT) AS deell
+    FROM kf9 f
+    JOIN kg g ON g.c_custkey = f.c_custkey
+    JOIN kif i ON i.c_custkey = f.c_custkey
+    ORDER BY f.c_custkey"""
+  }
+
+  /** q64: OLC validity family (outcomes decided by each code's construction
+    * per openlocationcode.d:103-152's rules, derived here as constants of
+    * the construction — the codes themselves come from the independently
+    * verified encoder mirror), st_parse_coord (exact d + (m + s/60)/60 and
+    * decimal-comma forms; sign from the cardinal suffix, negatives s/w/o),
+    * and the corrected matmul toy (raw per-element dot products,
+    * transform.d:38-50 with quirk Q8 fixed). */
+  def q64: String =
+    s"""WITH pts AS ($CustomerPointsSql), b AS (
+      SELECT c_custkey, lat, lon,
+        CAST(c_custkey % 90 AS INT) AS dd,
+        CAST(c_custkey * 3 % 60 AS INT) AS mm,
+        CAST(c_custkey * 7 % 60 AS INT) AS ss,
+        ['N','S','E','W'][CAST(c_custkey % 4 AS INT) + 1] AS card
+      FROM pts
+    )
+    SELECT c_custkey,
+      TRUE AS v_full, TRUE AS f_full, FALSE AS s_full, FALSE AS p_full,
+      TRUE AS v_short, TRUE AS s_short,
+      TRUE AS v_pad, TRUE AS p_pad, TRUE AS f_pad,
+      FALSE AS v_nosep, FALSE AS v_twosep, FALSE AS v_onedigit,
+      (CAST(dd AS DOUBLE) + (CAST(mm AS DOUBLE) + CAST(ss AS DOUBLE) / 60.0) / 60.0) *
+        (CASE WHEN card IN ('S','W') THEN -1.0 ELSE 1.0 END) AS pc_dms,
+      CAST(replace(CASE WHEN c_custkey % 2 = 0 THEN '-' ELSE '' END ||
+        CAST(dd AS VARCHAR) || ',' ||
+        lpad(CAST(c_custkey % 100 AS VARCHAR), 2, '0'), ',', '.') AS DOUBLE) AS pc_dec,
+      CAST(NULL AS DOUBLE) AS pc_bad,
+      lat * 1.5 + lon * -0.5 AS mm00,
+      lat * 0.25 + lon * 4.0 AS mm01,
+      CAST(2.0 * 1.5 + 3.0 * -0.5 AS DOUBLE) AS mm10,
+      CAST(2.0 * 0.25 + 3.0 * 4.0 AS DOUBLE) AS mm11,
+      TRUE AS mragged
+    FROM b ORDER BY c_custkey"""
+
   /** Driver-table-based oracles added in round 3 (inverse/parse surface +
-    * the q58-q61 pipeline rows; no corpus dependency). */
+    * the q58-q64 pipeline rows; no corpus dependency). */
   def inverseOracles: Map[String, String] = Map(
+    "q62_cell_surface" -> q62,
+    "q63_utm_registry_surface" -> q63,
+    "q64_olc_parse_matmul" -> q64,
     "q58_ngram_jaccard" -> q58,
     "q59_stream_window" -> q59,
     "q60_stream_sessionize" -> q60,

@@ -750,6 +750,146 @@ object SparkEntry {
         queries, k = 10, nCentroids = 16, nprobe = 4)
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
+    }),
+    // q62: the cell/geohash/tile scalar surface that until now was
+    // ScalaTest-gated only — parent/long-id/ring/neighbors/auto-precision/
+    // cover-box/tile-bounds/box-center, every output mirrored exactly in
+    // SQL (dyadic cell arithmetic raw; the two Mercator lat bounds and the
+    // derived center lat are trig and compare at 6dp).
+    "q62_cell_surface" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("gh5", call_function("st_cell", col("lat"), col("lon"), lit(5)))
+        .withColumn("parent3", call_function("st_cell_parent", col("gh5"), lit(3)))
+        .withColumn("cl5", call_function("st_cell_long", col("lat"), col("lon"), lit(5)))
+        .withColumn("c2l3", call_function("st_cell_to_long", col("parent3")))
+        .withColumn("nb",
+          concat_ws(",", call_function("st_geohash_neighbors", col("gh5"))))
+        .withColumn("ring1",
+          concat_ws(",", array_sort(call_function("st_cell_ring", col("gh5"), lit(1)))))
+        // the decoded centre of a level-5 cell is a dyadic rational that is
+        // NOT the centre of any coarser cell (2^k cannot divide an odd
+        // numerator), so auto precision must terminate at exactly 5
+        .withColumn("ctr", call_function("st_geohash_decode", col("gh5")))
+        .withColumn("auto5",
+          call_function("st_geohash_auto", col("ctr.lat"), col("ctr.lon")))
+        // closed box = this cell plus one exact cell size north/east ->
+        // the 2x2 walk [cell, E, N, NE]; customer lats/lons stay > one
+        // level-5 cell away from the lat/lon axis edges, so no wrap arm
+        .withColumn("gb", call_function("st_geohash_bounds", col("gh5")))
+        .withColumn("cb", concat_ws(",", call_function("st_cover_box",
+          col("gb.south"), col("gb.west"),
+          col("gb.north") + lit(180.0 / 4096), col("gb.east") + lit(360.0 / 8192),
+          lit(5))))
+        .withColumn("tile", call_function("st_tile", col("lat"), col("lon"), lit(9)))
+        .withColumn("tb",
+          call_function("st_tile_bounds", col("tile.z"), col("tile.x"), col("tile.y")))
+        .withColumn("bc", call_function("st_box_center",
+          col("tb.south"), col("tb.west"), col("tb.north"), col("tb.east")))
+        .select(col("c_custkey"), col("gh5"), col("parent3"), col("cl5"), col("c2l3"),
+          col("nb"), col("ring1"), col("auto5"), col("cb"),
+          (round(col("tb.south"), 6) + 0.0).as("tbs"),
+          col("tb.west").as("tbw"),
+          (round(col("tb.north"), 6) + 0.0).as("tbn"),
+          col("tb.east").as("tbe"),
+          (round(col("bc.lat"), 6) + 0.0).as("bclat"),
+          col("bc.lon").as("bclon"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q63: the UTM/registry/validity scalar surface — full st_geo_to_utm
+    // struct incl. convergence + scale (Karney eq 23-25, mirrored in SQL),
+    // st_utm_band (inverse round trip -> band letter), band->hemisphere,
+    // the validating ctors' null discipline, and the ellipsoid/datum
+    // registry against independent EPSG literals.
+    "q63_utm_registry_surface" -> ((spark, dir) => {
+      val s = prep(spark)
+      val datum = call_function("st_datum", lit("wgs84"))
+      customerPoints(s, dir)
+        // the round-trip lat returns within ~1e-9 deg of the input; a lat
+        // EXACTLY on an 8-degree band boundary could floor differently
+        // across engines, so boundary rows are excluded (identical filter
+        // both sides, derived from the original input)
+        .where(col("lat") % 8 =!= 0.0)
+        .withColumn("u", call_function("st_geo_to_utm", col("lat"), col("lon")))
+        .withColumn("band", call_function("st_utm_band",
+          col("u.zone"), col("u.hemisphere"), col("u.easting"), col("u.northing")))
+        .select(col("c_custkey"),
+          col("u.zone").as("zone"), col("u.hemisphere").as("hemi"),
+          (round(col("u.easting"), 4) + 0.0).as("easting"),
+          (round(col("u.northing"), 4) + 0.0).as("northing"),
+          (round(col("u.convergence"), 6) + 0.0).as("conv"),
+          (round(col("u.scale"), 9) + 0.0).as("kscale"),
+          col("band"),
+          call_function("st_band_to_hemisphere",
+            call_function("st_band", col("lat"))).as("bh"),
+          call_function("st_geo_to_utm_full", col("lat"), col("lon"), lit(123.25))
+            .getField("altitude").as("ualt"),
+          call_function("st_utm_valid", col("u.zone"), col("u.hemisphere")).as("v_ok"),
+          call_function("st_utm_valid", col("u.zone") + lit(61), col("u.hemisphere")).as("v_zone"),
+          call_function("st_geo_valid", col("lat"), col("lon")).as("g_ok"),
+          call_function("st_geo_valid", col("lat") + lit(200.0), col("lon")).as("g_lat"),
+          call_function("st_geo", col("lat") + lit(200.0), col("lon")).isNull.as("gnull"),
+          call_function("st_utm", lit(0), lit("N"),
+            col("u.easting"), col("u.northing")).isNull.as("unull"),
+          call_function("st_ellipsoid_a", lit("wgs84")).as("wa"),
+          call_function("st_ellipsoid_f", lit("wgs84")).as("wf"),
+          call_function("st_ellipsoid_a", lit("bessel1841")).as("ba"),
+          datum.getField("epsg").as("depsg"),
+          datum.getField("ellipsoid_epsg").as("deell"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q64: OLC validity family over constructed codes (each outcome decided
+    // by the construction per the spec rules, mirrored as derived
+    // constants), st_parse_coord over synthesized DMS/decimal/garbage
+    // strings (exact d + (m + s/60)/60 arithmetic mirrored), and the
+    // corrected st_matmul toy (raw dot products).
+    "q64_olc_parse_matmul" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("full10", call_function("olc_encode", col("lat"), col("lon"), lit(10)))
+        .withColumn("short4", expr("substring(full10, 5)"))
+        .withColumn("padded", concat(substring(col("full10"), 1, 4), lit("0000+")))
+        .withColumn("dd", (col("c_custkey") % 90).cast("int"))
+        .withColumn("mm", (col("c_custkey") * 3 % 60).cast("int"))
+        .withColumn("ss", (col("c_custkey") * 7 % 60).cast("int"))
+        .withColumn("card", element_at(array(lit("N"), lit("S"), lit("E"), lit("W")),
+          (col("c_custkey") % 4 + 1).cast("int")))
+        .withColumn("dms", concat(col("dd"), lit("° "), col("mm"), lit("' "),
+          col("ss"), lit("\" "), col("card")))
+        .withColumn("dec", concat(when(col("c_custkey") % 2 === 0, "-").otherwise(""),
+          col("dd"), lit(","), lpad((col("c_custkey") % 100).cast("string"), 2, "0")))
+        .withColumn("mmat", call_function("st_matmul",
+          array(array(col("lat"), col("lon")), array(lit(2.0), lit(3.0))),
+          array(array(lit(1.5), lit(-0.5)), array(lit(0.25), lit(4.0)))))
+        .select(col("c_custkey"),
+          call_function("olc_is_valid", col("full10")).as("v_full"),
+          call_function("olc_is_full", col("full10")).as("f_full"),
+          call_function("olc_is_short", col("full10")).as("s_full"),
+          call_function("olc_is_padded", col("full10")).as("p_full"),
+          call_function("olc_is_valid", col("short4")).as("v_short"),
+          call_function("olc_is_short", col("short4")).as("s_short"),
+          call_function("olc_is_valid", col("padded")).as("v_pad"),
+          call_function("olc_is_padded", col("padded")).as("p_pad"),
+          call_function("olc_is_full", col("padded")).as("f_pad"),
+          call_function("olc_is_valid",
+            translate(col("full10"), "+", "!")).as("v_nosep"),
+          call_function("olc_is_valid",
+            concat(col("full10"), lit("+"))).as("v_twosep"),
+          call_function("olc_is_valid",
+            substring(col("full10"), 1, 10)).as("v_onedigit"),
+          call_function("st_parse_coord", col("dms")).as("pc_dms"),
+          call_function("st_parse_coord", col("dec")).as("pc_dec"),
+          call_function("st_parse_coord",
+            expr("substring('abcdefgh', cast(c_custkey % 3 + 1 as int), 3)"))
+            .as("pc_bad"),
+          col("mmat").getItem(0).getItem(0).as("mm00"),
+          col("mmat").getItem(0).getItem(1).as("mm01"),
+          col("mmat").getItem(1).getItem(0).as("mm10"),
+          col("mmat").getItem(1).getItem(1).as("mm11"),
+          call_function("st_matmul",
+            array(array(lit(1.0)), array(lit(1.0), lit(2.0))),
+            array(array(lit(1.0)))).isNull.as("mragged"))
+        .orderBy(col("c_custkey"))
     })
   )
 
