@@ -986,7 +986,11 @@ object OracleSql {
         degrees(atan(taup / sqrt(1.0 + taup * taup) * tan(lambda)) + atan2(qq, pp)) AS conv_r,
         ${d(0.9996)} * (sqrt(1.0 - ${d(KE * KE)} * sin(phi) * sin(phi)) *
           sqrt(1.0 + tau * tau) / sqrt(taup * taup + cl * cl)) *
-          (${d(KBigA / KA)} * sqrt(pp * pp + qq * qq)) AS k_r
+          (${d(KBigA / KA)} * sqrt(pp * pp + qq * qq)) AS k_r,
+        ${d(0.9996 * (KA / (1.0 + KN)))} * etap + 500000.0 AS ce_r,
+        CASE WHEN ${d(0.9996 * (KA / (1.0 + KN)))} * zetap < 0
+          THEN ${d(0.9996 * (KA / (1.0 + KN)))} * zetap + 10000000.0
+          ELSE ${d(0.9996 * (KA / (1.0 + KN)))} * zetap END AS cn_r
       FROM kc
     ), ib AS (
       SELECT c_custkey, zone,
@@ -1013,7 +1017,9 @@ object OracleSql {
       1.0 / CAST('298.257223563' AS DOUBLE) AS wf,
       CAST(6377397155.0 AS DOUBLE) AS ba,
       CAST(6326 AS BIGINT) AS depsg,
-      CAST(7030 AS BIGINT) AS deell
+      CAST(7030 AS BIGINT) AS deell,
+      round(g.ce_r, 4) + 0.0 AS ceasting,
+      round(g.cn_r, 4) + 0.0 AS cnorthing
     FROM kf9 f
     JOIN kg g ON g.c_custkey = f.c_custkey
     JOIN kif i ON i.c_custkey = f.c_custkey
@@ -1054,12 +1060,35 @@ object OracleSql {
       TRUE AS mragged
     FROM b ORDER BY c_custkey"""
 
+  /** q65: fixed-level ring covering + its Generator twin. The probe
+    * triangle spans exactly [cell, east-neighbour] (its bbox is the two
+    * cells' exact dyadic union and both cells contain a triangle vertex),
+    * so the covering is the 1x2 coverBox walk with every intersection test
+    * trivially true — no Liang-Barsky mirror needed. Altitude pass-through
+    * of the full UTM inverse rides along as a constant probe. */
+  def q65: String =
+    s"""WITH pts AS ($CustomerPointsSql), g0 AS (
+      SELECT c_custkey,
+        LEAST(CAST(floor((lon + 180.0)/360.0 * 8192) AS BIGINT), 8191) AS gx,
+        LEAST(CAST(floor((lat + 90.0)/180.0 * 4096) AS BIGINT), 4095) AS gy
+      FROM pts
+    ), g1 AS (
+      SELECT c_custkey, ${geohashFromXY("g0.gx", "g0.gy", 5)} AS gh5,
+        ${geohashFromXY("(g0.gx + 1)", "g0.gy", 5)} AS ce
+      FROM g0
+    )
+    SELECT c_custkey, gh5 || ',' || ce AS cover,
+      UNNEST([gh5, ce]) AS gcell,
+      CAST(55.5 AS DOUBLE) AS ualt2, TRUE AS gnn
+    FROM g1 ORDER BY c_custkey, gcell"""
+
   /** Driver-table-based oracles added in round 3 (inverse/parse surface +
-    * the q58-q64 pipeline rows; no corpus dependency). */
+    * the q58-q65 pipeline rows; no corpus dependency). */
   def inverseOracles: Map[String, String] = Map(
     "q62_cell_surface" -> q62,
     "q63_utm_registry_surface" -> q63,
     "q64_olc_parse_matmul" -> q64,
+    "q65_cover_cells" -> q65,
     "q58_ngram_jaccard" -> q58,
     "q59_stream_window" -> q59,
     "q60_stream_sessionize" -> q60,

@@ -835,7 +835,12 @@ object SparkEntry {
           call_function("st_ellipsoid_f", lit("wgs84")).as("wf"),
           call_function("st_ellipsoid_a", lit("bessel1841")).as("ba"),
           datum.getField("epsg").as("depsg"),
-          datum.getField("ellipsoid_epsg").as("deell"))
+          datum.getField("ellipsoid_epsg").as("deell"),
+          // quirk Q2 compat: series truncated (alpha = 0, A = a/(1+n))
+          (round(call_function("st_geo_to_utm_compat", col("lat"), col("lon"))
+            .getField("easting"), 4) + 0.0).as("ceasting"),
+          (round(call_function("st_geo_to_utm_compat", col("lat"), col("lon"))
+            .getField("northing"), 4) + 0.0).as("cnorthing"))
         .orderBy(col("c_custkey"))
     }),
     // q64: OLC validity family over constructed codes (each outcome decided
@@ -890,6 +895,32 @@ object SparkEntry {
             array(array(lit(1.0)), array(lit(1.0), lit(2.0))),
             array(array(lit(1.0)))).isNull.as("mragged"))
         .orderBy(col("c_custkey"))
+    }),
+    // q65: the fixed-level ring covering (st_cover_cells), its Generator
+    // UDTF twin (st_cover_cells_gen -> one row per cell), and the
+    // altitude-pass-through full UTM inverse. The probe ring is a right
+    // triangle spanning exactly one level-5 cell and its east neighbour
+    // (dyadic bounds), so the covering is provably [cell, east] on both
+    // sides with no boundary-degenerate intersection tests.
+    "q65_cover_cells" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("gh5", call_function("st_cell", col("lat"), col("lon"), lit(5)))
+        .withColumn("gb", call_function("st_geohash_bounds", col("gh5")))
+        .withColumn("tri", array(
+          struct(col("gb.south").as("lat"), col("gb.west").as("lon")),
+          struct(col("gb.south").as("lat"),
+            (col("gb.east") + lit(360.0 / 8192)).as("lon")),
+          struct(col("gb.north").as("lat"),
+            (col("gb.east") + lit(360.0 / 8192)).as("lon"))))
+        .withColumn("ufull", call_function("st_utm_to_geo_full",
+          lit(32), lit("N"), lit(500000.0), lit(5000000.0), lit(55.5)))
+        .select(col("c_custkey"),
+          concat_ws(",", call_function("st_cover_cells", col("tri"), lit(5))).as("cover"),
+          call_function("st_cover_cells_gen", col("tri"), lit(5), lit(64)).as("gcell"),
+          col("ufull.h").as("ualt2"),
+          col("ufull").isNotNull.as("gnn"))
+        .orderBy(col("c_custkey"), col("gcell"))
     })
   )
 
