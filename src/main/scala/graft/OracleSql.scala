@@ -1082,9 +1082,32 @@ object OracleSql {
       CAST(55.5 AS DOUBLE) AS ualt2, TRUE AS gnn
     FROM g1 ORDER BY c_custkey, gcell"""
 
+  /** q66: trigram-profile language ID — per-language score is the
+    * rank-weighted sum of non-overlapping trigram occurrence counts
+    * ((len - len(replace)) / 3, exactly core.LangId's scan), argmax with
+    * ties to the first sorted language, all-zero -> 'und'. The profile
+    * literals are generated from the same LangId table the kernel uses;
+    * the SCORING is the independent dual implementation. */
+  def q66: String = {
+    val scores = graft.core.LangId.Profiles.map { case (lang, tris) =>
+      val terms = tris.zipWithIndex.map { case (tri, i) =>
+        s"${tris.length - i} * ((length(t) - length(replace(t, '${tri.replace("'", "''")}', ''))) // 3)"
+      }.mkString(" + ")
+      lang -> terms
+    }
+    val gm = s"greatest(${scores.map("sc_" + _._1).mkString(", ")})"
+    val cases = scores.map { case (lang, _) => s"WHEN sc_$lang = gm THEN '$lang'" }.mkString(" ")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    s AS (SELECT doc_id, ${scores.map { case (l, e) => s"($e) AS sc_$l" }.mkString(", ")} FROM d),
+    m AS (SELECT *, $gm AS gm FROM s)
+    SELECT doc_id, CASE WHEN gm <= 0 THEN 'und' $cases ELSE 'und' END AS lang3
+    FROM m ORDER BY doc_id"""
+  }
+
   /** Driver-table-based oracles added in round 3 (inverse/parse surface +
-    * the q58-q65 pipeline rows; no corpus dependency). */
+    * the q58-q66 pipeline rows; no corpus dependency). */
   def inverseOracles: Map[String, String] = Map(
+    "q66_langid_ngram" -> q66,
     "q62_cell_surface" -> q62,
     "q63_utm_registry_surface" -> q63,
     "q64_olc_parse_matmul" -> q64,

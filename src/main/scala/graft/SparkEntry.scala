@@ -921,6 +921,14 @@ object SparkEntry {
           col("ufull.h").as("ualt2"),
           col("ufull").isNotNull.as("gnn"))
         .orderBy(col("c_custkey"), col("gcell"))
+    }),
+    // q66: trigram-profile language ID (the heavier-duty classifier next to
+    // q42's stopword prefilter) — one kernel pass per row, scoring mirrored
+    // exactly in SQL via the replace-count idiom.
+    "q66_langid_ngram" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      graft.engine.TextOps.langIdNgram(t(dir, "documents"))
+        .orderBy(col("doc_id"))
     })
   )
 

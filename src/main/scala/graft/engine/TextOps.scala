@@ -91,6 +91,14 @@ object TextOps {
     scored.withColumn("lang_pred", best).select("doc_id", "lang_pred")
   }
 
+  /** Heavier-duty language ID: rank-weighted character-trigram profiles
+    * (core.LangId, Cavnar-Trenkle style) as one codegen'd kernel pass per
+    * row — no explode, no shuffle; the classifier a real pipeline would
+    * run where the stopword heuristic above is the cheap prefilter. */
+  def langIdNgram(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("st_langid", col(textCol)).as("lang3"))
+
   /** Fused per-document profile: language ID + quality score + fingerprint
     * in ONE projection over ONE scan (doc_id, lang_pred, quality, fp).
     * Exactly the values of langId/qualityScore/fingerprint — but where

@@ -307,6 +307,7 @@ object GraftFunctions {
     "st_simhash" -> ((a: Seq[Expression]) => si(LongType, "simhash64", Seq(a.head))),
     "st_words" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "words", Seq(str(a.head)))),
+    "st_langid" -> ((a: Seq[Expression]) => si(StringType, "langId3", Seq(str(a.head)))),
     "st_cosine" -> ((a: Seq[Expression]) =>
       si(DoubleType, "cosineSim",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType))))),

@@ -719,6 +719,13 @@ object K {
     new GenericArrayData(w.map(utf8(_)).asInstanceOf[Array[Any]])
   }
 
+  /** st_langid(text): rank-weighted character-trigram language ID
+    * (core.LangId profiles); "und" when nothing matches. */
+  def langId3(text: UTF8String): UTF8String = {
+    if (text == null) return null
+    utf8(graft.core.LangId.classify(text.toString))
+  }
+
   /** st_shingles(text, n): distinct word n-grams (space-joined) of the
     * normalized text; for fewer than n words, the single joined word string
     * (possibly ""). Matches: distinct(concat_ws(' ', sliding n over words)).

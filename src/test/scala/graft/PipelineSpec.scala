@@ -221,6 +221,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp("t3") == graft.core.Hashing.md5Hex(""))
   }
 
+  test("trigram lang-id discriminates six languages and matches the pure kernel") {
+    import spark.implicits._
+    val samples = Seq(
+      ("t_en", "the quick brown fox and the lazy dog went to the house of the king", "en"),
+      ("t_de", "der schnelle braune fuchs und die faulen hunde sind nicht durch den wald gegangen", "de"),
+      ("t_fr", "le renard brun et rapide est dans la maison que les enfants ont pour les vacances", "fr"),
+      ("t_es", "el zorro marrón y el perro en la casa de los niños que están por la mañana", "es"),
+      ("t_it", "la volpe marrone veloce che salta per il cane pigro della casa di campagna", "it"),
+      ("t_pt", "a raposa marrom que pula sobre o cão preguiçoso da casa em que os meninos estão", "pt"),
+      ("t_und", "zzz qqq xxx 12345", "und"))
+    val d = samples.map(s => (s._1, s._2)).toDF("doc_id", "text")
+    val got = TextOps.langIdNgram(d).collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((id, text, want) <- samples) {
+      assert(got(id) == want, s"$id: got ${got(id)}, want $want")
+      // kernel path == pure-Scala reference path
+      assert(graft.core.LangId.classify(text) == want)
+    }
+    assert(graft.core.LangId.classify(null) == null)
+  }
+
   test("media binary-column path agrees with the ref path") {
     import spark.implicits._
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
