@@ -1104,10 +1104,34 @@ object OracleSql {
     FROM m ORDER BY doc_id"""
   }
 
+  /** q67: winnowing fingerprints — k-gram polynomial hashes (base 257,
+    * exact BIGINT: codepoints * 257^4 stay under 2^63), window-of-w minima,
+    * sorted distinct. unicode() == Java charAt on the ASCII corpus. */
+  def q67: String = {
+    val k = 5; val w = 4
+    val hash = (0 until k).map { j =>
+      s"unicode(substr(t, i + $j, 1)) * ${math.pow(257.0, (k - 1 - j).toDouble).toLong}"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    h AS (
+      SELECT doc_id, CASE WHEN length(t) < $k THEN CAST([] AS BIGINT[]) ELSE
+        list_transform(range(1, length(t) - $k + 2), i -> $hash) END AS hs
+      FROM d
+    ), m AS (
+      SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE
+        list_transform(range(1, greatest(len(hs) - $w + 1, 1) + 1),
+          j -> list_min(hs[j : j + $w - 1])) END AS ms
+      FROM h
+    )
+    SELECT doc_id, array_to_string(list_sort(list_distinct(ms)), ',') AS fps
+    FROM m ORDER BY doc_id"""
+  }
+
   /** Driver-table-based oracles added in round 3 (inverse/parse surface +
-    * the q58-q66 pipeline rows; no corpus dependency). */
+    * the q58-q67 pipeline rows; no corpus dependency). */
   def inverseOracles: Map[String, String] = Map(
     "q66_langid_ngram" -> q66,
+    "q67_winnow" -> q67,
     "q62_cell_surface" -> q62,
     "q63_utm_registry_surface" -> q63,
     "q64_olc_parse_matmul" -> q64,

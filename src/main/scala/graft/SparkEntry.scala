@@ -929,6 +929,16 @@ object SparkEntry {
       implicit val s: SparkSession = prep(spark)
       graft.engine.TextOps.langIdNgram(t(dir, "documents"))
         .orderBy(col("doc_id"))
+    }),
+    // q67: winnowing fingerprints (rolling k-gram hash window minima) —
+    // exact BIGINT arithmetic on both sides (base 257, k=5 keeps every sum
+    // inside 2^63).
+    "q67_winnow" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      graft.engine.TextOps.winnow(t(dir, "documents"))
+        .select(col("doc_id"),
+          array_join(col("fps").cast("array<string>"), ",").as("fps"))
+        .orderBy(col("doc_id"))
     })
   )
 

@@ -99,6 +99,17 @@ object TextOps {
     docs.select(col("doc_id"),
       call_function("st_langid", col(textCol)).as("lang3"))
 
+  /** Winnowing fingerprints (rolling k-gram hashes, per-window minima —
+    * Schleimer/Wilkerson/Aiken 2003): the substring-robust fingerprint next
+    * to the whole-document md5/xxhash64. Shared substrings of length >=
+    * w + k - 1 guarantee a shared fingerprint; near-dup candidate pairs
+    * come from grouping on exploded fingerprints (same bucket shape as the
+    * minhash path). One kernel pass per row. */
+  def winnow(docs: DataFrame, k: Int = 5, w: Int = 4,
+             textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"),
+      call_function("st_winnow", col(textCol), lit(k), lit(w)).as("fps"))
+
   /** Fused per-document profile: language ID + quality score + fingerprint
     * in ONE projection over ONE scan (doc_id, lang_pred, quality, fp).
     * Exactly the values of langId/qualityScore/fingerprint — but where

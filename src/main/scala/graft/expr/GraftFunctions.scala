@@ -308,6 +308,8 @@ object GraftFunctions {
     "st_words" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "words", Seq(str(a.head)))),
     "st_langid" -> ((a: Seq[Expression]) => si(StringType, "langId3", Seq(str(a.head)))),
+    "st_winnow" -> ((a: Seq[Expression]) =>
+      si(ArrayType(LongType), "winnowOf", Seq(str(a(0)), int(a(1)), int(a(2))))),
     "st_cosine" -> ((a: Seq[Expression]) =>
       si(DoubleType, "cosineSim",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType))))),

@@ -726,6 +726,49 @@ object K {
     utf8(graft.core.LangId.classify(text.toString))
   }
 
+  /** st_winnow(text, k, w): winnowing document fingerprints (Schleimer,
+    * Wilkerson, Aiken 2003) — rolling polynomial hashes of the lower-cased
+    * text's character k-grams, the minimum of every length-w hash window,
+    * output as the sorted distinct minima. Any substring of length >=
+    * w + k - 1 shared by two documents yields at least one shared
+    * fingerprint (the winnowing guarantee). Base 257 with k <= 6 keeps
+    * every sum exactly inside a signed 64-bit value, so the SQL oracle
+    * mirrors the arithmetic with plain BIGINTs (no modular wrap). Returns
+    * an empty array for texts shorter than k. */
+  def winnowOf(text: UTF8String, k: Int, w: Int): ArrayData = {
+    if (text == null) return null
+    require(k >= 1 && k <= 6 && w >= 1, "st_winnow: need 1 <= k <= 6, w >= 1")
+    val t = text.toString.toLowerCase(java.util.Locale.ROOT)
+    val n = t.length
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val nh = n - k + 1
+    val hs = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = h * 257L + t.charAt(i + j).toLong; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val nw = math.max(nh - w + 1, 1)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var s = 0
+    while (s < nw) {
+      var m = hs(s)
+      var j = s + 1
+      val end = math.min(s + w, nh)
+      while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+      out.add(m)
+      s += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = it.next(); o += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** st_shingles(text, n): distinct word n-grams (space-joined) of the
     * normalized text; for fewer than n words, the single joined word string
     * (possibly ""). Matches: distinct(concat_ws(' ', sliding n over words)).

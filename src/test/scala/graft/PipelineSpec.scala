@@ -241,6 +241,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(graft.core.LangId.classify(null) == null)
   }
 
+  test("winnowing fingerprints: identical docs match, shared substrings overlap, short texts empty") {
+    import spark.implicits._
+    val shared = "distributed spatial join engine"
+    val d = Seq(
+      ("w1", s"alpha beta gamma $shared delta epsilon"),
+      ("w2", s"completely different preamble text $shared and a different tail"),
+      ("w3", s"alpha beta gamma $shared delta epsilon"),
+      ("w4", "zq"), // shorter than k -> empty fingerprint set
+      ("w5", "unrelated content with nothing in common whatsoever here"))
+      .toDF("doc_id", "text")
+    val got = TextOps.winnow(d).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(got("w1") == got("w3"), "identical docs must fingerprint identically")
+    assert(got("w4").isEmpty)
+    // winnowing guarantee: a shared substring of length >= w + k - 1 = 8
+    // yields at least one shared fingerprint
+    assert(got("w1").intersect(got("w2")).nonEmpty, "shared substring missed")
+    assert(got("w1").intersect(got("w5")).size < got("w1").size,
+      "unrelated doc shares everything?")
+  }
+
   test("media binary-column path agrees with the ref path") {
     import spark.implicits._
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
