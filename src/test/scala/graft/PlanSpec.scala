@@ -131,6 +131,28 @@ class PlanSpec extends AnyFunSuite {
       s"fact-side shuffle crept back in:\n${factSide.take(1500)}")
   }
 
+  test("IVF ANN: list assignment is map-only (scan -> project -> broadcast join)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.where(col("vec_id") < 4)
+      .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+    val df = Ann.ivfTopK(e, queries, k = 5)
+    df.collect()
+    val plan = physical(df)
+    val bhj = plan.indexOf("BroadcastHashJoin")
+    assert(bhj >= 0, s"no broadcast candidate join:\n${plan.take(1200)}")
+    // the fact subtree sits between the join node and its broadcast build
+    // side in the formatted tree: it must be Scan -> Project only — the
+    // centroid assignment adds NO exchange on the corpus side (the only
+    // shuffles in the whole plan are the per-query top-k windows)
+    val buildCut = { val i = plan.indexOf("BroadcastQueryStage", bhj)
+      if (i >= 0) i else plan.indexOf("BroadcastExchange", bhj) }
+    val factSide = plan.substring(bhj, buildCut)
+    assert(!factSide.contains("Exchange") && !factSide.contains("hashpartitioning"),
+      s"fact-side shuffle in IVF assignment:\n$factSide")
+    assert(factSide.contains("Scan parquet"), s"fact side lost its scan:\n$factSide")
+  }
+
   test("salted join key includes the salt (skew split)") {
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
     val polys = Corpus.polygons(spark).toDF()
