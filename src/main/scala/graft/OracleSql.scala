@@ -872,7 +872,7 @@ object OracleSql {
     s"""WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
     ), cent AS (
-      SELECT vec_id AS cid, emb AS cemb FROM e WHERE vec_id < 16
+      SELECT vec_id AS cid, emb AS cemb FROM e ORDER BY vec_id LIMIT 16
     ), assign AS (
       SELECT vec_id, emb, cid FROM (
         SELECT e.vec_id, e.emb, c.cid,
@@ -1098,9 +1098,11 @@ object OracleSql {
     val gm = s"greatest(${scores.map("sc_" + _._1).mkString(", ")})"
     val cases = scores.map { case (lang, _) => s"WHEN sc_$lang = gm THEN '$lang'" }.mkString(" ")
     s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
-    s AS (SELECT doc_id, ${scores.map { case (l, e) => s"($e) AS sc_$l" }.mkString(", ")} FROM d),
+    s AS (SELECT doc_id, t IS NULL AS tnull,
+      ${scores.map { case (l, e) => s"($e) AS sc_$l" }.mkString(", ")} FROM d),
     m AS (SELECT *, $gm AS gm FROM s)
-    SELECT doc_id, CASE WHEN gm <= 0 THEN 'und' $cases ELSE 'und' END AS lang3
+    SELECT doc_id, CASE WHEN tnull THEN NULL
+      WHEN gm <= 0 THEN 'und' $cases ELSE 'und' END AS lang3
     FROM m ORDER BY doc_id"""
   }
 

@@ -46,6 +46,30 @@ object SparkEntry {
     spark
   }
 
+  /** Per-process scratch dir for the streaming driver queries: deterministic
+    * per (tag, scale) WITHIN a process so repeated runs in one JVM reuse and
+    * wipe a single dir (bounded /tmp growth), and scoped by PID so two
+    * concurrent JVMs (e.g. Bench and Verify at the same scale) can never
+    * delete or overwrite each other's LIVE streaming sink/checkpoint/source.
+    * A shutdown hook removes everything this process registered. */
+  private val scratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val scratchHook: Unit =
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchRoots.forEach { p =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+        catch { case _: Throwable => () }
+      }
+    }))
+  private def scratchDir(tag: String, dir: String): String = {
+    scratchHook
+    val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
+      Integer.toHexString(dir.hashCode) + "_" +
+      java.lang.ProcessHandle.current().pid()
+    scratchRoots.add(p)
+    p
+  }
+
   /** Derived deterministic points from customer keys (SQL-reproducible):
     * lat in [-80, 83.9], lon in [-180, 179.9]. */
   private def customerPoints(spark: SparkSession, dir: String): DataFrame = {
@@ -621,11 +645,7 @@ object SparkEntry {
       val nDocs = corpusDocs(dir)
       val (docsPath, _) = Corpus.ensure(s, nDocs)
       val sch = s.read.parquet(docsPath).schema
-      // deterministic per-scale sink dir, wiped up front: bounded /tmp usage
-      // across repeated bench/verify runs (a fresh UUID per run would leak a
-      // full tile dataset + checkpoint every invocation)
-      val outBase = s"${sys.props("java.io.tmpdir")}/graft_q57_" +
-        Integer.toHexString(dir.hashCode)
+      val outBase = scratchDir("q57", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
       val q = graft.streaming.Streams.tileAssign(
           s.readStream.schema(sch).parquet(docsPath), 7)
@@ -661,8 +681,7 @@ object SparkEntry {
       // readStream needs a DIRECTORY; stage the single events.parquet file.
       // Copied UNCONDITIONALLY: a stale staged copy after the source is
       // regenerated would silently desync the stream from the oracle.
-      val srcDir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_q59_src_" +
-        Integer.toHexString(dir.hashCode))
+      val srcDir = new java.io.File(scratchDir("q59src", dir))
       srcDir.mkdirs()
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
@@ -707,16 +726,14 @@ object SparkEntry {
     "q60_stream_sessionize" -> ((spark, dir) => {
       val s = prep(spark)
       implicit val ss: SparkSession = s
-      val srcDir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_q60_src_" +
-        Integer.toHexString(dir.hashCode))
+      val srcDir = new java.io.File(scratchDir("q60src", dir))
       srcDir.mkdirs()
       java.nio.file.Files.copy(
         java.nio.file.Paths.get(s"$dir/events.parquet"),
         java.nio.file.Paths.get(srcDir.getPath, "events.parquet"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       val sch = s.read.parquet(srcDir.getPath).schema
-      val outBase = s"${sys.props("java.io.tmpdir")}/graft_q60_" +
-        Integer.toHexString(dir.hashCode)
+      val outBase = scratchDir("q60", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
       // update-mode output can't go to a parquet sink directly; foreachBatch
       // appends each batch's updates and the readback reduces to the final

@@ -65,10 +65,13 @@ object Ann {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
     val spark = corpus.sparkSession
-    // tolerate array<float> input (raw parquet vectors): all math is double
+    // tolerate array<float> input (raw parquet vectors): all math is double.
+    // "first nCentroids by id" via sort+limit — correct on sparse/offset id
+    // spaces too (a vec_id < n filter would silently under-train there)
     val cents: Array[(Long, Array[Double])] = corpus
-      .where(col("vec_id") < nCentroids)
       .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(col("vec_id"))
+      .limit(nCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)

@@ -196,15 +196,34 @@ object Corpus {
       try {
         if (!complete()) { // re-check: the lock holder before us may have built it
           val tmp = s"$base.tmp.${java.lang.ProcessHandle.current().pid()}"
-          documentsDf(spark, nDocs, partitions = 64).write.mode("overwrite").parquet(s"$tmp/docs")
-          polygons(spark).write.mode("overwrite").parquet(s"$tmp/polys")
-          polygonsHoled(spark).write.mode("overwrite").parquet(s"$tmp/polys_holed")
-          // a stale/partial base (e.g. pre-upgrade layout) is safe to replace
-          // here: we hold the exclusive build lock
-          if (new java.io.File(base).exists())
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
-          java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          val layersOk = new java.io.File(s"$docsPath/_SUCCESS").exists() &&
+            new java.io.File(s"$polysPath/_SUCCESS").exists()
+          if (layersOk) {
+            // layout upgrade: only polys_holed is missing. ADD it (atomic
+            // move into the live base) instead of deleting a base that a
+            // pre-upgrade reader may be scanning right now — the committed
+            // docs/polys layers are deterministic and stay byte-identical.
+            polygonsHoled(spark).write.mode("overwrite").parquet(s"$tmp/polys_holed")
+            // a pre-existing polys_holed here has no _SUCCESS (complete()
+            // was false) -> no valid reader; clear it for the atomic move
+            org.apache.commons.io.FileUtils.deleteDirectory(
+              new java.io.File(s"$base/polys_holed"))
+            java.nio.file.Files.move(
+              java.nio.file.Paths.get(s"$tmp/polys_holed"),
+              java.nio.file.Paths.get(s"$base/polys_holed"),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+          } else {
+            // no committed docs/polys -> nobody can be validly reading;
+            // a stale partial base is safe to replace under the build lock
+            documentsDf(spark, nDocs, partitions = 64).write.mode("overwrite").parquet(s"$tmp/docs")
+            polygons(spark).write.mode("overwrite").parquet(s"$tmp/polys")
+            polygonsHoled(spark).write.mode("overwrite").parquet(s"$tmp/polys_holed")
+            if (new java.io.File(base).exists())
+              org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(base),
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
         }
       } finally {
         lock.release()

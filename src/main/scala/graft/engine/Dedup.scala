@@ -95,7 +95,15 @@ object Dedup {
     * DEFAULT IS RECOMPUTE: a ~5x blowup of the corpus in executor
     * memory/disk per wave buys nothing — the columnar re-scan plus
     * re-tokenization CPU is the cheaper currency. Flip to staging only when
-    * the input scan itself is the bottleneck (e.g. remote cold storage). */
+    * the input scan itself is the bottleneck (e.g. remote cold storage).
+    *
+    * Lifecycle caveat: with `stageShingles = true` the persisted projection
+    * stays pinned in executor storage for the session (the returned lazy
+    * plan references it, so this method cannot unpersist it) — the caller
+    * owns the release: materialize the result, then
+    * `spark.catalog.clearCache()` or track/unpersist via
+    * `spark.sparkContext.getPersistentRDDs`. Another reason the default
+    * is recompute. */
   def minhashLsh(docs: DataFrame, textCol: String = "text",
                  numHashes: Int = 32, bands: Int = 8,
                  threshold: Double = 0.7, maxBucket: Int = 64,

@@ -20,6 +20,9 @@ import graft.core.Cells
   */
 object Knn {
 
+  // one shutdown hook per JVM for the auto-provisioned checkpoint dir
+  private var cleanupRegistered = false
+
   /** Metres per degree of great-circle arc on the haversine sphere
     * (R = 6371008.8 m, matching `st_haversine`): 2*pi*R/360 = 111194.9267...
     * Rounded DOWN so every product below stays a true lower bound. */
@@ -78,8 +81,23 @@ object Knn {
       require(spark.sparkContext.master.startsWith("local"),
         "Knn.knn on a cluster needs spark.checkpoint.dir on SHARED storage " +
           "(a node-local default would strand checkpoint partitions)")
-      spark.sparkContext.setCheckpointDir(
-        s"${sys.props("java.io.tmpdir")}/graft_knn_ckpt_${java.lang.ProcessHandle.current().pid()}")
+      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_knn_ckpt_" +
+        java.lang.ProcessHandle.current().pid()
+      spark.sparkContext.setCheckpointDir(ckpt)
+      // Spark never deletes reliable checkpoint files on its own
+      // (cleanCheckpoints defaults to false); since WE provisioned a
+      // process-private local dir, remove it when this JVM exits — its
+      // contents are only meaningful within this JVM's lifetime anyway
+      Knn.synchronized {
+        if (!cleanupRegistered) {
+          cleanupRegistered = true
+          java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+            try org.apache.commons.io.FileUtils
+              .deleteDirectory(new java.io.File(ckpt))
+            catch { case _: Throwable => () }
+          }))
+        }
+      }
     }
     // persist-then-checkpoint: the eager checkpoint job populates the cache
     // while writing, so each round's plan is computed ONCE (a bare
@@ -98,7 +116,11 @@ object Knn {
     var unresolved = queries
       .select(col("qid"), col("lat").as("q_lat"), col("lon").as("q_lon"))
       .withColumn("qcell", cf("st_cell", col("q_lat"), col("q_lon"), lit(level)))
-    var acc: DataFrame = null
+    // each round's resolved rows are checkpointed ONCE and buffered; the
+    // union happens at the end — re-checkpointing a growing accumulator
+    // every round would rewrite all previously-resolved rows each time
+    // (O(rounds * |result|) checkpoint I/O)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var round = 1
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("pid"))
 
@@ -129,11 +151,9 @@ object Knn {
       val resolvedQ = kth.where(col("n") === k && col("kth") < bound).select("qid")
 
       val resolvedRows = cand.join(broadcast(resolvedQ), Seq("qid"), "left_semi")
-      acc = if (acc == null) resolvedRows.select("qid", "pid", "dist", "rank")
-            else acc.unionByName(resolvedRows.select("qid", "pid", "dist", "rank"))
       // materialize this round's results before mutating `unresolved`
       // (reliable checkpoint: survives executor loss, see header note)
-      acc = durable(acc)
+      parts += durable(resolvedRows.select("qid", "pid", "dist", "rank"))
       // checkpoint: without this the unresolved plan references itself twice
       // per round (directly and via resolvedQ), re-executing every earlier
       // round's disk join on each isEmpty/join/crossJoin
@@ -153,10 +173,17 @@ object Knn {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select("qid", "pid", "dist", "rank")
-      acc = if (acc == null) rest else acc.unionByName(rest)
-      acc = durable(acc)
+      parts += durable(rest)
     }
     pts.unpersist()
-    acc
+    // union of per-round checkpointed pieces: each piece was written exactly
+    // once; the union itself is lineage-cheap (reads the checkpoint files).
+    // Empty query set -> a correctly-typed empty frame (never null)
+    if (parts.isEmpty)
+      queries.select(col("qid")).where(lit(false))
+        .crossJoin(points.select(col("pid")).where(lit(false)))
+        .withColumn("dist", lit(0.0)).withColumn("rank", lit(1))
+        .select("qid", "pid", "dist", "rank")
+    else parts.reduce(_ unionByName _)
   }
 }
