@@ -1131,9 +1131,19 @@ object OracleSql {
 
   /** Driver-table-based oracles added in round 3 (inverse/parse surface +
     * the q58-q67 pipeline rows; no corpus dependency). */
+  /** q68: the bucketed co-located join — bucketing changes the PLAN, not
+    * the answer, so the oracle is the plain groupBy + join. */
+  def q68: String =
+    s"""WITH pts AS ($CustomerPointsSql), g AS (
+      SELECT c_custkey, ${geohashSql("lat", "lon", 5)} AS cell FROM pts
+    ), c AS (SELECT cell, count(*) AS n FROM g GROUP BY cell)
+    SELECT g.cell, g.c_custkey, c.n FROM g JOIN c USING (cell)
+    ORDER BY g.c_custkey"""
+
   def inverseOracles: Map[String, String] = Map(
     "q66_langid_ngram" -> q66,
     "q67_winnow" -> q67,
+    "q68_bucketed_join" -> q68,
     "q62_cell_surface" -> q62,
     "q63_utm_registry_surface" -> q63,
     "q64_olc_parse_matmul" -> q64,

@@ -956,6 +956,23 @@ object SparkEntry {
         .select(col("doc_id"),
           array_join(col("fps").cast("array<string>"), ",").as("fps"))
         .orderBy(col("doc_id"))
+    }),
+    // q68: co-located join via bucketed tables — both sides bucketBy(8) on
+    // the cell key, joined with zero Exchange (PlanSpec gates the plan
+    // shape; this row gates the result).
+    "q68_bucketed_join" -> ((spark, dir) => {
+      val s = prep(spark)
+      val pts = customerPoints(s, dir)
+        .withColumn("cell", call_function("st_cell", col("lat"), col("lon"), lit(5)))
+        .select(col("c_custkey"), col("cell"))
+      val base = scratchDir("q68", dir)
+      val a = graft.engine.Bucketing.writeBucketed(
+        pts, "graft_q68_pts", s"$base/pts", "cell", 8)
+      val b = graft.engine.Bucketing.writeBucketed(
+        pts.groupBy("cell").agg(count(lit(1)).as("n")),
+        "graft_q68_cnt", s"$base/cnt", "cell", 8)
+      graft.engine.Bucketing.bucketedJoin(a, b, "cell")
+        .orderBy(col("c_custkey"))
     })
   )
 
