@@ -1599,6 +1599,8 @@ object OracleSql {
     "q46_token_counts" -> q46,
     "q47_vincenty" -> q47,
     "q56_pip_multiring" -> q56(nDocs),
-    "q57_stream_tiles" -> q57(nDocs)
+    "q57_stream_tiles" -> q57(nDocs),
+    // the stream-static join must produce the identical PIP pair set
+    "q69_stream_spatial_join" -> q31(nDocs)
   )
 }

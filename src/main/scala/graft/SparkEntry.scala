@@ -957,6 +957,37 @@ object SparkEntry {
           array_join(col("fps").cast("array<string>"), ",").as("fps"))
         .orderBy(col("doc_id"))
     }),
+    // q69: stream-static spatial join under Trigger.AvailableNow — the
+    // streaming fact side joins the broadcast polygon-cell dimension with
+    // no streaming state; the pair set must equal the batch join's, so the
+    // oracle is q31's (same construction StreamingSpec proves ≡ batch).
+    "q69_stream_spatial_join" -> ((spark, dir) => {
+      val s = prep(spark)
+      val nDocs = corpusDocs(dir)
+      val (docsPath, _) = Corpus.ensure(s, nDocs)
+      val sch = s.read.parquet(docsPath).schema
+      val polys = Corpus.storedPolys(s, nDocs)
+      val polyCells = SpatialJoin.polygonCells(polys)
+      val levels = polyCells.select(length(col("cell")).as("l"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      val pts = SpatialJoin.extractPoints(s.readStream.schema(sch).parquet(docsPath))
+        .withColumn("jcell",
+          explode(array(levels.map(l => substring(col("cell"), 1, l)): _*)))
+      val outBase = scratchDir("q69", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
+      val q = graft.streaming.Streams.spatialJoinStream(pts, polyCells)
+        .select(col("doc_id"), col("offset"), col("poly_id"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outBase/data")
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outBase/data")
+        .orderBy(col("doc_id"), col("offset"), col("poly_id"))
+    }),
     // q68: co-located join via bucketed tables — both sides bucketBy(8) on
     // the cell key, joined with zero Exchange (PlanSpec gates the plan
     // shape; this row gates the result).
