@@ -206,6 +206,15 @@ class EngineSpec extends AnyFunSuite {
     assert(missing == 0, s"$missing point-tiles outside polyfill")
   }
 
+  test("knn with an empty query set returns a typed empty frame") {
+    import spark.implicits._
+    val ptsDf = Seq(("p0", 40.0, -75.0), ("p1", 41.0, -74.0)).toDF("pid", "lat", "lon")
+    val qsDf = Seq.empty[(String, Double, Double)].toDF("qid", "lat", "lon")
+    val out = Knn.knn(spark, qsDf, ptsDf, k = 3)
+    assert(out.columns.toSeq == Seq("qid", "pid", "dist", "rank"))
+    assert(out.count() == 0)
+  }
+
   test("knn equals brute force") {
     import spark.implicits._
     val k = 5
