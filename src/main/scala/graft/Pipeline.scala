@@ -145,6 +145,18 @@ object Pipeline {
     // the downstream stages run
     if (cleanTextDf != null) cleanTextDf.unpersist()
 
+    // stage 1a (side output): per-doc text profile — stopword + trigram
+    // language id, quality score, md5 fingerprint, winnowing-fingerprint
+    // count — ONE fused projection over one scan of the cleaned docs,
+    // written partitioned by predicted language: the routing layout a
+    // training-data pipeline reads per-language shards from (media-only
+    // docs profile as lang3='und', quality 0 — they route too)
+    stage("profile", s"$outDir/profile", s"profile:$cleanFp", Some("lang3")) {
+      TextOps.profileFull(cleaned.select(col("doc_id"),
+        expr("concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'), s -> s.text))")
+          .as("text")))
+    }
+
     // stage 1: extract, partitioned by level-2 cell prefix (coarse enough for
     // sane directory counts, fine enough for partition-pruned region reads)
     val points = stage("points", s"$outDir/points", pointsFp, Some("cell_p2")) {

@@ -118,7 +118,21 @@ object TextOps {
     * per-row scalar computations over the same text column; common
     * subexpressions like the word split are eliminated inside whole-stage
     * codegen). At 100 TB that is 3x less scan I/O and zero shuffles. */
-  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame =
+    profileSelect(docs, textCol)
+
+  /** `profile` plus the heavier per-doc signals (trigram language id and
+    * the winnowing fingerprint count) — still ONE projection over one scan.
+    * The shape a training-data pipeline routes on: partition the output by
+    * `lang3`, filter on `quality`, join near-dup candidates on fingerprint
+    * overlap. */
+  def profileFull(docs: DataFrame, textCol: String = "text"): DataFrame =
+    profileSelect(docs, textCol,
+      Seq(call_function("st_langid", col(textCol)).as("lang3"),
+        size(call_function("st_winnow", col(textCol), lit(5), lit(4))).as("n_fps")))
+
+  private def profileSelect(docs: DataFrame, textCol: String,
+                            extra: Seq[Column] = Nil): DataFrame = {
     val t = col(textCol)
     val words = wordsCol(t)
     // langId mirror (argmax over stopword hits, ties in sorted lang order)
@@ -140,11 +154,11 @@ object TextOps {
       .when(nChars < 20, nChars / 20.0)
       .otherwise(lit(10000.0) / nChars)
     val wordScore = when(nWords >= 5, 1.0).otherwise(nWords / 5.0)
-    docs.select(
+    docs.select(Seq(
       col("doc_id"),
       best.as("lang_pred"),
       round(lenScore * wordScore * (lit(1.0) - punctRatio) * alphaRatio, 6).as("quality"),
-      md5(concat_ws(" ", words)).as("fp"))
+      md5(concat_ws(" ", words)).as("fp")) ++ extra: _*)
   }
 
   /** Document fingerprint: md5 over the normalized word sequence — a
