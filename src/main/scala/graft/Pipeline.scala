@@ -26,6 +26,12 @@ import graft.engine._
   */
 object Pipeline {
 
+  /** The one definition of "a document's text": space-joined text spans in
+    * order. Shared by the dedup-clean and profile stages so they can never
+    * silently diverge on what text they operate over. */
+  private val textOfSpans =
+    expr("concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'), s -> s.text))")
+
   def main(args: Array[String]): Unit = {
     val docsArg = if (args.length > 0) args(0) else "synthetic"
     val polysArg = if (args.length > 1) args(1) else "synthetic"
@@ -124,9 +130,7 @@ object Pipeline {
       import org.apache.spark.sql.expressions.Window
       // media-only docs (no text spans) are NOT duplicates of each other:
       // exclude empty-text docs from dedup consideration entirely
-      val textDf = docs.select(col("doc_id"),
-        expr("concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'), s -> s.text))")
-          .as("text"))
+      val textDf = docs.select(col("doc_id"), textOfSpans.as("text"))
         .where(length(col("text")) > 0)
         .cache() // consumed by exactGroups + (twice) minhashLsh — one scan, not three
       cleanTextDf = textDf
@@ -152,9 +156,7 @@ object Pipeline {
     // training-data pipeline reads per-language shards from (media-only
     // docs profile as lang3='und', quality 0 — they route too)
     stage("profile", s"$outDir/profile", s"profile:$cleanFp", Some("lang3")) {
-      TextOps.profileFull(cleaned.select(col("doc_id"),
-        expr("concat_ws(' ', transform(filter(spans, s -> s.kind = 'text'), s -> s.text))")
-          .as("text")))
+      TextOps.profileFull(cleaned.select(col("doc_id"), textOfSpans.as("text")))
     }
 
     // stage 1: extract, partitioned by level-2 cell prefix (coarse enough for

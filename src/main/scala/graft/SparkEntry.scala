@@ -63,9 +63,32 @@ object SparkEntry {
     }))
   private def scratchDir(tag: String, dir: String): String = {
     scratchHook
-    val p = s"${sys.props("java.io.tmpdir")}/graft_${tag}_" +
-      Integer.toHexString(dir.hashCode) + "_" +
-      java.lang.ProcessHandle.current().pid()
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val stem = s"graft_${tag}_" + Integer.toHexString(dir.hashCode)
+    val pid = java.lang.ProcessHandle.current().pid()
+    // self-heal: a SIGKILLed JVM never runs its shutdown hook, so sweep
+    // siblings of this (tag, scale) whose owning process is gone (plus
+    // pre-PID-layout dirs with no suffix) — restores the bounded-/tmp
+    // guarantee without ever touching a LIVE process's scratch
+    val stale = Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(stem) && f.getName != s"${stem}_$pid")
+      .filter { f =>
+        f.getName.substring(stem.length) match {
+          case "" => true // old layout, no owner tracking
+          case s if s.startsWith("_") =>
+            s.drop(1).toLongOption match {
+              case Some(p) => java.lang.ProcessHandle.of(p)
+                .map[java.lang.Boolean](h => !h.isAlive).orElse(true)
+              case None => false
+            }
+          case _ => false
+        }
+      }
+    stale.foreach { f =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(f)
+      catch { case _: Throwable => () }
+    }
+    val p = s"${tmpRoot.getPath}/${stem}_$pid"
     scratchRoots.add(p)
     p
   }
@@ -830,6 +853,7 @@ object SparkEntry {
         .withColumn("u", call_function("st_geo_to_utm", col("lat"), col("lon")))
         .withColumn("band", call_function("st_utm_band",
           col("u.zone"), col("u.hemisphere"), col("u.easting"), col("u.northing")))
+        .withColumn("uc", call_function("st_geo_to_utm_compat", col("lat"), col("lon")))
         .select(col("c_custkey"),
           col("u.zone").as("zone"), col("u.hemisphere").as("hemi"),
           (round(col("u.easting"), 4) + 0.0).as("easting"),
@@ -854,10 +878,8 @@ object SparkEntry {
           datum.getField("epsg").as("depsg"),
           datum.getField("ellipsoid_epsg").as("deell"),
           // quirk Q2 compat: series truncated (alpha = 0, A = a/(1+n))
-          (round(call_function("st_geo_to_utm_compat", col("lat"), col("lon"))
-            .getField("easting"), 4) + 0.0).as("ceasting"),
-          (round(call_function("st_geo_to_utm_compat", col("lat"), col("lon"))
-            .getField("northing"), 4) + 0.0).as("cnorthing"))
+          (round(col("uc.easting"), 4) + 0.0).as("ceasting"),
+          (round(col("uc.northing"), 4) + 0.0).as("cnorthing"))
         .orderBy(col("c_custkey"))
     }),
     // q64: OLC validity family over constructed codes (each outcome decided
@@ -967,15 +989,14 @@ object SparkEntry {
       val (docsPath, _) = Corpus.ensure(s, nDocs)
       val sch = s.read.parquet(docsPath).schema
       val polys = Corpus.storedPolys(s, nDocs)
-      val polyCells = SpatialJoin.polygonCells(polys)
-      val levels = polyCells.select(length(col("cell")).as("l"))
-        .distinct().collect().map(_.getInt(0)).sorted
+      // reuse the batch index builder: covering + levels probe computed once
+      val index = SpatialJoin.buildIndex(polys, cache = true)
       val pts = SpatialJoin.extractPoints(s.readStream.schema(sch).parquet(docsPath))
         .withColumn("jcell",
-          explode(array(levels.map(l => substring(col("cell"), 1, l)): _*)))
+          explode(array(index.levels.map(l => substring(col("cell"), 1, l)): _*)))
       val outBase = scratchDir("q69", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
-      val q = graft.streaming.Streams.spatialJoinStream(pts, polyCells)
+      val q = graft.streaming.Streams.spatialJoinStream(pts, index.cells)
         .select(col("doc_id"), col("offset"), col("poly_id"))
         .writeStream
         .format("parquet")
@@ -985,6 +1006,9 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // the sink holds the results now; release the cached covering (the
+      // readback below no longer references it)
+      index.cells.unpersist()
       s.read.parquet(s"$outBase/data")
         .orderBy(col("doc_id"), col("offset"), col("poly_id"))
     }),

@@ -155,21 +155,26 @@ class PlanSpec extends AnyFunSuite {
 
   test("bucketed co-located join: zero exchange on either side") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
-    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
-    val pts = SpatialJoin.extractPoints(docs)
-      .select(col("doc_id"), col("cell").as("jcell"))
-    val a = Bucketing.writeBucketed(pts, "graft_pts_b", s"$tmp/pts", "jcell", 8)
-    val b = Bucketing.writeBucketed(pts.groupBy("jcell").count(),
-      "graft_cnt_b", s"$tmp/cnt", "jcell", 8)
-    val j = Bucketing.bucketedJoin(a, b, "jcell")
-    j.collect()
-    val plan = physical(j)
-    assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n${plan.take(1200)}")
-    // the whole point: both scans carry the bucket spec, so the join needs
-    // NO shuffle at all — pay it once at write time, join map-side forever
-    assert(!plan.contains("Exchange"),
-      s"bucketed join still shuffles:\n${plan.take(1500)}")
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    try {
+      val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+      val pts = SpatialJoin.extractPoints(docs)
+        .select(col("doc_id"), col("cell").as("jcell"))
+      val a = Bucketing.writeBucketed(pts, "graft_pts_b", s"$tmp/pts", "jcell", 8)
+      val b = Bucketing.writeBucketed(pts.groupBy("jcell").count(),
+        "graft_cnt_b", s"$tmp/cnt", "jcell", 8)
+      val j = Bucketing.bucketedJoin(a, b, "jcell")
+      j.collect()
+      val plan = physical(j)
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n${plan.take(1200)}")
+      // the whole point: both scans carry the bucket spec, so the join needs
+      // NO shuffle at all — pay it once at write time, join map-side forever
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n${plan.take(1500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_pts_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cnt_b")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
   }
 
   test("salted join key includes the salt (skew split)") {
