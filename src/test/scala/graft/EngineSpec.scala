@@ -308,7 +308,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("checkpoint stage commits manifest and resumes without recompute") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val dir = graft.TestTmp.dir("graft-ckpt")
     var computes = 0
     def body = {
       computes += 1
@@ -328,7 +328,7 @@ class EngineSpec extends AnyFunSuite {
   }
 
   test("span-sequence equality survives write/read round trip") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    val dir = graft.TestTmp.dir("graft-spans")
     val docs = Corpus.documentsDf(spark, 200, partitions = 3)
     docs.write.mode("overwrite").parquet(dir)
     val back = spark.read.parquet(dir)

@@ -20,7 +20,7 @@ class PipelineJobSpec extends AnyFunSuite {
   }
 
   test("pipeline runs staged, commits manifests, and resumes") {
-    val out = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val out = graft.TestTmp.dir("graft-pipeline")
     val docsDir = s"$out/docs_in"
     // plant exact duplicates: every doc appears twice under a second id,
     // so the clean stage must halve the corpus

@@ -24,8 +24,14 @@ class StreamingSpec extends AnyFunSuite {
     s
   }
 
-  private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft-stream").toString
+  private def tmp(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    // forked test JVMs leak these otherwise (157 dirs observed in /tmp)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      catch { case _: Throwable => () }))
+    d.toString
+  }
 
   /** events.parquet is a single file; file-stream sources need a directory. */
   private lazy val eventsDir: String = {
