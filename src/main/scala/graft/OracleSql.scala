@@ -1140,10 +1140,41 @@ object OracleSql {
     SELECT g.cell, g.c_custkey, c.n FROM g JOIN c USING (cell)
     ORDER BY g.c_custkey"""
 
+  /** q70: winnowing near-dup — the q67 fingerprint pipeline (doc_id < 200),
+    * exploded distinct fingerprints, hot-fp cap via row_number, pair counts
+    * with the >= 10 threshold. */
+  def q70: String = {
+    val k = 5; val w = 4
+    val hash = (0 until k).map { j =>
+      s"unicode(substr(t, i + $j, 1)) * ${math.pow(257.0, (k - 1 - j).toDouble).toLong}"
+    }.mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 200),
+    h AS (
+      SELECT doc_id, CASE WHEN length(t) < $k THEN CAST([] AS BIGINT[]) ELSE
+        list_transform(range(1, length(t) - $k + 2), i -> $hash) END AS hs
+      FROM d
+    ), m AS (
+      SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE
+        list_transform(range(1, greatest(len(hs) - $w + 1, 1) + 1),
+          j -> list_min(hs[j : j + $w - 1])) END AS ms
+      FROM h
+    ), e AS (
+      SELECT doc_id, UNNEST(list_distinct(ms)) AS fp FROM m
+    ), capped AS (
+      SELECT fp, doc_id FROM (
+        SELECT fp, doc_id, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM e) WHERE rn <= 64
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY doc_a, doc_b"""
+  }
+
   def inverseOracles: Map[String, String] = Map(
     "q66_langid_ngram" -> q66,
     "q67_winnow" -> q67,
     "q68_bucketed_join" -> q68,
+    "q70_winnow_neardup" -> q70,
     "q62_cell_surface" -> q62,
     "q63_utm_registry_surface" -> q63,
     "q64_olc_parse_matmul" -> q64,

@@ -1012,6 +1012,15 @@ object SparkEntry {
       s.read.parquet(s"$outBase/data")
         .orderBy(col("doc_id"), col("offset"), col("poly_id"))
     }),
+    // q70: winnowing near-dup — docs (bounded to doc_id < 200 so the
+    // quadratic oracle stays cheap at every scale) sharing >= 10 window-
+    // minimum fingerprints, hot fingerprints capped at 64 docs.
+    "q70_winnow_neardup" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      graft.engine.Dedup.winnowNearDup(
+        t(dir, "documents").where(col("doc_id") < 200))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
     // q68: co-located join via bucketed tables — both sides bucketBy(8) on
     // the cell key, joined with zero Exchange (PlanSpec gates the plan
     // shape; this row gates the result).

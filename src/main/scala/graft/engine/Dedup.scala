@@ -201,6 +201,33 @@ object Dedup {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** Substring-overlap near-dup candidates via winnowing fingerprints
+    * (st_winnow): pairs of docs sharing at least `minShared` window-minimum
+    * k-gram hashes. The winnowing guarantee makes any pair sharing a
+    * contiguous substring of length >= w + k - 1 a candidate — the
+    * contiguous-plagiarism detector the token-set methods (minhash/simhash)
+    * miss when the shared run is short relative to the documents. Same
+    * 100-TB bucket shape as the LSH paths: the fingerprint is the join key,
+    * hot fingerprints (boilerplate substrings) capped at `maxBucket` docs
+    * so no bucket detonates the self-join. */
+  def winnowNearDup(docs: DataFrame, textCol: String = "text",
+                    k: Int = 5, w: Int = 4, minShared: Long = 10,
+                    maxBucket: Int = 64): DataFrame = {
+    val fps = docs.select(col("doc_id"),
+      explode(call_function("st_winnow", col(textCol), lit(k), lit(w))).as("fp"))
+    val wF = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val capped = fps.withColumn("rn", row_number().over(wF))
+      .where(col("rn") <= maxBucket)
+      .select("fp", "doc_id")
+    val a = capped.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = capped.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** n-gram Jaccard similarity for explicit candidate pairs
     * (pairs: doc_a, doc_b) against the docs table. */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
