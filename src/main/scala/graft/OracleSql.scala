@@ -1277,6 +1277,44 @@ object OracleSql {
       1 + CAST(${hexVal("h", 11, 4)} % 16 AS INT) AS n_frames
     FROM m ORDER BY doc_id, media_ref"""
 
+  /** q71: PPM decode — the oracle recomputes the decoded features from the
+    * render law (seed = first 8 md5 hex digits; raster byte i = (seed +
+    * 31*i) mod 256, so pixel p channel c = (seed + 93p + 31c) mod 256) with
+    * the engine's exact op order: Long channel sums, sum -> /3.0 -> /count
+    * -> REAL (float32) -> DOUBLE -> round 6. */
+  def q71(nDocs: Long): String = {
+    def byteAt(off: Int) = s"(seed + 93 * p + $off) % 256"
+    def meanChan(off: Int) =
+      s"round(CAST(CAST(CAST(list_sum(list_transform(range(0, w*h), p -> ${byteAt(off)})) " +
+        s"AS DOUBLE) / (w*h) AS REAL) AS DOUBLE), 6) + 0.0"
+    def quad(xlo: String, xhi: String, ylo: String, yhi: String, cnt: String) =
+      s"round(CAST(CAST(CAST(list_sum(list_transform(list_filter(range(0, w*h), " +
+        s"p -> (p % w) >= $xlo AND (p % w) < $xhi AND (p // w) >= $ylo AND (p // w) < $yhi), " +
+        s"p -> ${byteAt(0)} + ${byteAt(31)} + ${byteAt(62)})) AS DOUBLE) / 3.0 / ($cnt) " +
+        s"AS REAL) AS DOUBLE), 6) + 0.0"
+    s"""WITH spans_t AS (
+      SELECT doc_id, UNNEST(spans) AS s FROM read_parquet(${q(docsGlob(nDocs))})
+      WHERE doc_id < ${q(f"doc-${SparkEntry.MediaDocCap}%09d")}
+    ), m AS (
+      SELECT doc_id, s.media_ref AS media_ref, md5(s.media_ref) AS hh
+      FROM spans_t WHERE s.kind = 'media' AND len(s.media_ref) > 0
+    ), dims AS (
+      SELECT doc_id, media_ref,
+        8 + CAST(${hexVal("hh", 9, 2)} % 16 AS INT) AS w,
+        8 + CAST(${hexVal("hh", 11, 2)} % 16 AS INT) AS h,
+        ${hexVal("hh", 1, 8)} AS seed
+      FROM m
+    )
+    SELECT doc_id, media_ref, w AS width, h AS height, CAST(1 AS INT) AS n_frames,
+      ${meanChan(0)} AS f0, ${meanChan(31)} AS f1, ${meanChan(62)} AS f2,
+      ${quad("0", "w//2", "0", "h//2", "(w//2)*(h//2)")} AS f3,
+      ${quad("w//2", "w", "0", "h//2", "(w - w//2)*(h//2)")} AS f4,
+      ${quad("0", "w//2", "h//2", "h", "(w//2)*(h - h//2)")} AS f5,
+      ${quad("w//2", "w", "h//2", "h", "(w - w//2)*(h - h//2)")} AS f6,
+      round(CAST(CAST(CAST(w AS DOUBLE) / h AS REAL) AS DOUBLE), 6) + 0.0 AS f7
+    FROM dims ORDER BY doc_id, media_ref"""
+  }
+
   // ---- q40-q42: text family -------------------------------------------------
 
   private val WordsExpr =
@@ -1632,6 +1670,7 @@ object OracleSql {
     "q56_pip_multiring" -> q56(nDocs),
     "q57_stream_tiles" -> q57(nDocs),
     // the stream-static join must produce the identical PIP pair set
-    "q69_stream_spatial_join" -> q31(nDocs)
+    "q69_stream_spatial_join" -> q31(nDocs),
+    "q71_media_ppm_decode" -> q71(nDocs)
   )
 }

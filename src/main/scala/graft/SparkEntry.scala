@@ -1012,6 +1012,22 @@ object SparkEntry {
       s.read.parquet(s"$outBase/data")
         .orderBy(col("doc_id"), col("offset"), col("poly_id"))
     }),
+    // q71: REAL media decode — media refs render to valid binary PPM (P6)
+    // payloads and decodePpm genuinely parses them (comment-tolerant header
+    // + raster feature extraction); the oracle recomputes the expected
+    // features from the pixel law the decoder never sees.
+    "q71_media_ppm_decode" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+        .where(col("doc_id") < lit(f"doc-${MediaDocCap}%09d"))
+      val f = col("feature")
+      Media.extractFeaturesPpm(s, docs)
+        .select(Seq(col("doc_id"), col("media_ref"), col("width"), col("height"),
+          col("n_frames")) ++
+          (0 until 8).map(i =>
+            (round(element_at(f, i + 1).cast("double"), 6) + 0.0).as(s"f$i")): _*)
+        .orderBy(col("doc_id"), col("media_ref"))
+    }),
     // q70: winnowing near-dup — docs (bounded to doc_id < 200 so the
     // quadratic oracle stays cheap at every scale) sharing >= 10 window-
     // minimum fingerprints, hot fingerprints capped at 64 docs.

@@ -262,6 +262,29 @@ class PipelineSpec extends AnyFunSuite {
       "unrelated doc shares everything?")
   }
 
+  test("PPM decode: parses real P6 bytes, rejects malformed, matches hand computation") {
+    import graft.engine.Media
+    // hand-built 2x1 image: pixels (10,20,30) and (250,0,100), comment in header
+    val raster = Array[Byte](10, 20, 30, 250.toByte, 0, 100)
+    val good = ("P6\n# c\n 2\t1\n255\n".getBytes("US-ASCII") ++ raster)
+    val (w, h, nf, f) = Media.decodePpm(good)
+    assert((w, h, nf) == (2, 1, 1))
+    assert(f(0) == ((10 + 250) / 2.0).toFloat && f(1) == 10.0f && f(2) == 65.0f)
+    // w2 = 1, h2 = 0 -> TL/TR quadrants empty (height 1): bottom row gets all
+    assert(f(3) == 0.0f && f(4) == 0.0f)
+    assert(f(5) == (60.0 / 3.0 / 1).toFloat && f(6) == (350.0 / 3.0 / 1).toFloat)
+    assert(f(7) == 2.0f)
+    // malformed: bad magic, short raster, maxval != 255
+    assert(Media.decodePpm("P5\n2 1\n255\n??????".getBytes) == null)
+    assert(Media.decodePpm("P6\n2 1\n255\n??".getBytes) == null)
+    assert(Media.decodePpm(("P6\n2 1\n254\n".getBytes("US-ASCII") ++ raster)) == null)
+    // render -> decode round trip is total over arbitrary refs
+    for (ref <- Seq("img://a", "x", "media-ref-with-a-much-longer-name/42.jpg")) {
+      val d = Media.decodePpm(Media.renderPpm(ref))
+      assert(d != null && d._1 >= 8 && d._1 <= 23 && d._2 >= 8 && d._2 <= 23)
+    }
+  }
+
   test("media binary-column path agrees with the ref path") {
     import spark.implicits._
     val docs = Corpus.documentsDf(spark, 200, partitions = 2)
