@@ -1106,15 +1106,16 @@ object OracleSql {
     FROM m ORDER BY doc_id"""
   }
 
-  /** q67: winnowing fingerprints — k-gram polynomial hashes (base 257,
-    * exact BIGINT: codepoints * 257^4 stay under 2^63), window-of-w minima,
-    * sorted distinct. unicode() == Java charAt on the ASCII corpus. */
-  def q67: String = {
-    val k = 5; val w = 4
+  /** Shared winnowing CTEs d/h/m (k-gram polynomial hashes — base 257,
+    * exact BIGINT: codepoints * 257^4 stay under 2^63 — and window-of-w
+    * minima; unicode() == Java charAt on the ASCII corpus). ONE definition
+    * backing both q67 and q70 so the two oracles can never silently model
+    * different fingerprints than the single st_winnow kernel. */
+  private def winnowCtes(docFilter: String, k: Int = 5, w: Int = 4): String = {
     val hash = (0 until k).map { j =>
       s"unicode(substr(t, i + $j, 1)) * ${math.pow(257.0, (k - 1 - j).toDouble).toLong}"
     }.mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+    s"""d AS (SELECT doc_id, lower(text) AS t FROM documents$docFilter),
     h AS (
       SELECT doc_id, CASE WHEN length(t) < $k THEN CAST([] AS BIGINT[]) ELSE
         list_transform(range(1, length(t) - $k + 2), i -> $hash) END AS hs
@@ -1124,10 +1125,14 @@ object OracleSql {
         list_transform(range(1, greatest(len(hs) - $w + 1, 1) + 1),
           j -> list_min(hs[j : j + $w - 1])) END AS ms
       FROM h
-    )
+    )"""
+  }
+
+  /** q67: winnowing fingerprints — sorted distinct window minima per doc. */
+  def q67: String =
+    s"""WITH ${winnowCtes("")}
     SELECT doc_id, array_to_string(list_sort(list_distinct(ms)), ',') AS fps
     FROM m ORDER BY doc_id"""
-  }
 
   /** Driver-table-based oracles added in round 3 (inverse/parse surface +
     * the q58-q67 pipeline rows; no corpus dependency). */
@@ -1140,25 +1145,11 @@ object OracleSql {
     SELECT g.cell, g.c_custkey, c.n FROM g JOIN c USING (cell)
     ORDER BY g.c_custkey"""
 
-  /** q70: winnowing near-dup — the q67 fingerprint pipeline (doc_id < 200),
-    * exploded distinct fingerprints, hot-fp cap via row_number, pair counts
-    * with the >= 10 threshold. */
-  def q70: String = {
-    val k = 5; val w = 4
-    val hash = (0 until k).map { j =>
-      s"unicode(substr(t, i + $j, 1)) * ${math.pow(257.0, (k - 1 - j).toDouble).toLong}"
-    }.mkString(" + ")
-    s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 200),
-    h AS (
-      SELECT doc_id, CASE WHEN length(t) < $k THEN CAST([] AS BIGINT[]) ELSE
-        list_transform(range(1, length(t) - $k + 2), i -> $hash) END AS hs
-      FROM d
-    ), m AS (
-      SELECT doc_id, CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[]) ELSE
-        list_transform(range(1, greatest(len(hs) - $w + 1, 1) + 1),
-          j -> list_min(hs[j : j + $w - 1])) END AS ms
-      FROM h
-    ), e AS (
+  /** q70: winnowing near-dup — the SAME fingerprint pipeline as q67
+    * (shared winnowCtes; doc_id < 200), exploded distinct fingerprints,
+    * hot-fp cap via row_number, pair counts with the >= 10 threshold. */
+  def q70: String =
+    s"""WITH ${winnowCtes(" WHERE doc_id < 200")}, e AS (
       SELECT doc_id, UNNEST(list_distinct(ms)) AS fp FROM m
     ), capped AS (
       SELECT fp, doc_id FROM (
@@ -1168,7 +1159,6 @@ object OracleSql {
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
     FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY doc_a, doc_b"""
-  }
 
   def inverseOracles: Map[String, String] = Map(
     "q66_langid_ngram" -> q66,

@@ -145,23 +145,8 @@ object Media {
   /** Media spans -> rendered P6 payloads -> REAL decode, both partition-
     * batched (fetch and codec init once per partition). Output: typed
     * metadata + the 8-dim feature vector. */
-  def extractFeaturesPpm(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    docs
-      .select(col("doc_id"), explode(col("spans")).as("span"))
-      .where(col("span.kind") === "media" && length(col("span.media_ref")) > 0)
-      .select(col("doc_id"), col("span.media_ref").as("media_ref"))
-      .as[(String, String)]
-      .mapPartitions { it =>
-        // "object store" fetch + decoder, both per-partition
-        it.flatMap { case (docId, ref) =>
-          Option(decodePpm(renderPpm(ref))).map { case (w, h, f, feat) =>
-            MediaFeature(docId, ref, w, h, f, feat)
-          }
-        }
-      }
-      .toDF()
-  }
+  def extractFeaturesPpm(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractWith(spark, docs, ref => decodePpm(renderPpm(ref)))
 
   /** Deterministic fake payload bytes for a media ref (STUB — stands in for
     * fetching the actual blob): >= 256 bytes derived from md5 of the ref, with
@@ -218,11 +203,12 @@ object Media {
       .toDF()
   }
 
-  /** Extract media spans from the interleaved-doc table and run the decoder
-    * partition-batched (mapPartitions: one decoder init per partition, the
-    * shape a real codec needs). Output columns are the typed metadata the
-    * pipeline joins/filters on without touching bytes. */
-  def extractFeatures(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** THE media-span extraction + partition-batched decode pipeline: one
+    * span explode/filter definition, one mapPartitions shape (decoder/codec
+    * init once per partition), parameterized by the per-ref decoder so the
+    * stub (q37) and PPM (q71) gates can never diverge on the plumbing. */
+  private def extractWith(spark: SparkSession, docs: DataFrame,
+                          decode: String => (Int, Int, Int, Array[Float])): DataFrame = {
     import spark.implicits._
     docs
       .select(col("doc_id"), explode(col("spans")).as("span"))
@@ -230,12 +216,20 @@ object Media {
       .select(col("doc_id"), col("span.media_ref").as("media_ref"))
       .as[(String, String)]
       .mapPartitions { it =>
-        // decoder/codec init would happen here, once per partition
-        it.map { case (docId, ref) =>
-          val (w, h, f, feat) = decodeStub(ref)
-          MediaFeature(docId, ref, w, h, f, feat)
+        // decoder/codec init happens here, once per partition; undecodable
+        // refs are skipped (relaxed null discipline, like unparseable text)
+        it.flatMap { case (docId, ref) =>
+          Option(decode(ref)).map { case (w, h, f, feat) =>
+            MediaFeature(docId, ref, w, h, f, feat)
+          }
         }
       }
       .toDF()
   }
+
+  /** Extract media spans from the interleaved-doc table and run the (stub)
+    * decoder partition-batched. Output columns are the typed metadata the
+    * pipeline joins/filters on without touching bytes. */
+  def extractFeatures(spark: SparkSession, docs: DataFrame): DataFrame =
+    extractWith(spark, docs, decodeStub)
 }
