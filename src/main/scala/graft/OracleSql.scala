@@ -188,6 +188,22 @@ object OracleSql {
     SELECT poly_id, count(*) AS n_points FROM hits WHERE cr % 2 = 1
     GROUP BY poly_id ORDER BY poly_id"""
 
+  /** q73: doc-level containment semi/anti — EXISTS / NOT EXISTS over the
+    * q31 pair machinery, one row per doc that has >= 1 parsed point. */
+  def q73(nDocs: Long): String =
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, ${edgesCte(polysGlob(nDocs))}, hits AS (
+      SELECT p.doc_id, p."offset", ed.poly_id,
+        count(*) FILTER (WHERE $CrossingCond) AS cr
+      FROM parsed p CROSS JOIN edges ed
+      GROUP BY 1, 2, 3
+    ), hitdocs AS (
+      SELECT DISTINCT doc_id FROM hits WHERE cr % 2 = 1
+    ), pdocs AS (SELECT DISTINCT doc_id FROM parsed)
+    SELECT d.doc_id,
+      CASE WHEN EXISTS (SELECT 1 FROM hitdocs h WHERE h.doc_id = d.doc_id)
+        THEN 'in' ELSE 'out' END AS status
+    FROM pdocs d ORDER BY doc_id"""
+
   /** Slippy tile x/y expressions mirroring Cells.tileX/tileY (incl. the
     * Mercator lat clamp and 0..n-1 clamps). */
   private def tileXExpr(lon: String, z: Int): String = {
@@ -209,6 +225,18 @@ object OracleSql {
     SELECT ${z.toLong << 58} + x * ${1L << 29} + y AS tile_id, $z AS z, x, y,
       count(*) AS n_points, count(DISTINCT doc_id) AS n_docs
     FROM tiled GROUP BY 1, 2, 3, 4 ORDER BY tile_id"""
+  }
+
+  /** q76: multi-zoom rollup — per-zoom packed tile ids under GROUP BY
+    * ROLLUP, mirroring Tiler.multiZoomHistogram(zooms = 4, 7). */
+  def q76(nDocs: Long): String = {
+    def tid(z: Int): String =
+      s"${z.toLong << 58} + ${tileXExpr("lon", z)} * ${1L << 29} + ${tileYExpr("lat", z)}"
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, tiled AS (
+      SELECT ${tid(4)} AS tile_z4, ${tid(7)} AS tile_z7 FROM parsed
+    )
+    SELECT tile_z4, tile_z7, count(*) AS n_points FROM tiled
+    GROUP BY ROLLUP(tile_z4, tile_z7) ORDER BY tile_z4, tile_z7"""
   }
 
   /** Haversine fragment mirroring Dist.haversine(lat1, lon1, lat2, lon2). */
@@ -321,20 +349,25 @@ object OracleSql {
     * step-for-step: each recursive row computes dTau from the pre-update
     * tau, adds it, and finishes when |dTau| <= 1e-12 (same convergence test;
     * a 100-iteration guard that neither side reaches). */
-  def kruegerInverseCtes(src: String, p: String, carry: Seq[String]): String = {
-    val beta = graft.core.Utm.kruegerBeta(KN)
+  def kruegerInverseCtes(src: String, p: String, carry: Seq[String],
+                         compat: Boolean = false): String = {
+    // compat = quirk Q2's zeroed integer-division series (Gauss-Schreiber):
+    // beta == 0 and A = a/(1+n) — mirrors core.Utm.utmToGeo(compat = true)
+    val beta =
+      if (compat) Array.fill(7)(0.0) else graft.core.Utm.kruegerBeta(KN)
+    val kka = if (compat) d(0.9996 * (KA / (1.0 + KN))) else d(KKa)
     val cs = carry.mkString(", ")
     val eL = d(KE)
-    val zetapTerms = (1 to 6).map(j =>
+    val zetapTerms = (1 to 6).filter(_ => !compat).map(j =>
       s" - ${d(beta(j))} * sin(2.0 * $j.0 * izeta) * ${coshSql(s"2.0 * $j.0 * ieta")}").mkString
-    val etapTerms = (1 to 6).map(j =>
+    val etapTerms = (1 to 6).filter(_ => !compat).map(j =>
       s" - ${d(beta(j))} * cos(2.0 * $j.0 * izeta) * ${sinhSql(s"2.0 * $j.0 * ieta")}").mkString
     val atanhArg = s"$eL * taui / sqrt(1.0 + taui * taui)"
     val sigmaExpr = sinhSql(s"($eL * (0.5 * ln((1.0 + $atanhArg) / (1.0 - $atanhArg))))")
     s"""${p}1 AS (
       SELECT $cs, zone,
-        (easting - 500000.0) / ${d(KKa)} AS ieta,
-        (CASE WHEN hemi = 'S' THEN northing - 10000000.0 ELSE northing END) / ${d(KKa)} AS izeta
+        (easting - 500000.0) / $kka AS ieta,
+        (CASE WHEN hemi = 'S' THEN northing - 10000000.0 ELSE northing END) / $kka AS izeta
       FROM $src
     ), ${p}2 AS (
       SELECT *, izeta$zetapTerms AS zetap, ieta$etapTerms AS etap FROM ${p}1
@@ -1160,7 +1193,61 @@ object OracleSql {
     FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
     GROUP BY 1, 2 HAVING count(*) >= 10 ORDER BY doc_a, doc_b"""
 
+  /** q72: streaming cross-batch dedup == first occurrence per content hash,
+    * which by construction of the staged stream (originals then echoes) is
+    * exactly the documents table with its deterministic event times. A
+    * broken dedup state would re-emit the 500 echo rows and fail rows+hash. */
+  def q72: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      1704067200000000 + CAST(doc_id AS BIGINT) * 1000000 AS ts_us
+    FROM documents ORDER BY doc_id"""
+
+  /** q74: quirk-compat arms Q1/Q4/Q7 (SparkEntry q74 doc):
+    * Q1 = compat cardinal signs ('e' negative, 'w' positive) vs correct;
+    * Q4 = compat Gauss-Schreiber inverse fed hemisphere 'N' for every row
+    *      (the reference's lowercase-'s' test never subtracts false northing);
+    * Q7 = the reference's wrap90 formula verbatim vs the correct triangle. */
+  def q74: String =
+    s"""WITH RECURSIVE base AS (
+      SELECT c_custkey,
+        CAST(c_custkey % 89 AS VARCHAR) || '.25' AS latb,
+        CASE WHEN c_custkey % 2 = 0 THEN 1.0 ELSE -1.0 END AS latsign,
+        CAST((c_custkey * 7) % 179 AS VARCHAR) || '.75' AS lonb,
+        CASE WHEN c_custkey % 3 = 0 THEN 1.0 ELSE -1.0 END AS lonsign_ok,
+        CASE WHEN c_custkey % 3 = 0 THEN -1.0 ELSE 1.0 END AS lonsign_q1,
+        CAST(c_custkey % 60 AS INT) + 1 AS zone,
+        'N' AS hemi,
+        CAST(200000.0 AS DOUBLE) + CAST(c_custkey * 13 % 600000 AS DOUBLE) AS easting,
+        CAST(1000000.0 AS DOUBLE) + CAST(c_custkey * 7 % 8000000 AS DOUBLE) AS northing,
+        CAST(c_custkey * 11 % 1440 - 720 AS DOUBLE) AS wdeg
+      FROM customer
+    ), ${kruegerInverseCtes("base", "qc",
+        Seq("c_custkey", "latb", "latsign", "lonb", "lonsign_ok", "lonsign_q1", "wdeg"),
+        compat = true)},
+    w0 AS (
+      SELECT *, CASE WHEN wdeg >= 0.0 AND wdeg <= 360.0 THEN wdeg
+        ELSE (wdeg % 360.0 + 360.0) % 360.0 END AS w360
+      FROM qcf
+    )
+    SELECT c_custkey,
+      CAST(latb AS DOUBLE) * latsign AS lat_ok,
+      CAST(lonb AS DOUBLE) * lonsign_ok AS lon_ok,
+      CAST(latb AS DOUBLE) * latsign AS lat_q1,
+      CAST(lonb AS DOUBLE) * lonsign_q1 AS lon_q1,
+      round(lat, 6) + 0.0 AS q4_lat,
+      round(lon, 6) + 0.0 AS q4_lon,
+      CASE WHEN wdeg >= -90.0 AND wdeg <= 90.0 THEN wdeg
+        WHEN w360 <= 90.0 THEN w360
+        WHEN w360 <= 270.0 THEN 180.0 - w360
+        ELSE w360 - 360.0 END AS w90_ok,
+      CASE WHEN wdeg >= -90.0 AND wdeg <= 90.0 THEN wdeg
+        ELSE abs((wdeg % 360.0 + 270.0) % 360.0 - 180.0) - 90.0 END AS w90_q7
+    FROM w0 ORDER BY c_custkey"""
+
   def inverseOracles: Map[String, String] = Map(
+    "q72_stream_dedup" -> q72,
+    "q74_quirk_compat" -> q74,
+    "q75_ann_ivf_trained" -> q43,
     "q66_langid_ngram" -> q66,
     "q67_winnow" -> q67,
     "q68_bucketed_join" -> q68,
@@ -1635,6 +1722,8 @@ object OracleSql {
   def engineOracles(nDocs: Long): Map[String, String] = Map(
     "q30_parse_extract" -> q30(nDocs),
     "q31_spatial_join" -> q31(nDocs),
+    "q73_spatial_semi_anti" -> q73(nDocs),
+    "q76_multizoom_rollup" -> q76(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

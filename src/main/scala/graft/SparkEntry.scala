@@ -1046,13 +1046,158 @@ object SparkEntry {
         .withColumn("cell", call_function("st_cell", col("lat"), col("lon"), lit(5)))
         .select(col("c_custkey"), col("cell"))
       val base = scratchDir("q68", dir)
+      // catalog names PID-scoped like the paths: concurrent JVMs at the same
+      // scale share the repo-local metastore and must not clobber each other
+      graft.engine.Bucketing.sweepDeadProcessTables(s)
       val a = graft.engine.Bucketing.writeBucketed(
-        pts, "graft_q68_pts", s"$base/pts", "cell", 8)
+        pts, graft.engine.Bucketing.processScopedName("graft_q68_pts"),
+        s"$base/pts", "cell", 8)
       val b = graft.engine.Bucketing.writeBucketed(
         pts.groupBy("cell").agg(count(lit(1)).as("n")),
-        "graft_q68_cnt", s"$base/cnt", "cell", 8)
+        graft.engine.Bucketing.processScopedName("graft_q68_cnt"),
+        s"$base/cnt", "cell", 8)
       graft.engine.Bucketing.bucketedJoin(a, b, "cell")
         .orderBy(col("c_custkey"))
+    }),
+    // q72: streaming exact dedup (dropDuplicatesWithinWatermark) under
+    // Trigger.AvailableNow with TWO ordered micro-batches: batch 0 = the
+    // documents table with a deterministic event time, batch 1 = an "echo"
+    // of every document (new synthetic ids, same text, +60 s). The echoes
+    // hit the CROSS-BATCH dedup state and are all dropped, so the output is
+    // exactly batch 0 — deterministic because within batch 0 every content
+    // hash is unique. maxFilesPerTrigger=1 plus staged file mtimes force the
+    // two-batch split (FileStreamSource orders candidates by mtime). This
+    // closes the last streaming shape that was ScalaTest-only.
+    "q72_stream_dedup" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      val srcDir = new java.io.File(scratchDir("q72src", dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(srcDir)
+      srcDir.mkdirs()
+      val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
+      val docs = t(dir, "documents")
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(srcDir, s"_tmp_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(srcDir, s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        dst.setLastModified(mtime)
+      }
+      val originals = docs.select(col("doc_id"), col("text"),
+        timestamp_micros(lit(baseUs) + col("doc_id") * lit(1000000L)).as("ts"))
+      val echoes = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"),
+        timestamp_micros(lit(baseUs) + col("doc_id") * lit(1000000L) + lit(60000000L)).as("ts"))
+      val now = System.currentTimeMillis()
+      stage(originals, "b0", now - 600000L)
+      stage(echoes, "b1", now)
+      val sch = s.read.parquet(s"${srcDir.getPath}/b0.parquet").schema
+      val outBase = scratchDir("q72", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
+      val q = graft.streaming.Streams.dedupStream(
+          s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(srcDir.getPath),
+          watermark = "1 hour")
+        .select(col("doc_id"), col("content_hash"), unix_micros(col("ts")).as("ts_us"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outBase/data")
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outBase/data").orderBy(col("doc_id"))
+    }),
+    // q73: containment-only spatial join variants — doc-level left-semi
+    // (>= 1 point in any polygon) and left-anti (none) in one gated row via
+    // a status column; PlanSpec asserts the semi/anti join types (no row
+    // multiplication).
+    "q73_spatial_semi_anti" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val polys = Corpus.storedPolys(s, corpusDocs(dir))
+      val pts = SpatialJoin.extractPoints(docs)
+      SpatialJoin.containedDocs(pts, polys).withColumn("status", lit("in"))
+        .unionByName(
+          SpatialJoin.uncontainedDocs(pts, polys).withColumn("status", lit("out")))
+        .orderBy(col("doc_id"))
+    }),
+    // q74: quirk-compat reproductions Q1/Q4/Q7 gate-forwarded the way q63
+    // forwards Q2 — each arm mirrored in SQL:
+    //  Q1 (latlon.d:275,280): compat parse treats cardinal 'e' as NEGATIVE
+    //     and 'w' as positive (correct-mode columns alongside for contrast);
+    //  Q4 (conv.d:42): the reference's lowercase-'s' hemisphere test never
+    //     matches API-built 'S' UTMs, so its inverse NEVER subtracts the
+    //     false northing — reproduced by feeding the compat (Gauss-Schreiber,
+    //     quirk-Q2 series) inverse hemisphere 'N' for every row;
+    //  Q7 (mathematics.d:50-57): the reference's wrap90 formula verbatim
+    //     (broken outside [-450, 450], per its own TODO), next to the
+    //     correct triangle wave.
+    "q74_quirk_compat" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      val base = t(dir, "customer").select(
+        col("c_custkey"),
+        concat(
+          (col("c_custkey") % 89).cast("string"), lit(".25 "),
+          when(col("c_custkey") % 2 === 0, lit("N")).otherwise(lit("S")), lit(", "),
+          ((col("c_custkey") * 7) % 179).cast("string"), lit(".75 "),
+          when(col("c_custkey") % 3 === 0, lit("E")).otherwise(lit("W"))).as("txt"),
+        (col("c_custkey") % 60 + 1).cast("int").as("zone"),
+        (lit(200000.0) + (col("c_custkey") * 13 % 600000).cast("double")).as("easting"),
+        (lit(1000000.0) + (col("c_custkey") * 7 % 8000000).cast("double")).as("northing"),
+        ((col("c_custkey") * 11 % 1440) - 720).cast("double").as("wdeg"))
+      base.select(
+        col("c_custkey"),
+        call_function("st_parse_point", col("txt")).as("p_ok"),
+        call_function("st_parse_point_compat", col("txt")).as("p_q1"),
+        call_function("st_utm_to_geo_compat",
+          col("zone"), lit("N"), col("easting"), col("northing")).as("g_q4"),
+        call_function("st_wrap90", col("wdeg")).as("w90_ok"),
+        call_function("st_wrap90_compat", col("wdeg")).as("w90_q7"))
+        .select(col("c_custkey"),
+          col("p_ok.lat").as("lat_ok"), col("p_ok.lon").as("lon_ok"),
+          col("p_q1.lat").as("lat_q1"), col("p_q1.lon").as("lon_q1"),
+          (round(col("g_q4.lat"), 6) + 0.0).as("q4_lat"),
+          (round(col("g_q4.lon"), 6) + 0.0).as("q4_lon"),
+          col("w90_ok"), col("w90_q7"))
+        .orderBy(col("c_custkey"))
+    }),
+    // q75: k-means-TRAINED IVF through the full persisted-index path
+    // (kmeansFit on a deterministic sample -> writeIvfIndex partitioned by
+    // cid -> searchIvfIndex with partition-pruned probes) at FULL probe
+    // (nprobe = nCentroids), which must equal exact brute force REGARDLESS
+    // of where training put the centroids — the end-to-end correctness gate
+    // for the trained-centroid machinery. Partial-probe recall is gated by
+    // the clustered-corpus ScalaTest (quality is data-dependent, so it has
+    // no SQL oracle).
+    "q75_ann_ivf_trained" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val corpus = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.where(col("vec_id") < 8)
+        .select(concat(lit("q"), col("vec_id")).as("qid"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val cents = Ann.kmeansFit(corpus, k = 16, iters = 5, sampleCap = 2048)
+      val idxPath = scratchDir("q75idx", dir)
+      Ann.writeIvfIndex(corpus, cents, idxPath)
+      Ann.searchIvfIndex(s, idxPath, queries, cents, k = 10, nprobe = 16)
+        .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // q76: multi-zoom tile rollup in ONE aggregation pass (rollup over the
+    // per-zoom packed tile ids; Catalyst's partial aggregation gives the
+    // map-side combine) vs DuckDB GROUP BY ROLLUP — the last test-only
+    // Tiler surface into the gate.
+    "q76_multizoom_rollup" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      Tiler.multiZoomHistogram(SpatialJoin.extractPoints(docs), Seq(4, 7))
+        .orderBy(col("tile_z4"), col("tile_z7"))
     })
   )
 

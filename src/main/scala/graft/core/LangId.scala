@@ -21,8 +21,26 @@ package graft.core
 object LangId {
 
   /** Rank-ordered trigram profiles (highest-frequency first), sorted by
-    * language code. Every trigram is exactly 3 characters. */
+    * language code. Every trigram is exactly 3 characters. The 20 languages
+    * follow the Cavnar-Trenkle construction (top function-word trigrams,
+    * space-padded, from the published frequency literature); close pairs
+    * (da/no/sv, cs/sk, es/pt/ca) lean on their distinctive markers — e.g.
+    * Danish "af " vs Norwegian "av ", Czech "ře " vs Slovak "ie ", Catalan
+    * "els" — so the argmax separates them on ordinary prose.
+    *
+    * Unicode envelope (same as the winnow kernel): scoring lower-cases via
+    * Java's ROOT-locale mapping and counts literal substring occurrences;
+    * SQL-oracle parity is exact for ASCII and simple-case BMP text. */
   val Profiles: Vector[(String, Array[String])] = Vector(
+    "ca" -> Array(
+      " de", "es ", "de ", " la", "la ", "els", "ls ", " el", "el ", "que",
+      " qu", "ue ", " pe", "per", "ció", "ió ", "amb", "nt ", " ca", "ta "),
+    "cs" -> Array(
+      " po", " na", "na ", " pr", "se ", " se", "ní ", "ho ", "že ", " že",
+      "pro", " je", "je ", " do", "ře ", "pře", "ých", "em ", "to ", " to"),
+    "da" -> Array(
+      "er ", "en ", " de", "de ", "et ", "der", " og", "og ", "at ", " at",
+      "til", " ti", "af ", " af", "ikk", "kke", "for", " fo", "den", "ede"),
     "de" -> Array(
       "er ", "en ", "ch ", "der", "ie ", "ein", "sch", "ich", "nde", "die",
       " de", "und", "nd ", "ung", " di", " un", "cht", "ge ", " ge", "ten"),
@@ -32,15 +50,48 @@ object LangId {
     "es" -> Array(
       " de", "de ", "os ", "la ", " la", "es ", "el ", " el", " co", "ón ",
       "ión", "nte", "en ", " en", "ado", "que", " qu", "ue ", "ar ", "al "),
+    "fi" -> Array(
+      "en ", "in ", "an ", "on ", " on", "ta ", "ja ", " ja", "sta", "aan",
+      "ään", "lla", "llä", "ssa", "ssä", "ist", "ksi", "nen", "sia", "tä "),
     "fr" -> Array(
       " de", "es ", "de ", "ent", "le ", "nt ", " le", "la ", " la", "on ",
       "re ", " pa", "ion", " et", "et ", "que", " qu", "ue ", "les", "ais"),
+    "hr" -> Array(
+      " na", "na ", "je ", " je", " pr", " po", "ije", "ja ", "ti ", "da ",
+      " da", " za", "za ", "ost", "sti", "ako", "ih ", "om ", "anj", "ko "),
+    "hu" -> Array(
+      " az", "az ", " me", "en ", "ek ", "tt ", "et ", "gy ", " eg", "egy",
+      "sze", "nek", "nak", "ság", "és ", " és", "ele", "min", "hog", "ogy"),
+    "id" -> Array(
+      "an ", " me", "kan", "ang", "ng ", " di", "di ", "ada", " ke", "ah ",
+      "eng", "men", "ber", " be", "nya", "ya ", "ter", "dan", " da", "ata"),
     "it" -> Array(
       " di", "di ", "re ", "la ", " la", "to ", "no ", "one", "zio", "del",
       "che", " ch", "he ", "ell", "are", " pe", "ent", "ta ", "ato", " co"),
+    "nl" -> Array(
+      "en ", "de ", " de", "et ", " he", "het", "an ", "van", " va", "een",
+      " ee", "er ", "ij ", "aar", "ijk", "oor", " vo", "nde", "ver", " ve"),
+    "no" -> Array(
+      "er ", "en ", "et ", " de", "det", " og", "og ", "til", " ti", "av ",
+      " av", "som", " so", "ikk", "kke", "ing", "ter", "ene", " fo", "ke "),
+    "pl" -> Array(
+      "ie ", "nie", " ni", " po", " pr", "na ", " na", "ego", "ch ", "ych",
+      "owa", "prz", "rze", "ej ", "że ", " że", "ani", "się", " si", "ać "),
     "pt" -> Array(
       " de", "de ", "os ", "ão ", "ção", "ent", "da ", " da", "do ", " do",
-      "que", " qu", "ue ", "ar ", "em ", " em", " co", "res", "as ", "ra "))
+      "que", " qu", "ue ", "ar ", "em ", " em", " co", "res", "as ", "ra "),
+    "ro" -> Array(
+      " de", "de ", " în", "în ", "ul ", "re ", "ea ", " co", "are", " ca",
+      "te ", "ate", "ale", " al", "lor", "lui", "ste", " pe", "ent", "tat"),
+    "sk" -> Array(
+      " po", " na", "na ", " pr", "ch ", "je ", " je", "sa ", " sa", "ho ",
+      "om ", "to ", " to", "ých", "pre", "ova", "ení", "ké ", " ko", "ne "),
+    "sv" -> Array(
+      "en ", "er ", "et ", " de", "det", "att", " at", "tt ", "och", " oc",
+      "ch ", "för", " fö", "om ", " om", "ar ", "ing", "ng ", "som", " so"),
+    "tr" -> Array(
+      " bi", "bir", "ir ", "lar", "ler", "in ", "an ", "de ", " de", "da ",
+      " da", "ın ", "eri", "ara", " ka", "en ", "nda", "ini", "ık ", "dır"))
 
   /** Non-overlapping left-to-right occurrence count — the semantics of
     * SQL's replace-and-measure idiom, so the oracle mirrors bit-for-bit. */

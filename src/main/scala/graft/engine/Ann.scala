@@ -5,9 +5,10 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbour search over an embedding column
-  * (array<float>): brute-force cosine top-k as the exact baseline, and a
-  * deterministic random-hyperplane LSH bucketed variant as the scale path
-  * (bucket join instead of cross product; multi-probe via all bands).
+  * (array<float>): brute-force cosine top-k as the exact baseline, and two
+  * scale paths — deterministic random-hyperplane LSH buckets and IVF-flat
+  * (coarse quantizer + inverted-list probe), with optional k-means-trained
+  * centroids and a cid-partitioned persisted index whose probes prune files.
   */
 object Ann {
 
@@ -43,32 +44,13 @@ object Ann {
   def lshBandKeys(emb: Column, dims: Int, bands: Int, bitsPerBand: Int): Column =
     call_function("st_lsh_keys", emb, lit(dims), lit(bands), lit(bitsPerBand))
 
-  /** IVF-flat ANN top-k: a coarse quantizer assigns every corpus vector to
-    * its nearest of `nCentroids` centroids (the inverted lists); a query
-    * probes its `nprobe` nearest centroids and searches only those lists
-    * with exact cosine.
-    *
-    * Centroid "training" here is a deterministic sample — the first
-    * `nCentroids` vectors by id — the sampled-training IVF analogue (FAISS
-    * trains on a sample too; at 100 TB you would fit k-means|| over a
-    * sample and feed the fitted centroids in, leaving assignment / probe /
-    * search below unchanged).
-    *
-    * Scale shape: the centroids are collected once (dimension-sized,
-    * nCentroids x dims doubles) and inlined as foldable literals, so list
-    * assignment is a map-only projection over the corpus scan — no shuffle,
-    * no join. Probing is driver-side over the tiny query set; the candidate
-    * join broadcasts (qid, cid) pairs, so the only shuffle in the whole
-    * plan is the per-query top-k window over the ~nprobe/nCentroids
-    * candidate fraction. On a persisted index you would bucket the corpus
-    * by cid so probes touch only matching files. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    // tolerate array<float> input (raw parquet vectors): all math is double.
-    // "first nCentroids by id" via sort+limit — correct on sparse/offset id
-    // spaces too (a vec_id < n filter would silently under-train there)
-    val cents: Array[(Long, Array[Double])] = corpus
+  // ---- IVF-flat ------------------------------------------------------------
+
+  /** Untrained centroid fallback: the first `nCentroids` corpus vectors by
+    * id (sort+limit — correct on sparse/offset id spaces too). Kept as the
+    * deterministic default; [[kmeansFit]] is the trained path. */
+  def firstNCentroids(corpus: DataFrame, nCentroids: Int): Array[(Long, Array[Double])] = {
+    val cents = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy(col("vec_id"))
       .limit(nCentroids)
@@ -76,32 +58,187 @@ object Ann {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
     require(cents.length >= 2, s"need >= 2 centroids, got ${cents.length}")
-    // argmax over literal centroids: greatest() over (sim, -cid) structs —
-    // highest sim wins, ties break to the SMALLEST centroid id
-    def litVec(v: Array[Double]): Column = array(v.map(lit): _*)
-    def bestCid(emb: Column): Column =
-      -greatest(cents.map { case (cid, ce) =>
-        struct(cosine(emb, litVec(ce)).as("sim"), lit(-cid).as("ncid"))
-      }: _*).getField("ncid")
-    val assigned = corpus
+    cents
+  }
+
+  /** Spherical k-means centroid training on a DETERMINISTIC bounded sample —
+    * the FAISS-style recipe (train on a sample, assign the full corpus):
+    *
+    *  - sample: the first `sampleCap` vectors by (xxhash64(vec_id), vec_id)
+    *    order — a uniform pseudo-random draw that is identical under any
+    *    partitioning/parallelism, collected once (bounded driver memory:
+    *    sampleCap x dims doubles, e.g. 64k x 128 = 64 MB at the cap);
+    *  - init: greedy k-means++ style farthest-point seeding over the sample
+    *    (deterministic — no RNG: first point is sample(0), each next seed is
+    *    the sample point with MINIMUM max-cosine to the chosen set);
+    *  - `iters` Lloyd rounds with cosine assignment (ties -> lowest cid) and
+    *    renormalized mean updates; an emptied cluster keeps its centroid.
+    *
+    * Returns (cid 0..k-1, centroid) sorted by cid. At 10^9+ vectors this
+    * driver-side fit stays O(sampleCap * k * dims * iters) — independent of
+    * corpus size; the distributed cost is only the one sample scan. For
+    * k >~ 10^4 swap the seeding for k-means|| over the sample (published
+    * norm); assignment/probe/search below are unchanged either way. */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 10,
+                sampleCap: Int = 65536): Array[(Long, Array[Double])] = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val sample = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.length >= k, s"sample (${sample.length}) smaller than k ($k)")
+    val dim = sample(0).length
+    def normalized(v: Array[Double]): Array[Double] = {
+      var n = 0.0; var i = 0
+      while (i < dim) { n += v(i) * v(i); i += 1 }
+      val s = math.sqrt(n)
+      if (s < 1e-12) v.clone()
+      else { val o = new Array[Double](dim); i = 0; while (i < dim) { o(i) = v(i) / s; i += 1 }; o }
+    }
+    val pts = sample.map(normalized)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // farthest-point seeding (deterministic k-means++ analogue)
+    val seeds = scala.collection.mutable.ArrayBuffer(pts(0))
+    val bestSim = Array.fill(pts.length)(Double.NegativeInfinity)
+    while (seeds.length < k) {
+      val last = seeds.last
+      var worstIdx = -1
+      var worstSim = Double.PositiveInfinity
+      var i = 0
+      while (i < pts.length) {
+        val s = dot(pts(i), last)
+        if (s > bestSim(i)) bestSim(i) = s
+        if (bestSim(i) < worstSim) { worstSim = bestSim(i); worstIdx = i }
+        i += 1
+      }
+      seeds += pts(worstIdx)
+    }
+    var cents = seeds.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bs = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          val s = dot(pts(i), cents(c))
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
+        var d0 = 0
+        while (d0 < dim) { sums(best)(d0) += pts(i)(d0); d0 += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else normalized(sums(c))
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
+  }
+
+  /** Map-only centroid assignment: one `st_ivf_assign` kernel call per row
+    * with the centroid matrix shipped as a SINGLE flat array literal (plus a
+    * cid array) — plan size O(nCentroids * dims) DATA bytes in one literal
+    * node, codegen size CONSTANT. This is what lets nCentroids reach
+    * 10^3-10^4 (the ~sqrt(N) a 10^9-vector corpus wants): the previous
+    * greatest()-over-per-centroid-structs argmax built a multi-megabyte
+    * expression TREE that blows the codegen method limit past O(100)
+    * centroids. No shuffle, no join — PlanSpec gates exchange-freedom. */
+  def assignCids(corpus: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    val dim = cents(0)._2.length
+    require(cents.forall(_._2.length == dim), "ragged centroid dims")
+    val flat = cents.flatMap(_._2).toSeq
+    val cids = cents.map(_._1).toSeq
+    corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-      .withColumn("cid", bestCid(col("embedding")))
-    // probe: nprobe nearest centroids per query — tiny x tiny, driver-adjacent
+      .withColumn("cid", call_function("st_ivf_assign",
+        col("embedding"), typedLit(flat), typedLit(cids), lit(dim)))
+  }
+
+  /** Per-query probe set: the `nprobe` nearest centroids (tiny x tiny —
+    * queries cross-join the broadcast centroid table). */
+  private def probeSet(queries: DataFrame, cents: Array[(Long, Array[Double])],
+                       nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
     val centDf = spark.createDataFrame(cents.map { case (cid, ce) => (cid, ce) })
       .toDF("cid", "cemb")
     val pw = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
-    val probes = queries.select(col("qid"), col("q_emb"))
+    queries.select(col("qid"), col("q_emb"))
       .crossJoin(broadcast(centDf))
       .withColumn("csim", cosine(col("q_emb"), col("cemb")))
       .withColumn("crn", row_number().over(pw))
       .where(col("crn") <= nprobe)
       .select("qid", "q_emb", "cid")
+  }
+
+  /** IVF-flat ANN top-k: a coarse quantizer assigns every corpus vector to
+    * its nearest of `nCentroids` centroids (the inverted lists); a query
+    * probes its `nprobe` nearest centroids and searches only those lists
+    * with exact cosine.
+    *
+    * `centroids`: pass [[kmeansFit]] output for trained lists (recall on
+    * clustered data — the production path); default is the deterministic
+    * first-N-by-id sample (the untrained baseline the q61 gate pins).
+    *
+    * Scale shape: assignment is a map-only projection over the corpus scan
+    * (single-literal kernel, see [[assignCids]]); probing is per-query over
+    * the broadcast centroid table; the candidate join broadcasts (qid, cid)
+    * pairs, so the only shuffle in the whole plan is the per-query top-k
+    * window over the ~nprobe/nCentroids candidate fraction. For a REUSED
+    * index, persist with [[writeIvfIndex]] so probes also prune files. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nprobe: Int = 4,
+              centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(firstNCentroids(corpus, nCentroids))
+    val assigned = assignCids(corpus, cents)
+    val probes = probeSet(queries, cents, nprobe)
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cid"))
       .withColumn("sim", cosine(col("embedding"), col("q_emb")))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("qid", "vec_id", "sim", "rank")
+  }
+
+  /** Persist the IVF index partitioned BY LIST (cid): each inverted list is
+    * its own partition directory, so a probe that touches p of n lists reads
+    * p/n of the files (static partition pruning — the on-disk analogue of
+    * bucketing for this access pattern; at 100 TB each list is further split
+    * by the writer's task parallelism). */
+  def writeIvfIndex(corpus: DataFrame, cents: Array[(Long, Array[Double])],
+                    path: String): Unit =
+    assignCids(corpus, cents).write.partitionBy("cid").mode("overwrite").parquet(path)
+
+  /** Search a persisted IVF index: probes are computed per query, their
+    * DISTINCT cid set (dimension-sized — at most nCentroids values) is
+    * collected once and pushed as a static `cid IN (...)` partition filter,
+    * so the scan reads ONLY the probed list directories (PlanSpec gates the
+    * PartitionFilters). Candidate restriction per query then happens via the
+    * broadcast (qid, cid) join as in [[ivfTopK]]. */
+  def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
+                     cents: Array[(Long, Array[Double])], k: Int,
+                     nprobe: Int): DataFrame = {
+    val probes = probeSet(queries, cents, nprobe).cache()
+    val probedCids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
+    val index = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids.map(_.asInstanceOf[Any]): _*))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    val out = index.join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
+    out
   }
 
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any band key

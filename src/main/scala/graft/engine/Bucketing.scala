@@ -20,17 +20,49 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
+  /** Catalog-safe name scoped to THIS process: two concurrent JVMs sharing
+    * one metastore (e.g. Bench and Verify at the same scale) must never
+    * DROP/CREATE the same table name — the scratch *paths* are already
+    * PID-scoped, so the catalog names follow the same rule. */
+  def processScopedName(tag: String): String =
+    s"${tag}_p${java.lang.ProcessHandle.current().pid()}"
+
+  /** Drop catalog tables named `<anything>_p<pid>` whose owning process is
+    * dead (a SIGKILLed JVM never cleans up its own entries) — the catalog
+    * analogue of the scratch-dir dead-owner sweep. Never touches a live
+    * process's tables. */
+  def sweepDeadProcessTables(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val self = java.lang.ProcessHandle.current().pid()
+    val rx = "^(.*)_p([0-9]+)$".r
+    spark.catalog.listTables().collect().foreach { tbl =>
+      tbl.name match {
+        case rx(_, pidS) =>
+          pidS.toLongOption.foreach { pid =>
+            val dead = pid != self && java.lang.ProcessHandle.of(pid)
+              .map[java.lang.Boolean](h => !h.isAlive).orElse(true)
+            if (dead)
+              try spark.sql(s"DROP TABLE IF EXISTS `${tbl.name}`")
+              catch { case _: Throwable => () }
+          }
+        case _ => ()
+      }
+    }
+  }
+
   /** Write `df` as a bucketed, bucket-sorted external table (data under
     * `path`, metadata in the session catalog) and return the table-backed
-    * DataFrame whose scan carries the bucket spec. */
+    * DataFrame whose scan carries the bucket spec. The identifier is
+    * backtick-quoted (an unquoted interpolation would break on any
+    * non-identifier character in a caller-supplied name). */
   def writeBucketed(df: DataFrame, table: String, path: String,
                     key: String, nBuckets: Int): DataFrame = {
+    require(!table.contains("`"), s"table name must not contain backticks: $table")
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     df.write.format("parquet").option("path", path)
       .bucketBy(nBuckets, key).sortBy(key)
-      .mode("overwrite").saveAsTable(table)
-    spark.table(table)
+      .mode("overwrite").saveAsTable(s"`$table`")
+    spark.table(s"`$table`")
   }
 
   /** Equi-join of two same-key, same-count bucketed tables: merge-hinted so

@@ -59,7 +59,16 @@ object Knn {
   /** queries: (qid, lat, lon); points: (pid, lat, lon).
     * Returns (qid, pid, dist, rank) with rank 1..k per query.
     * `level` picks the cell resolution; smaller level = bigger cells =
-    * fewer rounds but more candidates per round. */
+    * fewer rounds but more candidates per round.
+    *
+    * PRECONDITION (cluster callers): per-round state is RELIABLY
+    * checkpointed, so on any non-local master `spark.checkpoint.dir`
+    * (SparkContext.setCheckpointDir) MUST point at SHARED storage
+    * (HDFS / object store) before calling — the method fails fast with an
+    * IllegalArgumentException otherwise. On local[*] masters a process-
+    * private tmp dir is auto-provisioned and removed at JVM exit. This is a
+    * deliberate durability change from the earlier localCheckpoint design,
+    * which silently lost the job on a single executor failure. */
   def knn(spark: SparkSession, queries: DataFrame, points: DataFrame, k: Int,
           level: Int = 4, maxRounds: Int = 6): DataFrame = {
     import org.apache.spark.sql.functions.{call_function => cf}

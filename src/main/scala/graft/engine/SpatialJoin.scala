@@ -203,12 +203,21 @@ object SpatialJoin {
       .dropDuplicates("poly_id", "cell")
     // drop cells strictly nested under a coarser cell of the SAME polygon:
     // coverage is unchanged (the coarser cell contains them) and the
-    // remaining per-polygon cells are pairwise disjoint
-    val pruned = cells0.alias("a").join(broadcast(cells0).alias("b"),
-        col("a.poly_id") === col("b.poly_id") &&
-          length(col("b.cell")) < length(col("a.cell")) &&
-          col("a.cell").startsWith(col("b.cell")), "left_anti")
-      .select(col("a.poly_id").as("poly_id"), col("a.cell").as("cell"))
+    // remaining per-polygon cells are pairwise disjoint.
+    // Broadcast the build side of this self-anti-join ONLY on the
+    // broadcastPolys path: the broadcastPolys=false branch exists precisely
+    // because the covering (up to |polys| * maxCells rows) is too large to
+    // ship to the driver — there the prune runs as a shuffled sort-merge
+    // anti-join keyed on poly_id, where both sides co-partition and each
+    // polygon's cells (<= maxCells) meet within one task.
+    def pruneNested(hintSide: DataFrame => DataFrame): DataFrame =
+      cells0.alias("a").join(hintSide(cells0).alias("b"),
+          col("a.poly_id") === col("b.poly_id") &&
+            length(col("b.cell")) < length(col("a.cell")) &&
+            col("a.cell").startsWith(col("b.cell")), "left_anti")
+        .select(col("a.poly_id").as("poly_id"), col("a.cell").as("cell"))
+    val pruned =
+      if (broadcastPolys) pruneNested(broadcast) else pruneNested(_.hint("merge"))
     val ringsDim = polys.select(col("poly_id"), col("rings"))
     // Broadcast path: the pruned covering is DIMENSION-sized (it is about
     // to be broadcast anyway), so collect it once and serve both consumers

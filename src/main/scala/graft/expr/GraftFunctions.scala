@@ -308,11 +308,27 @@ object GraftFunctions {
     "st_words" -> ((a: Seq[Expression]) =>
       si(ArrayType(StringType), "words", Seq(str(a.head)))),
     "st_langid" -> ((a: Seq[Expression]) => si(StringType, "langId3", Seq(str(a.head)))),
-    "st_winnow" -> ((a: Seq[Expression]) =>
-      si(ArrayType(LongType), "winnowOf", Seq(str(a(0)), int(a(1)), int(a(2))))),
+    // k/w are validated at PLAN time when literal (the common case) so a bad
+    // argument fails analysis like the other st_* arity checks, instead of
+    // aborting mid-task from the per-row kernel require
+    "st_winnow" -> ((a: Seq[Expression]) => {
+      val kE = int(a(1)); val wE = int(a(2))
+      def litVal(e: Expression): Option[Int] =
+        if (e.foldable) Option(e.eval()).map(_.asInstanceOf[Int]) else None
+      litVal(kE).foreach(k => if (k < 1 || k > 6) throw new IllegalArgumentException(
+        s"st_winnow: need 1 <= k <= 6 (got $k) — k <= 6 keeps the base-257 " +
+          "rolling hash exactly inside a signed 64-bit value"))
+      litVal(wE).foreach(w => if (w < 1) throw new IllegalArgumentException(
+        s"st_winnow: need w >= 1 (got $w)"))
+      si(ArrayType(LongType), "winnowOf", Seq(str(a(0)), kE, wE))
+    }),
     "st_cosine" -> ((a: Seq[Expression]) =>
       si(DoubleType, "cosineSim",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType))))),
+    "st_ivf_assign" -> ((a: Seq[Expression]) =>
+      si(LongType, "ivfAssign",
+        Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)),
+          Cast(a(2), ArrayType(LongType)), int(a(3))))),
     "st_lsh_keys" -> ((a: Seq[Expression]) =>
       si(ArrayType(LongType), "lshKeys64",
         Seq(Cast(a(0), ArrayType(DoubleType)), int(a(1)), int(a(2)), int(a(3))))),

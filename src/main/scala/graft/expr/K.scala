@@ -732,14 +732,32 @@ object K {
     * output as the sorted distinct minima. Any substring of length >=
     * w + k - 1 shared by two documents yields at least one shared
     * fingerprint (the winnowing guarantee). Base 257 with k <= 6 keeps
-    * every sum exactly inside a signed 64-bit value, so the SQL oracle
-    * mirrors the arithmetic with plain BIGINTs (no modular wrap). Returns
-    * an empty array for texts shorter than k. */
+    * every sum exactly inside a signed 64-bit value even at the max
+    * codepoint 0x10FFFF, so the SQL oracle mirrors the arithmetic with
+    * plain BIGINTs (no modular wrap). Returns an empty array for texts
+    * shorter than k codepoints.
+    *
+    * Unicode discipline: k-grams iterate CODEPOINTS (matching DuckDB
+    * unicode()/length(), not UTF-16 units) and lower-case per codepoint via
+    * Character.toLowerCase(int) (locale-free simple mapping, matching SQL
+    * lower() on everything but the handful of full-fold specials like
+    * U+0130). Oracle hash parity is exact for ASCII and for BMP text with
+    * simple case mappings — the documented envelope. */
   def winnowOf(text: UTF8String, k: Int, w: Int): ArrayData = {
     if (text == null) return null
     require(k >= 1 && k <= 6 && w >= 1, "st_winnow: need 1 <= k <= 6, w >= 1")
-    val t = text.toString.toLowerCase(java.util.Locale.ROOT)
-    val n = t.length
+    val raw = text.toString
+    // lower-cased codepoint array (one pass; ASCII fast path is implicit in
+    // codePointAt)
+    val cps = new Array[Int](raw.length)
+    var n = 0
+    var ci = 0
+    while (ci < raw.length) {
+      val cp = raw.codePointAt(ci)
+      cps(n) = Character.toLowerCase(cp)
+      n += 1
+      ci += Character.charCount(cp)
+    }
     if (n < k) return new GenericArrayData(Array.emptyLongArray)
     val nh = n - k + 1
     val hs = new Array[Long](nh)
@@ -747,7 +765,7 @@ object K {
     while (i < nh) {
       var h = 0L
       var j = 0
-      while (j < k) { h = h * 257L + t.charAt(i + j).toLong; j += 1 }
+      while (j < k) { h = h * 257L + cps(i + j).toLong; j += 1 }
       hs(i) = h
       i += 1
     }
@@ -826,6 +844,53 @@ object K {
     * pass with the same left-to-right accumulation order as the
     * zip_with/aggregate formulation (and the SQL oracle), including the
     * 1e-12 denominator floor. */
+  /** st_ivf_assign(emb, centsFlat, cids, dim): id of the max-cosine centroid
+    * for `emb`, where `centsFlat` is the row-major flattened
+    * nCentroids x dim centroid matrix and `cids[c]` is centroid c's id.
+    * Centroids MUST be ordered by ascending cid: ties break to the FIRST
+    * (strict >), i.e. the smallest cid — the same (sim, -cid) order the
+    * previous greatest()-over-structs argmax used, and per-centroid cosines
+    * accumulate exactly like [[cosineSim]](emb, cent), so results are
+    * bit-identical to that formulation. The matrix arrives as ONE literal
+    * (O(n*dim) plan bytes, constant codegen size), which is what lets
+    * nCentroids reach the 10^3-10^4 a large corpus needs without blowing
+    * the codegen method limit. Null on ragged input. */
+  def ivfAssign(emb: ArrayData, centsFlat: ArrayData, cids: ArrayData,
+                dim: Int): java.lang.Long = {
+    if (emb == null || centsFlat == null || cids == null) return null
+    if (dim <= 0 || emb.numElements() != dim) return null
+    val e = emb.toDoubleArray()
+    val cm = centsFlat.toDoubleArray()
+    val ids = cids.toLongArray()
+    val n = ids.length
+    if (n == 0 || cm.length != n * dim) return null
+    // emb self-norm once; per-centroid dot/norm accumulate element-ordered,
+    // exactly as cosineSim's single interleaved loop (independent chains)
+    var na = 0.0
+    var i = 0
+    while (i < dim) { na += e(i) * e(i); i += 1 }
+    val sqna = math.sqrt(na)
+    var best = Double.NegativeInfinity
+    var bestId = ids(0)
+    var c = 0
+    while (c < n) {
+      val off = c * dim
+      var dot = 0.0
+      var nb = 0.0
+      var j = 0
+      while (j < dim) {
+        val y = cm(off + j)
+        dot += e(j) * y
+        nb += y * y
+        j += 1
+      }
+      val sim = dot / math.max(sqna * math.sqrt(nb), 1e-12)
+      if (sim > best) { best = sim; bestId = ids(c) }
+      c += 1
+    }
+    java.lang.Long.valueOf(bestId)
+  }
+
   def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a == null || b == null) return null
     // ragged input -> NULL (matching the zip_with formulation's null

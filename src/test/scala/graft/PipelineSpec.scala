@@ -167,6 +167,49 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("trained IVF: k-means centroids give high partial-probe recall on a CLUSTERED corpus; persisted index path matches in-memory") {
+    import spark.implicits._
+    // 8 well-separated clusters in 16-dim — the data shape where untrained
+    // first-N-by-id centroids have unknown recall but fitted centroids must
+    // align with the clusters
+    val rng = new java.util.Random(123L)
+    val centers = Array.fill(8)(Array.fill(16)(rng.nextGaussian() * 5.0))
+    val vecs = (0 until 400).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.toSeq.map(_ + rng.nextGaussian() * 0.3))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val queries = vecs.take(8).map { case (id, v) => (s"q$id", v) }.toDF("qid", "q_emb")
+    val cents = Ann.kmeansFit(corpus, k = 8, iters = 8, sampleCap = 400)
+    assert(cents.length == 8 && cents.map(_._1).toSeq == (0L until 8L))
+    val brute = Ann.bruteForceTopK(corpus, queries, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val trained = Ann.ivfTopK(corpus, queries, k = 10, nprobe = 2,
+        centroids = Some(cents)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    val recall = brute.intersect(trained.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size
+    assert(recall >= 0.9, s"trained IVF recall@10 at nprobe=2/8 was $recall")
+    // persisted-index path: identical centroids + nprobe -> identical rows
+    // (and the probe reads only the probed cid partitions — PlanSpec gates)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx2").toString
+    try {
+      Ann.writeIvfIndex(corpus, cents, tmp)
+      val viaIndex = Ann.searchIvfIndex(spark, tmp, queries, cents, k = 10, nprobe = 2)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+      assert(viaIndex.toSet == trained.toSet,
+        s"index path diverged: ${viaIndex.toSet.diff(trained.toSet)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("kmeansFit is deterministic and parallelism-invariant") {
+    import spark.implicits._
+    val rng = new java.util.Random(9L)
+    val vecs = (0 until 300).map(i => (i.toLong, Seq.fill(8)(rng.nextGaussian())))
+    val a = Ann.kmeansFit(vecs.toDF("vec_id", "embedding").repartition(2), k = 4, iters = 4)
+    val b = Ann.kmeansFit(vecs.toDF("vec_id", "embedding").repartition(7), k = 4, iters = 4)
+    assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq)
+  }
+
   test("embedding-cosine near-dup finds planted duplicate/near vectors") {
     import spark.implicits._
     val rng = new java.util.Random(77L)
@@ -221,7 +264,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(fp("t3") == graft.core.Hashing.md5Hex(""))
   }
 
-  test("trigram lang-id discriminates six languages and matches the pure kernel") {
+  test("trigram lang-id discriminates twenty languages and matches the pure kernel") {
     import spark.implicits._
     val samples = Seq(
       ("t_en", "the quick brown fox and the lazy dog went to the house of the king", "en"),
@@ -230,6 +273,20 @@ class PipelineSpec extends AnyFunSuite {
       ("t_es", "el zorro marrón y el perro en la casa de los niños que están por la mañana", "es"),
       ("t_it", "la volpe marrone veloce che salta per il cane pigro della casa di campagna", "it"),
       ("t_pt", "a raposa marrom que pula sobre o cão preguiçoso da casa em que os meninos estão", "pt"),
+      ("t_ca", "els nens que jugaven per la casa amb els seus amics de la ciutat van perdre la pilota", "ca"),
+      ("t_cs", "vláda se na jednání dohodla že pro nové projekty připraví další peníze pro město", "cs"),
+      ("t_da", "han sagde at der ikke var noget af det som de havde haft til aftensmaden i huset", "da"),
+      ("t_fi", "talossa on suuri sauna ja siellä on myös paljon muita asioita joista kansalaiset nauttivat", "fi"),
+      ("t_hr", "vlada je na sjednici odlučila da za nove projekte izdvoji još novca za sve koji rade", "hr"),
+      ("t_hu", "az egyetem egy nagy épület és azt mondta hogy a minisztérium szerint az egyik legjobb", "hu"),
+      ("t_id", "mereka akan pergi ke pasar dan membeli makanan yang enak untuk keluarga di rumah", "id"),
+      ("t_nl", "het is een van de mooiste dagen van het jaar voor de mensen die er wonen in het land", "nl"),
+      ("t_no", "det var ikke noe av det som de hadde gjort for å komme seg til byen og se på den", "no"),
+      ("t_pl", "nie wiadomo czy przedstawiciele rządu przyjadą na spotkanie które się odbędzie w mieście", "pl"),
+      ("t_ro", "în cursul acestei săptămâni consiliul de administrație are de gând să prezinte raportul către parlament", "ro"),
+      ("t_sk", "vláda sa na rokovaní dohodla na tom ako pre nové projekty pripraví peniaze ktoré sú pre mesto", "sk"),
+      ("t_sv", "det är inte lätt att förstå och att se som man gjorde förut i staden och i landet", "sv"),
+      ("t_tr", "bir gün onlar da bizim gibi büyük bir karar verdiler ve şehirde yeni bir hayata başladılar", "tr"),
       ("t_und", "zzz qqq xxx 12345", "und"))
     val d = samples.map(s => (s._1, s._2)).toDF("doc_id", "text")
     val got = TextOps.langIdNgram(d).collect().map(r => r.getString(0) -> r.getString(1)).toMap

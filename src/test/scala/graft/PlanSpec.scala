@@ -153,6 +153,35 @@ class PlanSpec extends AnyFunSuite {
     assert(factSide.contains("Scan parquet"), s"fact side lost its scan:\n$factSide")
   }
 
+  test("containment variants plan as left-semi / left-anti (no row multiplication)") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val polys = Corpus.polygons(spark).toDF()
+    val pts = SpatialJoin.extractPoints(docs)
+    val semi = physical(SpatialJoin.containedDocs(pts, polys))
+    assert(semi.contains("LeftSemi"), s"no left-semi join:\n${semi.take(1500)}")
+    val anti = physical(SpatialJoin.uncontainedDocs(pts, polys))
+    assert(anti.contains("LeftAnti"), s"no left-anti join:\n${anti.take(1500)}")
+  }
+
+  test("persisted IVF index: probes prune list partitions via static PartitionFilters") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.where(col("vec_id") < 4)
+      .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+    val cents = Ann.firstNCentroids(e, 8)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    try {
+      Ann.writeIvfIndex(e, cents, tmp)
+      val df = Ann.searchIvfIndex(spark, tmp, queries, cents, k = 5, nprobe = 2)
+      val plan = df.queryExecution.executedPlan.toString
+      // the index scan must carry a non-empty partition filter on cid —
+      // file-level pruning to the probed inverted lists only
+      val rx = "PartitionFilters: \\[[^\\]]*cid".r
+      assert(rx.findFirstIn(plan).isDefined,
+        s"index scan not partition-pruned:\n${plan.take(2500)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("bucketed co-located join: zero exchange on either side") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     try {
