@@ -8,14 +8,25 @@ import org.apache.spark.sql.SparkSession
   * BASELINE.json metric). */
 object Bench {
 
-  /** Representative subset: flagship spatial pipeline + relational + pipeline ops. */
+  /** Benched surface: flagship spatial pipeline + relational + pipeline ops
+    * (the round-1..3 set), widened in round 4 with the inverse/parse surface
+    * (q49-q55), the text/media operators (q66/q67/q70/q71), and the round-4
+    * additions (q73/q75/q76) so a regression anywhere on the scalar or
+    * pipeline surface shows up in BENCH_r*.json. Streaming rows are
+    * excluded on purpose: their wall time is dominated by sink/checkpoint
+    * staging I/O, not operator cost. */
   val HeadlineQueries: Seq[String] = Seq(
     "q31_spatial_join", "q33_tile_histogram", "q32_spatial_join_salted",
     "q01_pricing_agg", "q02_join_nation_revenue", "q08_tile_agg",
     "q34_knn", "q40_dedup_minhash", "q43_ann_topk", "q30_parse_extract",
     "q38_spatial_join_range", "q45_embed_neardup", "q46_token_counts",
     "q36_polyfill", "q41_dedup_simhash", "q47_vincenty",
-    "q48_utm_to_geo", "q56_pip_multiring", "q61_ann_ivf")
+    "q48_utm_to_geo", "q56_pip_multiring", "q61_ann_ivf",
+    "q49_mgrs_roundtrip", "q50_ecef_to_geo", "q51_parse_utm_mgrs",
+    "q52_geohash_inverse", "q53_olc_inverse", "q54_datum_transforms",
+    "q55_molodensky", "q66_langid_ngram", "q67_winnow",
+    "q70_winnow_neardup", "q71_media_ppm_decode",
+    "q73_spatial_semi_anti", "q75_ann_ivf_trained", "q76_multizoom_rollup")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

@@ -1111,19 +1111,17 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$outBase/data").orderBy(col("doc_id"))
     }),
-    // q73: containment-only spatial join variants — doc-level left-semi
-    // (>= 1 point in any polygon) and left-anti (none) in one gated row via
-    // a status column; PlanSpec asserts the semi/anti join types (no row
-    // multiplication).
+    // q73: containment-only spatial join — doc-level semi/anti split in one
+    // gated row via a status column. Uses containmentSplit (ONE spatial
+    // join + left-outer probe; the separate containedDocs/uncontainedDocs
+    // calls would evaluate the join twice); the semi/anti variants
+    // themselves are gated by EngineSpec + the PlanSpec join-type gate.
     "q73_spatial_semi_anti" -> ((spark, dir) => {
       val s = prep(spark)
       val docs = Corpus.storedDocs(s, corpusDocs(dir))
       val polys = Corpus.storedPolys(s, corpusDocs(dir))
       val pts = SpatialJoin.extractPoints(docs)
-      SpatialJoin.containedDocs(pts, polys).withColumn("status", lit("in"))
-        .unionByName(
-          SpatialJoin.uncontainedDocs(pts, polys).withColumn("status", lit("out")))
-        .orderBy(col("doc_id"))
+      SpatialJoin.containmentSplit(pts, polys).orderBy(col("doc_id"))
     }),
     // q74: quirk-compat reproductions Q1/Q4/Q7 gate-forwarded the way q63
     // forwards Q2 — each arm mirrored in SQL:

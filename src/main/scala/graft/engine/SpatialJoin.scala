@@ -263,4 +263,19 @@ object SpatialJoin {
     val hits = join(points, polys, level).select("doc_id").distinct()
     points.select("doc_id").distinct().join(hits, Seq("doc_id"), "left_anti")
   }
+
+  /** Both containment answers from ONE spatial join: (doc_id, status) with
+    * status 'in' (>= 1 point in any polygon) or 'out'. A semi + anti pair of
+    * calls evaluates the underlying join twice; a user asking "which docs
+    * are covered and which are not" should pay it once — the hit set is
+    * computed once and the split is a single left-outer probe. */
+  def containmentSplit(points: DataFrame, polys: DataFrame,
+                       level: Int = DefaultLevel): DataFrame = {
+    val hits = join(points, polys, level).select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    points.select("doc_id").distinct()
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("hit").isNotNull, lit("in")).otherwise(lit("out")).as("status"))
+  }
 }

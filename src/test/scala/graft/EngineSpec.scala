@@ -148,6 +148,12 @@ class EngineSpec extends AnyFunSuite {
     val all = points.select("doc_id").distinct().collect().map(_.getString(0)).toSet
     assert((in intersect outD).isEmpty)
     assert((in union outD) == all)
+    // the single-join split must agree with the semi/anti pair
+    val split = SpatialJoin.containmentSplit(points, polys).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(split.keySet == all)
+    assert(split.filter(_._2 == "in").keySet == in)
+    assert(split.filter(_._2 == "out").keySet == outD)
     points.unpersist()
   }
 
