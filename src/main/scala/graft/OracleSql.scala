@@ -1198,9 +1198,10 @@ object OracleSql {
     * exactly the documents table with its deterministic event times. A
     * broken dedup state would re-emit the 500 echo rows and fail rows+hash. */
   def q72: String =
-    """SELECT doc_id, md5(text) AS content_hash,
+    """WITH u AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text)
+    SELECT doc_id, md5(text) AS content_hash,
       1704067200000000 + CAST(doc_id AS BIGINT) * 1000000 AS ts_us
-    FROM documents ORDER BY doc_id"""
+    FROM u ORDER BY doc_id"""
 
   /** q74: quirk-compat arms Q1/Q4/Q7 (SparkEntry q74 doc):
     * Q1 = compat cardinal signs ('e' negative, 'w' positive) vs correct;

@@ -1086,9 +1086,14 @@ object SparkEntry {
         org.apache.commons.io.FileUtils.deleteDirectory(tmp)
         dst.setLastModified(mtime)
       }
-      val originals = docs.select(col("doc_id"), col("text"),
+      // one row per DISTINCT text (min doc_id): within batch 0 every content
+      // hash must be unique or the intra-batch survivor is arbitrary — the
+      // fabricated sf1 replicates documents 10x with offset ids but
+      // identical texts, which would otherwise make the gate nondeterministic
+      val uniq = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val originals = uniq.select(col("doc_id"), col("text"),
         timestamp_micros(lit(baseUs) + col("doc_id") * lit(1000000L)).as("ts"))
-      val echoes = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"),
+      val echoes = uniq.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"),
         timestamp_micros(lit(baseUs) + col("doc_id") * lit(1000000L) + lit(60000000L)).as("ts"))
       val now = System.currentTimeMillis()
       stage(originals, "b0", now - 600000L)

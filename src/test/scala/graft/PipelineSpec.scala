@@ -201,6 +201,32 @@ class PipelineSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("IVF assignment plans and runs at 1024 centroids (single-literal kernel)") {
+    // the pre-r4 greatest()-over-per-centroid-structs argmax built a
+    // multi-megabyte expression tree that blew whole-stage codegen past
+    // ~O(100) centroids; the flat-literal kernel must stay constant
+    // codegen size at the 10^3-10^4 centroids a 10^9-vector corpus wants
+    import spark.implicits._
+    val rng = new java.util.Random(5L)
+    val vecs = (0 until 2048).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    // parquet-backed so the plan is a real scan (a LocalRelation would be
+    // constant-folded at plan time and show no codegen stage at all)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf1024").toString
+    vecs.toDF("vec_id", "embedding").write.mode("overwrite").parquet(tmp)
+    val corpus = spark.read.parquet(tmp)
+    val cents = Array.tabulate(1024)(c => (c.toLong, Array.fill(16)(rng.nextGaussian())))
+    val assigned = Ann.assignCids(corpus, cents)
+    val usedLists = assigned.groupBy("cid").count().count()
+    assert(usedLists > 256, s"only $usedLists of 1024 lists used — assignment degenerate")
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment gained a shuffle:\n${plan.take(1200)}")
+    // executedPlan.toString marks whole-stage-codegen stages with a "*(n)"
+    // prefix on each operator
+    assert(plan.startsWith("*("),
+      s"assignment fell out of codegen:\n${plan.take(1200)}")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("kmeansFit is deterministic and parallelism-invariant") {
     import spark.implicits._
     val rng = new java.util.Random(9L)
