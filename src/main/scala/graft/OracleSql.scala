@@ -352,15 +352,15 @@ object OracleSql {
   def kruegerInverseCtes(src: String, p: String, carry: Seq[String],
                          compat: Boolean = false): String = {
     // compat = quirk Q2's zeroed integer-division series (Gauss-Schreiber):
-    // beta == 0 and A = a/(1+n) — mirrors core.Utm.utmToGeo(compat = true)
-    val beta =
-      if (compat) Array.fill(7)(0.0) else graft.core.Utm.kruegerBeta(KN)
+    // no beta terms at all (the kernel's beta == 0 makes zetaP = zeta
+    // bit-exactly) and A = a/(1+n) — mirrors core.Utm.utmToGeo(compat=true)
     val kka = if (compat) d(0.9996 * (KA / (1.0 + KN))) else d(KKa)
     val cs = carry.mkString(", ")
     val eL = d(KE)
-    val zetapTerms = (1 to 6).filter(_ => !compat).map(j =>
+    lazy val beta = graft.core.Utm.kruegerBeta(KN)
+    val zetapTerms = if (compat) "" else (1 to 6).map(j =>
       s" - ${d(beta(j))} * sin(2.0 * $j.0 * izeta) * ${coshSql(s"2.0 * $j.0 * ieta")}").mkString
-    val etapTerms = (1 to 6).filter(_ => !compat).map(j =>
+    val etapTerms = if (compat) "" else (1 to 6).map(j =>
       s" - ${d(beta(j))} * cos(2.0 * $j.0 * izeta) * ${sinhSql(s"2.0 * $j.0 * ieta")}").mkString
     val atanhArg = s"$eL * taui / sqrt(1.0 + taui * taui)"
     val sigmaExpr = sinhSql(s"($eL * (0.5 * ln((1.0 + $atanhArg) / (1.0 - $atanhArg))))")
@@ -1200,7 +1200,7 @@ object OracleSql {
   def q72: String =
     """WITH u AS (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text)
     SELECT doc_id, md5(text) AS content_hash,
-      1704067200000000 + CAST(doc_id AS BIGINT) * 1000000 AS ts_us
+      1704067200000000 + (CAST(doc_id AS BIGINT) % 1800) * 1000000 AS ts_us
     FROM u ORDER BY doc_id"""
 
   /** q74: quirk-compat arms Q1/Q4/Q7 (SparkEntry q74 doc):

@@ -1084,17 +1084,26 @@ object SparkEntry {
         java.nio.file.Files.move(part.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-        dst.setLastModified(mtime)
+        // batch ORDER depends on these mtimes (FileStreamSource sorts by
+        // timestamp) — a silent setLastModified failure would let the echo
+        // batch run first and corrupt the gate, so fail loudly
+        require(dst.setLastModified(mtime), s"setLastModified failed for $dst")
       }
       // one row per DISTINCT text (min doc_id): within batch 0 every content
       // hash must be unique or the intra-batch survivor is arbitrary — the
       // fabricated sf1 replicates documents 10x with offset ids but
-      // identical texts, which would otherwise make the gate nondeterministic
+      // identical texts, which would otherwise make the gate nondeterministic.
+      // Event times span doc_id % 1800 seconds (<= 30 min < the 1 h
+      // watermark) so EVERY echo lands inside the watermark and is dropped
+      // by the cross-batch DEDUP STATE — with an unbounded doc_id span,
+      // echoes older than maxTs - watermark would be discarded as late data
+      // instead, and the gate would no longer test what it claims.
       val uniq = docs.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val tsUs = lit(baseUs) + (col("doc_id") % lit(1800L)) * lit(1000000L)
       val originals = uniq.select(col("doc_id"), col("text"),
-        timestamp_micros(lit(baseUs) + col("doc_id") * lit(1000000L)).as("ts"))
+        timestamp_micros(tsUs).as("ts"))
       val echoes = uniq.select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"),
-        timestamp_micros(lit(baseUs) + col("doc_id") * lit(1000000L) + lit(60000000L)).as("ts"))
+        timestamp_micros(tsUs + lit(60000000L)).as("ts"))
       val now = System.currentTimeMillis()
       stage(originals, "b0", now - 600000L)
       stage(echoes, "b1", now)

@@ -7,8 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query names — dump only those
-    // (targeted re-verification; oracle_sql.json is still written in full)
+    // (targeted re-verification; oracle_sql.json is still written in full).
+    // Unknown names are an ERROR: a typo would otherwise filter everything
+    // out and the "targeted verification" would silently verify nothing.
     val only: Option[Set[String]] = args.lift(2).map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.mkString(", ")} — known: " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

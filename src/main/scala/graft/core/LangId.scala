@@ -25,8 +25,8 @@ object LangId {
     * follow the Cavnar-Trenkle construction (top function-word trigrams,
     * space-padded, from the published frequency literature); close pairs
     * (da/no/sv, cs/sk, es/pt/ca) lean on their distinctive markers — e.g.
-    * Danish "af " vs Norwegian "av ", Czech "ře " vs Slovak "ie ", Catalan
-    * "els" — so the argmax separates them on ordinary prose.
+    * Danish "af " vs Norwegian "av ", Czech "se "/"ře " vs Slovak "sa ",
+    * Catalan "els" — so the argmax separates them on ordinary prose.
     *
     * Unicode envelope (same as the winnow kernel): scoring lower-cases via
     * Java's ROOT-locale mapping and counts literal substring occurrences;

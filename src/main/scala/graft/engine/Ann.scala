@@ -155,14 +155,42 @@ object Ann {
     * expression TREE that blows the codegen method limit past O(100)
     * centroids. No shuffle, no join — PlanSpec gates exchange-freedom. */
   def assignCids(corpus: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    validateCentroids(cents)
     val dim = cents(0)._2.length
-    require(cents.forall(_._2.length == dim), "ragged centroid dims")
     val flat = cents.flatMap(_._2).toSeq
     val cids = cents.map(_._1).toSeq
     corpus
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
       .withColumn("cid", call_function("st_ivf_assign",
         col("embedding"), typedLit(flat), typedLit(cids), lit(dim)))
+  }
+
+  /** Centroid-array contract shared by every IVF entry point: non-empty,
+    * >= 2 lists, uniform dims, and SORTED by ascending cid — the kernel
+    * keeps the FIRST max (strict >), so ascending order is what makes ties
+    * break to the smallest cid (the q61-pinned (sim, -cid) semantics);
+    * an unsorted array would silently change results, so it is an error. */
+  private def validateCentroids(cents: Array[(Long, Array[Double])]): Unit = {
+    require(cents != null && cents.length >= 2,
+      s"need >= 2 centroids, got ${if (cents == null) "null" else cents.length}")
+    val dim = cents(0)._2.length
+    require(dim > 0 && cents.forall(_._2.length == dim), "ragged centroid dims")
+    require(cents.iterator.map(_._1).sliding(2).forall(p => p.head < p.last),
+      "centroids must be sorted by strictly ascending cid (tie-break contract)")
+  }
+
+  /** Shared candidate-ranking tail: exact cosine + per-query top-k over the
+    * (corpus rows x broadcast probes) candidate join — ONE definition so the
+    * in-memory and persisted-index paths can never diverge (q75 gates the
+    * equality). */
+  private def topKOverCandidates(assigned: DataFrame, probes: DataFrame,
+                                 k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cid"))
+      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
   }
 
   /** Per-query probe set: the `nprobe` nearest centroids (tiny x tiny —
@@ -200,14 +228,8 @@ object Ann {
               nCentroids: Int = 16, nprobe: Int = 4,
               centroids: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     val cents = centroids.getOrElse(firstNCentroids(corpus, nCentroids))
-    val assigned = assignCids(corpus, cents)
-    val probes = probeSet(queries, cents, nprobe)
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cid"))
-      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "vec_id", "sim", "rank")
+    validateCentroids(cents)
+    topKOverCandidates(assignCids(corpus, cents), probeSet(queries, cents, nprobe), k)
   }
 
   /** Persist the IVF index partitioned BY LIST (cid): each inverted list is
@@ -228,17 +250,22 @@ object Ann {
   def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
                      cents: Array[(Long, Array[Double])], k: Int,
                      nprobe: Int): DataFrame = {
-    val probes = probeSet(queries, cents, nprobe).cache()
-    val probedCids = probes.select(col("cid")).distinct().collect().map(_.getLong(0))
+    validateCentroids(cents)
+    // The probe set is consumed twice (cid collection + candidate join).
+    // It is dimension-sized — nQueries x nprobe rows on the side that is
+    // about to be BROADCAST anyway — so compute it once, collect it, and
+    // serve both consumers from a driver-local relation. An internal
+    // .cache() here would escape the function and be unpersistable for the
+    // session (the round-3 q56 lesson); for query batches too large to
+    // broadcast, use ivfTopK against the index DataFrame instead.
+    val probesDf = probeSet(queries, cents, nprobe)
+    val rows = probesDf.collect()
+    val probes = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probesDf.schema))
+    val probedCids = rows.map(_.getLong(2)).distinct
     val index = spark.read.parquet(path)
       .where(col("cid").isin(probedCids.map(_.asInstanceOf[Any]): _*))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    val out = index.join(broadcast(probes), Seq("cid"))
-      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "vec_id", "sim", "rank")
-    out
+    topKOverCandidates(index, probes, k)
   }
 
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any band key

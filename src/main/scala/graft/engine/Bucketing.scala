@@ -27,16 +27,18 @@ object Bucketing {
   def processScopedName(tag: String): String =
     s"${tag}_p${java.lang.ProcessHandle.current().pid()}"
 
-  /** Drop catalog tables named `<anything>_p<pid>` whose owning process is
+  /** Drop catalog tables named `graft_*_p<pid>` whose owning process is
     * dead (a SIGKILLed JVM never cleans up its own entries) — the catalog
     * analogue of the scratch-dir dead-owner sweep. Never touches a live
-    * process's tables. */
+    * process's tables, and ONLY sweeps the `graft_` namespace this engine
+    * creates — a user table that happens to end in `_p<number>` (a year, a
+    * shard id) must never be collateral. */
   def sweepDeadProcessTables(spark: org.apache.spark.sql.SparkSession): Unit = {
     val self = java.lang.ProcessHandle.current().pid()
-    val rx = "^(.*)_p([0-9]+)$".r
+    val rx = "^graft_.*_p([0-9]+)$".r
     spark.catalog.listTables().collect().foreach { tbl =>
       tbl.name match {
-        case rx(_, pidS) =>
+        case rx(pidS) =>
           pidS.toLongOption.foreach { pid =>
             val dead = pid != self && java.lang.ProcessHandle.of(pid)
               .map[java.lang.Boolean](h => !h.isAlive).orElse(true)

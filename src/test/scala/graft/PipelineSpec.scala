@@ -212,19 +212,20 @@ class PipelineSpec extends AnyFunSuite {
     // parquet-backed so the plan is a real scan (a LocalRelation would be
     // constant-folded at plan time and show no codegen stage at all)
     val tmp = java.nio.file.Files.createTempDirectory("graft_ivf1024").toString
-    vecs.toDF("vec_id", "embedding").write.mode("overwrite").parquet(tmp)
-    val corpus = spark.read.parquet(tmp)
-    val cents = Array.tabulate(1024)(c => (c.toLong, Array.fill(16)(rng.nextGaussian())))
-    val assigned = Ann.assignCids(corpus, cents)
-    val usedLists = assigned.groupBy("cid").count().count()
-    assert(usedLists > 256, s"only $usedLists of 1024 lists used — assignment degenerate")
-    val plan = assigned.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"assignment gained a shuffle:\n${plan.take(1200)}")
-    // executedPlan.toString marks whole-stage-codegen stages with a "*(n)"
-    // prefix on each operator
-    assert(plan.startsWith("*("),
-      s"assignment fell out of codegen:\n${plan.take(1200)}")
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    try {
+      vecs.toDF("vec_id", "embedding").write.mode("overwrite").parquet(tmp)
+      val corpus = spark.read.parquet(tmp)
+      val cents = Array.tabulate(1024)(c => (c.toLong, Array.fill(16)(rng.nextGaussian())))
+      val assigned = Ann.assignCids(corpus, cents)
+      val usedLists = assigned.groupBy("cid").count().count()
+      assert(usedLists > 256, s"only $usedLists of 1024 lists used — assignment degenerate")
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"assignment gained a shuffle:\n${plan.take(1200)}")
+      // executedPlan.toString marks whole-stage-codegen stages with a "*(n)"
+      // prefix on each operator
+      assert(plan.startsWith("*("),
+        s"assignment fell out of codegen:\n${plan.take(1200)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
   test("kmeansFit is deterministic and parallelism-invariant") {
