@@ -26,7 +26,8 @@ object Bench {
     "q52_geohash_inverse", "q53_olc_inverse", "q54_datum_transforms",
     "q55_molodensky", "q66_langid_ngram", "q67_winnow",
     "q70_winnow_neardup", "q71_media_ppm_decode",
-    "q73_spatial_semi_anti", "q75_ann_ivf_trained", "q76_multizoom_rollup")
+    "q73_spatial_semi_anti", "q75_ann_ivf_trained", "q76_multizoom_rollup",
+    "q77_ann_q8")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

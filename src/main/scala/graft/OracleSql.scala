@@ -1249,6 +1249,7 @@ object OracleSql {
     "q72_stream_dedup" -> q72,
     "q74_quirk_compat" -> q74,
     "q75_ann_ivf_trained" -> q43,
+    "q77_ann_q8" -> q77,
     "q66_langid_ngram" -> q66,
     "q67_winnow" -> q67,
     "q68_bucketed_join" -> q68,
@@ -1555,6 +1556,35 @@ object OracleSql {
   private def cosSql(aE: String, bE: String): String =
     s"list_dot_product($aE, $bE) / GREATEST(sqrt(list_dot_product($aE, $aE)) * " +
       s"sqrt(list_dot_product($bE, $bE)), 1e-12)"
+
+  /** q77: int8 scalar-quantized ANN — mirror the quantization law
+    * (per-vector min/max affine, q = clamp(floor((x-mn)/scale + 0.5), 255),
+    * reconstruction mn + q*scale) over the RAW embeddings, then the same
+    * brute-force cosine top-k as q43 on the reconstructions. All plain
+    * double arithmetic, so the compare is exact (engine sums and DuckDB
+    * list_dot_product accumulate in the same element order). */
+  def q77: String =
+    s"""WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), qs AS (
+      SELECT 'q' || CAST(vec_id AS VARCHAR) AS qid, emb AS q_emb FROM e WHERE vec_id < 8
+    ), mm AS (
+      SELECT vec_id, emb, list_min(emb) AS mn, list_max(emb) AS mx FROM e
+    ), dq AS (
+      SELECT vec_id, CASE WHEN mx - mn <= 0 THEN list_transform(emb, x -> mn)
+        ELSE list_transform(emb, x ->
+          mn + LEAST(floor((x - mn) / ((mx - mn) / 255.0) + 0.5), 255.0)
+            * ((mx - mn) / 255.0)) END AS deq
+      FROM mm
+    ), cand AS (
+      SELECT qs.qid, dq.vec_id, ${cosSql("dq.deq", "qs.q_emb")} AS sim
+      FROM dq CROSS JOIN qs
+    ), ranked AS (
+      SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+      FROM cand
+    )
+    SELECT qid, vec_id, round(sim, 6) + 0.0 AS sim, rank FROM ranked
+    WHERE rank <= 10 ORDER BY qid, rank"""
 
   def q43: String =
     s"""WITH e AS (

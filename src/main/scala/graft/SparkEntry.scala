@@ -1201,6 +1201,26 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    // q77: int8-quantized embedding index (st_q8_pack -> parquet ->
+    // asymmetric-distance cosine top-k). The oracle recomputes the
+    // quantization law (min/max affine, floor(x+0.5), clamp 255) and the
+    // reconstruction from the RAW embeddings table — the engine's packed
+    // bytes never reach the oracle, so a pack/unpack defect cannot cancel
+    // itself out.
+    "q77_ann_q8" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val corpus = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.where(col("vec_id") < 8)
+        .select(concat(lit("q"), col("vec_id")).as("qid"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val idxPath = scratchDir("q77idx", dir)
+      Ann.writeQuantizedIndex(corpus, idxPath)
+      Ann.searchQuantizedIndex(s, idxPath, queries, k = 10)
+        .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
     // q76: multi-zoom tile rollup in ONE aggregation pass (rollup over the
     // per-zoom packed tile ids; Catalyst's partial aggregation gives the
     // map-side combine) vs DuckDB GROUP BY ROLLUP — the last test-only

@@ -56,6 +56,8 @@ object GraftFunctions {
   val UtmAltT: StructType = new StructType()
     .add("zone", IntegerType).add("hemisphere", StringType)
     .add("easting", DoubleType).add("northing", DoubleType).add("altitude", DoubleType)
+  val Q8T: StructType = new StructType()
+    .add("minv", DoubleType).add("scale", DoubleType).add("q", BinaryType)
 
   // ---- builder helpers ----------------------------------------------------
 
@@ -325,6 +327,12 @@ object GraftFunctions {
     "st_cosine" -> ((a: Seq[Expression]) =>
       si(DoubleType, "cosineSim",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType))))),
+    "st_q8_pack" -> ((a: Seq[Expression]) =>
+      si(Q8T, "q8Pack", Seq(Cast(a(0), ArrayType(DoubleType))))),
+    "st_q8_cosine" -> ((a: Seq[Expression]) =>
+      si(DoubleType, "q8Cosine",
+        Seq(dbl(a(0)), dbl(a(1)), Cast(a(2), BinaryType),
+          Cast(a(3), ArrayType(DoubleType))))),
     "st_ivf_assign" -> ((a: Seq[Expression]) =>
       si(LongType, "ivfAssign",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)),

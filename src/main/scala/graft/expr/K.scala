@@ -844,6 +844,61 @@ object K {
     * pass with the same left-to-right accumulation order as the
     * zip_with/aggregate formulation (and the SQL oracle), including the
     * 1e-12 denominator floor. */
+  /** st_q8_pack(emb): per-vector int8 scalar quantization — the 100 TB
+    * embedding-storage lever (8 bytes/dim -> 1 byte/dim + 16 bytes of
+    * per-vector affine params; ~4x smaller on disk after parquet byte-array
+    * encoding, ~8x in memory). q_i = clamp(floor((v_i - min) / scale + 0.5),
+    * 0, 255) with scale = (max - min)/255; a constant vector (scale <= 0)
+    * quantizes to all-zeros. Reconstruction is min + q_i * scale — plain
+    * double arithmetic an independent SQL engine reproduces exactly, which
+    * is what the q77 oracle does. */
+  def q8Pack(emb: ArrayData): InternalRow = {
+    if (emb == null) return null
+    val v = emb.toDoubleArray()
+    val n = v.length
+    if (n == 0) return null
+    var mn = v(0); var mx = v(0)
+    var i = 1
+    while (i < n) { if (v(i) < mn) mn = v(i); if (v(i) > mx) mx = v(i); i += 1 }
+    val scale = (mx - mn) / 255.0
+    val q = new Array[Byte](n)
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        var qi = math.floor((v(i) - mn) / scale + 0.5)
+        if (qi > 255.0) qi = 255.0
+        q(i) = (qi.toInt & 0xFF).toByte
+        i += 1
+      }
+    }
+    new GenericInternalRow(Array[Any](mn, scale, q))
+  }
+
+  /** st_q8_cosine(minv, scale, q, b): asymmetric distance computation (ADC)
+    * — cosine of a packed int8 vector's RECONSTRUCTION (minv + q_i * scale)
+    * against a full-precision query, accumulated exactly like [[cosineSim]]
+    * so the SQL mirror (dequantize-then-cosine over the raw table) matches
+    * bit-for-bit. Null on length mismatch. */
+  def q8Cosine(minv: Double, scale: Double, q: Array[Byte],
+               b: ArrayData): java.lang.Double = {
+    if (q == null || b == null) return null
+    val n = q.length
+    if (b.numElements() != n || n == 0) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = minv + (q(i) & 0xFF).toDouble * scale
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12))
+  }
+
   /** st_ivf_assign(emb, centsFlat, cids, dim): id of the max-cosine centroid
     * for `emb`, where `centsFlat` is the row-major flattened
     * nCentroids x dim centroid matrix and `cids[c]` is centroid c's id.

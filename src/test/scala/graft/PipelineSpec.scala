@@ -228,6 +228,39 @@ class PipelineSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("int8-quantized index: ~4x smaller on disk, near-exact cosine, self still rank 1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.where(col("vec_id") < 8)
+      .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+    val raw = java.nio.file.Files.createTempDirectory("graft_q8raw").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_q8idx").toString
+    try {
+      e.write.mode("overwrite").parquet(raw)
+      Ann.writeQuantizedIndex(e, idx)
+      def bytes(p: String): Long =
+        org.apache.commons.io.FileUtils.sizeOfDirectory(new java.io.File(p))
+      val ratio = bytes(idx).toDouble / bytes(raw)
+      assert(ratio < 0.45, s"quantized index not smaller: ratio $ratio")
+      val got = Ann.searchQuantizedIndex(spark, idx, queries, k = 5).collect()
+      // self-query: reconstruction error must not displace the exact match
+      for (q <- 0 until 8) {
+        val r1 = got.find(r => r.getString(0) == s"q$q" && r.getInt(3) == 1).get
+        assert(r1.getLong(1) == q, s"q$q rank1 is ${r1.getLong(1)}")
+        assert(r1.getDouble(2) > 0.999, s"q$q self-sim ${r1.getDouble(2)}")
+      }
+      // quantized sims track exact sims closely across the whole top-5
+      val exact = Ann.bruteForceTopK(e, queries, k = 5).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      for (r <- got; ex <- exact.get((r.getString(0), r.getLong(1))))
+        assert(math.abs(r.getDouble(2) - ex) < 0.01,
+          s"quantization drift: ${r.getDouble(2)} vs $ex")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(raw))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    }
+  }
+
   test("kmeansFit is deterministic and parallelism-invariant") {
     import spark.implicits._
     val rng = new java.util.Random(9L)
