@@ -1250,6 +1250,7 @@ object OracleSql {
     "q74_quirk_compat" -> q74,
     "q75_ann_ivf_trained" -> q43,
     "q77_ann_q8" -> q77,
+    "q78_ann_ivf_q8" -> q77,
     "q66_langid_ngram" -> q66,
     "q67_winnow" -> q67,
     "q68_bucketed_join" -> q68,

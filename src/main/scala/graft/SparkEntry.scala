@@ -1221,6 +1221,26 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    // q78: the combined IVF + int8 index (FAISS IVF-SQ8 shape — trained
+    // lists as partition directories, quantized payloads inside) at FULL
+    // probe, which must equal q77's quantized brute force exactly: the gate
+    // proves the two index layouts compose without touching each other's
+    // arithmetic. Partial-probe behavior is the ScalaTest's job.
+    "q78_ann_ivf_q8" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val corpus = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.where(col("vec_id") < 8)
+        .select(concat(lit("q"), col("vec_id")).as("qid"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val cents = Ann.kmeansFit(corpus, k = 16, iters = 5, sampleCap = 2048)
+      val idxPath = scratchDir("q78idx", dir)
+      Ann.writeIvfQ8Index(corpus, cents, idxPath)
+      Ann.searchIvfQ8Index(s, idxPath, queries, cents, k = 10, nprobe = 16)
+        .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
     // q76: multi-zoom tile rollup in ONE aggregation pass (rollup over the
     // per-zoom packed tile ids; Catalyst's partial aggregation gives the
     // map-side combine) vs DuckDB GROUP BY ROLLUP — the last test-only

@@ -179,19 +179,24 @@ object Ann {
       "centroids must be sorted by strictly ascending cid (tie-break contract)")
   }
 
+  /** Per-query top-k over candidate rows that already carry a `sim` column
+    * — the single ranking definition every search path funnels through. */
+  private def rankTopK(cand: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
+  }
+
   /** Shared candidate-ranking tail: exact cosine + per-query top-k over the
     * (corpus rows x broadcast probes) candidate join — ONE definition so the
     * in-memory and persisted-index paths can never diverge (q75 gates the
     * equality). */
   private def topKOverCandidates(assigned: DataFrame, probes: DataFrame,
-                                 k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cid"))
-      .withColumn("sim", cosine(col("embedding"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "vec_id", "sim", "rank")
-  }
+                                 k: Int): DataFrame =
+    rankTopK(
+      assigned.join(broadcast(probes), Seq("cid"))
+        .withColumn("sim", cosine(col("embedding"), col("q_emb"))), k)
 
   /** Per-query probe set: the `nprobe` nearest centroids (tiny x tiny —
     * queries cross-join the broadcast centroid table). */
@@ -247,22 +252,28 @@ object Ann {
     * so the scan reads ONLY the probed list directories (PlanSpec gates the
     * PartitionFilters). Candidate restriction per query then happens via the
     * broadcast (qid, cid) join as in [[ivfTopK]]. */
-  def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
-                     cents: Array[(Long, Array[Double])], k: Int,
-                     nprobe: Int): DataFrame = {
-    validateCentroids(cents)
-    // The probe set is consumed twice (cid collection + candidate join).
-    // It is dimension-sized — nQueries x nprobe rows on the side that is
-    // about to be BROADCAST anyway — so compute it once, collect it, and
-    // serve both consumers from a driver-local relation. An internal
-    // .cache() here would escape the function and be unpersistable for the
-    // session (the round-3 q56 lesson); for query batches too large to
-    // broadcast, use ivfTopK against the index DataFrame instead.
+  /** Probe set computed once and collected: the (qid, q_emb, cid) rows are
+    * dimension-sized — nQueries x nprobe on the side that is about to be
+    * BROADCAST anyway — so both consumers (the static partition filter and
+    * the candidate join) are served from a driver-local relation. An
+    * internal .cache() here would escape the function and be unpersistable
+    * for the session (the round-3 q56 lesson); for query batches too large
+    * to broadcast, use ivfTopK against the index DataFrame instead. */
+  private def collectedProbes(spark: SparkSession, queries: DataFrame,
+                              cents: Array[(Long, Array[Double])],
+                              nprobe: Int): (DataFrame, Array[Long]) = {
     val probesDf = probeSet(queries, cents, nprobe)
     val rows = probesDf.collect()
     val probes = broadcast(spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), probesDf.schema))
-    val probedCids = rows.map(_.getLong(2)).distinct
+    (probes, rows.map(_.getLong(2)).distinct)
+  }
+
+  def searchIvfIndex(spark: SparkSession, path: String, queries: DataFrame,
+                     cents: Array[(Long, Array[Double])], k: Int,
+                     nprobe: Int): DataFrame = {
+    validateCentroids(cents)
+    val (probes, probedCids) = collectedProbes(spark, queries, cents, nprobe)
     val index = spark.read.parquet(path)
       .where(col("cid").isin(probedCids.map(_.asInstanceOf[Any]): _*))
     topKOverCandidates(index, probes, k)
@@ -291,14 +302,38 @@ object Ann {
   def searchQuantizedIndex(spark: SparkSession, path: String,
                            queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("qid"), col("q_emb"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    spark.read.parquet(path)
-      .crossJoin(broadcast(q))
-      .withColumn("sim", call_function("st_q8_cosine",
-        col("minv"), col("scale"), col("q"), col("q_emb")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("qid", "vec_id", "sim", "rank")
+    rankTopK(
+      spark.read.parquet(path)
+        .crossJoin(broadcast(q))
+        .withColumn("sim", call_function("st_q8_cosine",
+          col("minv"), col("scale"), col("q"), col("q_emb"))), k)
+  }
+
+  /** Combined IVF + int8 index (the FAISS IVF-SQ8 shape): inverted lists as
+    * cid partition directories AND int8 payloads inside them — probes prune
+    * files, ADC computes distances, and the corpus costs 1 byte/dim on
+    * disk. The two layouts compose because they act on different axes
+    * (which rows a probe reads vs how each row stores its vector). */
+  def writeIvfQ8Index(corpus: DataFrame, cents: Array[(Long, Array[Double])],
+                      path: String): Unit =
+    assignCids(corpus, cents)
+      .select(col("vec_id"), col("cid"),
+        call_function("st_q8_pack", col("embedding")).as("p"))
+      .select(col("vec_id"), col("cid"), col("p.minv").as("minv"),
+        col("p.scale").as("scale"), col("p.q").as("q"))
+      .write.partitionBy("cid").mode("overwrite").parquet(path)
+
+  def searchIvfQ8Index(spark: SparkSession, path: String, queries: DataFrame,
+                       cents: Array[(Long, Array[Double])], k: Int,
+                       nprobe: Int): DataFrame = {
+    validateCentroids(cents)
+    val (probes, probedCids) = collectedProbes(spark, queries, cents, nprobe)
+    val index = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids.map(_.asInstanceOf[Any]): _*))
+    rankTopK(
+      index.join(probes, Seq("cid"))
+        .withColumn("sim", call_function("st_q8_cosine",
+          col("minv"), col("scale"), col("q"), col("q_emb"))), k)
   }
 
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any band key

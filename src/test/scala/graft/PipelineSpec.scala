@@ -261,6 +261,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF-SQ8 combined index: partial probe prunes lists, full probe equals quantized brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val queries = e.where(col("vec_id") < 8)
+      .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+    val cents = Ann.firstNCentroids(e, 8)
+    val flat = java.nio.file.Files.createTempDirectory("graft_q8flat").toString
+    val comb = java.nio.file.Files.createTempDirectory("graft_ivfq8").toString
+    try {
+      Ann.writeQuantizedIndex(e, flat)
+      Ann.writeIvfQ8Index(e, cents, comb)
+      val brute = Ann.searchQuantizedIndex(spark, flat, queries, k = 5).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      val full = Ann.searchIvfQ8Index(spark, comb, queries, cents, k = 5, nprobe = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      assert(full == brute,
+        s"full-probe IVF-SQ8 != quantized brute: ${full.diff(brute)} / ${brute.diff(full)}")
+      // partial probe: partition pruning visible in the plan, self found
+      val part = Ann.searchIvfQ8Index(spark, comb, queries, cents, k = 5, nprobe = 2)
+      val plan = part.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cid".r.findFirstIn(plan).isDefined,
+        s"combined index not partition-pruned:\n${plan.take(2000)}")
+      val got = part.collect()
+      for (q <- 0 until 8) {
+        val r1 = got.find(r => r.getString(0) == s"q$q" && r.getInt(3) == 1).get
+        assert(r1.getLong(1) == q, s"q$q rank1 is ${r1.getLong(1)}")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(flat))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(comb))
+    }
+  }
+
   test("kmeansFit is deterministic and parallelism-invariant") {
     import spark.implicits._
     val rng = new java.util.Random(9L)
