@@ -11,7 +11,7 @@ object Bench {
   /** Benched surface: flagship spatial pipeline + relational + pipeline ops
     * (the round-1..3 set), widened in round 4 with the inverse/parse surface
     * (q49-q55), the text/media operators (q66/q67/q70/q71), and the round-4
-    * additions (q73/q75-q78) so a regression anywhere on the scalar or
+    * additions (q73/q75-q80) so a regression anywhere on the scalar or
     * pipeline surface shows up in BENCH_r*.json. Streaming rows are
     * excluded on purpose: their wall time is dominated by sink/checkpoint
     * staging I/O, not operator cost. */
@@ -27,7 +27,7 @@ object Bench {
     "q55_molodensky", "q66_langid_ngram", "q67_winnow",
     "q70_winnow_neardup", "q71_media_ppm_decode",
     "q73_spatial_semi_anti", "q75_ann_ivf_trained", "q76_multizoom_rollup",
-    "q77_ann_q8", "q78_ann_ivf_q8")
+    "q77_ann_q8", "q78_ann_ivf_q8", "q79_tile_pyramid", "q80_dedup_components")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

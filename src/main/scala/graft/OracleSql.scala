@@ -239,6 +239,20 @@ object OracleSql {
     GROUP BY ROLLUP(tile_z4, tile_z7) ORDER BY tile_z4, tile_z7"""
   }
 
+  /** q79: tile pyramid — every zoom computed DIRECTLY from the points
+    * (the engine derives coarser zooms from the finer level's tiles; slippy
+    * nesting makes the two equal exactly). */
+  def q79(nDocs: Long): String = {
+    val zs = 4 to 7
+    val selects = zs.map { z =>
+      s"""SELECT ${z.toLong << 58} + ${tileXExpr("lon", z)} * ${1L << 29} + ${tileYExpr("lat", z)} AS tile_id,
+        $z AS z, count(*) AS n_points FROM parsed GROUP BY 1, 2"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""WITH ${parsedCte(docsGlob(nDocs))}
+    $selects
+    ORDER BY tile_id"""
+  }
+
   /** Haversine fragment mirroring Dist.haversine(lat1, lon1, lat2, lon2). */
   def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"2.0 * 6371008.8 * asin(LEAST(1.0, sqrt(" +
@@ -1245,8 +1259,39 @@ object OracleSql {
         ELSE abs((wdeg % 360.0 + 270.0) % 360.0 - 180.0) - 90.0 END AS w90_q7
     FROM w0 ORDER BY c_custkey"""
 
+  /** q80: connected components over the jaccard-thresholded pair graph of
+    * the first 20 docs — recursive transitive closure; min reachable id per
+    * node = the component representative (graph is undirected). The shingle
+    * pipeline is q58's; the 0.008 threshold compares the same round(...,6)
+    * value the engine thresholds (integer-ratio division — identical bits
+    * on both sides, q58-proven). */
+  def q80: String =
+    s"""WITH RECURSIVE d AS (
+      SELECT doc_id, $WordsExpr AS words FROM documents WHERE doc_id < 20
+    ), s AS (
+      SELECT doc_id, CASE WHEN len(words) >= 3
+        THEN list_distinct(list_transform(range(1, len(words) - 1), i ->
+          concat_ws(' ', words[i], words[i+1], words[i+2])))
+        ELSE [array_to_string(words, ' ')] END AS sh
+      FROM d
+    ), pj AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          GREATEST(CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 1.0), 6) AS j
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ), e AS (
+      SELECT a AS src, b AS dst FROM pj WHERE j >= 0.008
+      UNION SELECT b AS src, a AS dst FROM pj WHERE j >= 0.008
+    ), reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM d
+      UNION
+      SELECT e.dst AS id, reach.r AS r FROM reach JOIN e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id ORDER BY doc_id"""
+
   def inverseOracles: Map[String, String] = Map(
     "q72_stream_dedup" -> q72,
+    "q80_dedup_components" -> q80,
     "q74_quirk_compat" -> q74,
     "q75_ann_ivf_trained" -> q43,
     "q77_ann_q8" -> q77,
@@ -1756,6 +1801,7 @@ object OracleSql {
     "q31_spatial_join" -> q31(nDocs),
     "q73_spatial_semi_anti" -> q73(nDocs),
     "q76_multizoom_rollup" -> q76(nDocs),
+    "q79_tile_pyramid" -> q79(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

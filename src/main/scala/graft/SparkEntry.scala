@@ -1241,6 +1241,31 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),
+    // q79: incremental tile pyramid — base histogram at z=7, every coarser
+    // level rolled up from the PREVIOUS level by parent-tile bit arithmetic
+    // (O(tiles) per level, never re-reading the points). The oracle computes
+    // every zoom DIRECTLY from the points, so the gate proves parent
+    // nesting is exact (floor division commutes with the edge clamps).
+    "q79_tile_pyramid" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      Tiler.pyramid(SpatialJoin.extractPoints(docs), minZoom = 4, maxZoom = 7)
+        .orderBy(col("tile_id"))
+    }),
+    // q80: near-dup clustering — connected components (min-label
+    // propagation) over the n-gram-Jaccard pair graph of the first 20 docs,
+    // singletons included; oracle = DuckDB recursive transitive closure.
+    // The step after pair detection: one canonical doc per cluster.
+    "q80_dedup_components" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val ids = t(dir, "documents").select(col("doc_id")).where(col("doc_id") < 20)
+      val allPairs = ids.select(col("doc_id").as("doc_a"))
+        .crossJoin(ids.select(col("doc_id").as("doc_b")))
+        .where(col("doc_a") < col("doc_b"))
+      val pairs = Dedup.ngramJaccard(t(dir, "documents"), allPairs)
+        .where(col("jaccard") >= 0.008)
+      Dedup.connectedComponents(ids, pairs).orderBy(col("doc_id"))
+    }),
     // q76: multi-zoom tile rollup in ONE aggregation pass (rollup over the
     // per-zoom packed tile ids; Catalyst's partial aggregation gives the
     // map-side combine) vs DuckDB GROUP BY ROLLUP — the last test-only

@@ -230,6 +230,59 @@ object Dedup {
 
   /** n-gram Jaccard similarity for explicit candidate pairs
     * (pairs: doc_a, doc_b) against the docs table. */
+  /** Connected components over a near-duplicate pair set -> per-doc cluster
+    * representative (the component's MINIMUM doc id): the step AFTER pair
+    * detection in a production dedup pipeline — keep one canonical doc per
+    * cluster, drop the rest. `nodes` (doc_id) is every doc that needs a
+    * cluster id (docs in no pair stay their own singleton); `pairs`
+    * (doc_a, doc_b) is undirected.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its label and its neighbors' labels — converges in O(component
+    * diameter) rounds (near-dup clusters are shallow: most are stars around
+    * one original). THROWS if not converged by `maxIter` rather than
+    * returning a plausible-but-wrong clustering.
+    *
+    * Scale shape: each round shuffles only the label table (one row per
+    * node) keyed by id against the cached edge list; labels are RELIABLY
+    * checkpointed per round ([[Durable]] — executor-loss-safe,
+    * lineage-bounded), and convergence costs one count action per round
+    * (documented driver actions, like Knn's adaptive loop). */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val spark = nodes.sparkSession
+    Durable.ensureCheckpointDir(spark)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache() // reused every round; unpersisted below (plan never escapes)
+    // id type is whatever the caller's doc_id is (long or string); the
+    // "minimum" representative is numeric or lexicographic accordingly
+    var labels = Durable.durable(
+      nodes.select(col("doc_id").as("id")).distinct()
+        .withColumn("rep", col("id")))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("rep").as("srep")), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("srep")).as("nmin"))
+      val next = Durable.durable(
+        labels.join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep")))
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .where(col("n.rep") =!= col("o.rep")).count()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIter rounds")
+    labels.select(col("id").as("doc_id"), col("rep"))
+  }
+
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
                    n: Int = 3): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"))

@@ -20,9 +20,6 @@ import graft.core.Cells
   */
 object Knn {
 
-  // one shutdown hook per JVM for the auto-provisioned checkpoint dir
-  private var cleanupRegistered = false
-
   /** Metres per degree of great-circle arc on the haversine sphere
     * (R = 6371008.8 m, matching `st_haversine`): 2*pi*R/360 = 111194.9267...
     * Rounded DOWN so every product below stays a true lower bound. */
@@ -79,44 +76,13 @@ object Knn {
     // would kill the whole job with no way to recompute. The checkpointed
     // data is query-side only (<= k rows per query + the unresolved query
     // list), never the point table, so the write cost is negligible at any
-    // scale. Contract: on a CLUSTER the caller must configure a SHARED
-    // checkpoint dir (spark.checkpoint.dir on HDFS/object storage) — a
-    // node-local path would strand partitions on the writer; this fallback
-    // only auto-provisions a tmp dir for local[*] masters, where one
-    // filesystem serves all "executors". The remaining driver-side
-    // serialization points are the two isEmpty actions per round
-    // (maxRounds * 2 tiny jobs) — inherent to the adaptive loop.
-    if (spark.sparkContext.getCheckpointDir.isEmpty) {
-      require(spark.sparkContext.master.startsWith("local"),
-        "Knn.knn on a cluster needs spark.checkpoint.dir on SHARED storage " +
-          "(a node-local default would strand checkpoint partitions)")
-      val ckpt = s"${sys.props("java.io.tmpdir")}/graft_knn_ckpt_" +
-        java.lang.ProcessHandle.current().pid()
-      spark.sparkContext.setCheckpointDir(ckpt)
-      // Spark never deletes reliable checkpoint files on its own
-      // (cleanCheckpoints defaults to false); since WE provisioned a
-      // process-private local dir, remove it when this JVM exits — its
-      // contents are only meaningful within this JVM's lifetime anyway
-      Knn.synchronized {
-        if (!cleanupRegistered) {
-          cleanupRegistered = true
-          java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
-            try org.apache.commons.io.FileUtils
-              .deleteDirectory(new java.io.File(ckpt))
-            catch { case _: Throwable => () }
-          }))
-        }
-      }
-    }
-    // persist-then-checkpoint: the eager checkpoint job populates the cache
-    // while writing, so each round's plan is computed ONCE (a bare
-    // checkpoint(true) would recompute the whole round for the write)
-    def durable(df: DataFrame): DataFrame = {
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = cached.checkpoint(true)
-      cached.unpersist()
-      out
-    }
+    // scale. Checkpoint-dir contract and the persist-then-checkpoint
+    // mechanics live in [[Durable]] (shared with connectedComponents).
+    // The remaining driver-side serialization points are the two isEmpty
+    // actions per round (maxRounds * 2 tiny jobs) — inherent to the
+    // adaptive loop.
+    Durable.ensureCheckpointDir(spark)
+    def durable(df: DataFrame): DataFrame = Durable.durable(df)
     val pts = points
       .select(col("pid"), col("lat").as("p_lat"), col("lon").as("p_lon"))
       .withColumn("cell", cf("st_cell", col("p_lat"), col("p_lon"), lit(level)))

@@ -46,6 +46,39 @@ object Tiler {
       .agg(count(lit(1)).as("n_points"))
   }
 
+  /** Parent tile id (zoom z -> z-1) by pure bit arithmetic on the packed
+    * z|x|y long: slippy tiles nest by halving, so x>>1 / y>>1 is exact —
+    * including at the clamped antimeridian/polar edges (floor division
+    * commutes with the clamp). */
+  def parentTileId(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val z = shiftrightunsigned(t, 58)
+    val x = shiftrightunsigned(t, 29).bitwiseAND(lit((1L << 29) - 1))
+    val y = t.bitwiseAND(lit((1L << 29) - 1))
+    shiftleft(z - 1, 58) + shiftleft(shiftrightunsigned(x, 1), 29) +
+      shiftrightunsigned(y, 1)
+  }
+
+  /** Tile pyramid minZoom..maxZoom in one pass over the POINTS plus one
+    * cheap rollup per coarser level: the base histogram aggregates the
+    * points once at maxZoom; every other level reads the PREVIOUS level's
+    * already-aggregated (and strictly smaller) output via [[parentTileId]]
+    * — O(tiles) per level instead of O(points), the standard incremental
+    * pyramid build a tile server runs at ingest. Output: (tile_id, z,
+    * n_points) for every zoom in [minZoom, maxZoom]. */
+  def pyramid(points: DataFrame, minZoom: Int, maxZoom: Int): DataFrame = {
+    require(0 <= minZoom && minZoom <= maxZoom && maxZoom <= 29,
+      s"bad zoom range [$minZoom, $maxZoom]")
+    val base = assign(points, maxZoom)
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+    val levels = Iterator.iterate(base) { prev =>
+      prev.select(parentTileId(col("tile_id")).as("tile_id"), col("n_points"))
+        .groupBy(col("tile_id")).agg(sum(col("n_points")).as("n_points"))
+    }.take(maxZoom - minZoom + 1).toSeq
+    levels.reduce(_ unionByName _)
+      .withColumn("z", shiftrightunsigned(col("tile_id"), 58).cast("int"))
+      .select("tile_id", "z", "n_points")
+  }
+
   /** polygons(poly_id, ring) -> (poly_id, tile_id) covering at `zoom`
     * (vector->raster assignment). */
   def polyfill(polys: DataFrame, zoom: Int): DataFrame =

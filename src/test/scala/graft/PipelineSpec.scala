@@ -303,6 +303,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq)
   }
 
+  test("connected components: chains merge to min id, singletons stay, non-convergence throws") {
+    import spark.implicits._
+    val nodes = (0L to 9L).toDF("doc_id")
+    // chain 0-1-2-3 (diameter 3, needs multi-round propagation),
+    // pair {5,7}, singletons 4,6,8,9
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
+      5L -> 5L, 6L -> 6L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
+    // a too-small round budget must THROW, never return a partial clustering
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(nodes, pairs, maxIter = 1)
+    }
+  }
+
   test("embedding-cosine near-dup finds planted duplicate/near vectors") {
     import spark.implicits._
     val rng = new java.util.Random(77L)
