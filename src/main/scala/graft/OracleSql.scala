@@ -239,6 +239,32 @@ object OracleSql {
     GROUP BY ROLLUP(tile_z4, tile_z7) ORDER BY tile_z4, tile_z7"""
   }
 
+  /** q81: ring metrics — Chamberlain-Duquette spherical area, haversine
+    * perimeter, planar shoelace centroid, per polygon over the SAME edge
+    * pairing edgesCte gives the PIP oracles (vertex i with predecessor j).
+    * SUM reassociation vs the kernel loop drifts <= ~1e-12 relative —
+    * orders of magnitude below every rounding step used here. */
+  def q81(nDocs: Long): String = {
+    val r = d(6371008.8)
+    s"""WITH ${edgesCte(polysGlob(nDocs))}, m AS (
+      SELECT poly_id,
+        abs(SUM((radians(xi) - radians(xj)) * (sin(radians(yj)) + sin(radians(yi)))))
+          * $r * $r / 2.0 AS area_m2,
+        SUM(${haversineSql("yj", "xj", "yi", "xi")}) AS perim,
+        SUM(xj * yi - xi * yj) AS a2,
+        SUM((xj + xi) * (xj * yi - xi * yj)) AS cx,
+        SUM((yj + yi) * (xj * yi - xi * yj)) AS cy,
+        SUM(yi) AS sy, SUM(xi) AS sx, count(*) AS nv
+      FROM edges GROUP BY poly_id
+    )
+    SELECT poly_id, round(area_m2 / ${d(1e6)}, 4) + 0.0 AS area_km2,
+      round(perim, 2) + 0.0 AS perim_m,
+      round(CASE WHEN abs(a2) < 1e-12 THEN sy / nv ELSE cy / (3.0 * a2) END, 6) + 0.0 AS clat,
+      round(CASE WHEN abs(a2) < 1e-12 THEN sx / nv ELSE cx / (3.0 * a2) END, 6) + 0.0 AS clon,
+      nv
+    FROM m ORDER BY poly_id"""
+  }
+
   /** q79: tile pyramid — every zoom computed DIRECTLY from the points
     * (the engine derives coarser zooms from the finer level's tiles; slippy
     * nesting makes the two equal exactly). */
@@ -1802,6 +1828,7 @@ object OracleSql {
     "q73_spatial_semi_anti" -> q73(nDocs),
     "q76_multizoom_rollup" -> q76(nDocs),
     "q79_tile_pyramid" -> q79(nDocs),
+    "q81_ring_metrics" -> q81(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

@@ -1266,6 +1266,27 @@ object SparkEntry {
         .where(col("jaccard") >= 0.008)
       Dedup.connectedComponents(ids, pairs).orderBy(col("doc_id"))
     }),
+    // q81: vector-layer analytics — spherical polygon area
+    // (Chamberlain-Duquette), haversine perimeter, planar shoelace
+    // centroid, all per polygon in one kernel pass over the dimension
+    // table. Rounding absorbs the kernel-loop-vs-SQL-SUM reassociation
+    // drift (<= 1e-12 relative, orders below the rounding step).
+    "q81_ring_metrics" -> ((spark, dir) => {
+      val s = prep(spark)
+      val polys = Corpus.storedPolys(s, corpusDocs(dir))
+      polys.select(
+        col("poly_id"),
+        (round(call_function("st_ring_area_m2", col("ring")) / lit(1e6), 4) + 0.0)
+          .as("area_km2"),
+        (round(call_function("st_ring_perimeter_m", col("ring")), 2) + 0.0)
+          .as("perim_m"),
+        call_function("st_ring_centroid", col("ring")).as("c"),
+        size(col("ring")).as("nv"))
+        .select(col("poly_id"), col("area_km2"), col("perim_m"),
+          (round(col("c.lat"), 6) + 0.0).as("clat"),
+          (round(col("c.lon"), 6) + 0.0).as("clon"), col("nv"))
+        .orderBy(col("poly_id"))
+    }),
     // q76: multi-zoom tile rollup in ONE aggregation pass (rollup over the
     // per-zoom packed tile ids; Catalyst's partial aggregation gives the
     // map-side combine) vs DuckDB GROUP BY ROLLUP — the last test-only

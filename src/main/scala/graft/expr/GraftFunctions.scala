@@ -327,6 +327,12 @@ object GraftFunctions {
     "st_cosine" -> ((a: Seq[Expression]) =>
       si(DoubleType, "cosineSim",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType))))),
+    "st_ring_area_m2" -> ((a: Seq[Expression]) =>
+      si(DoubleType, "ringAreaM2", Seq(a(0)))),
+    "st_ring_perimeter_m" -> ((a: Seq[Expression]) =>
+      si(DoubleType, "ringPerimeterM", Seq(a(0)))),
+    "st_ring_centroid" -> ((a: Seq[Expression]) =>
+      si(PointT, "ringCentroid", Seq(a(0)))),
     "st_q8_pack" -> ((a: Seq[Expression]) =>
       si(Q8T, "q8Pack", Seq(Cast(a(0), ArrayType(DoubleType))))),
     "st_q8_cosine" -> ((a: Seq[Expression]) =>

@@ -844,6 +844,88 @@ object K {
     * pass with the same left-to-right accumulation order as the
     * zip_with/aggregate formulation (and the SQL oracle), including the
     * 1e-12 denominator floor. */
+  /** st_ring_area_m2(ring): spherical polygon area (m^2) by the
+    * Chamberlain-Duquette spherical-excess approximation (the turf.js /
+    * NASA JPL formula): |sum over edges of (lam2 - lam1) * (sin phi1 +
+    * sin phi2)| * R^2 / 2 on the haversine sphere R = 6371008.8 m. Edges
+    * pair vertex i with its predecessor (closed ring), the same traversal
+    * as pointInPolygon. Exact for rings far from the poles/antimeridian —
+    * the same planar-lon precondition the covering machinery enforces.
+    * Null for rings with < 3 vertices. */
+  def ringAreaM2(ring: ArrayData): java.lang.Double = {
+    if (ring == null) return null
+    val n = ring.numElements()
+    if (n < 3) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i == 0) n - 1 else i - 1
+      val vi = ring.getStruct(i, 2)
+      val vj = ring.getStruct(j, 2)
+      val lam1 = math.toRadians(vj.getDouble(1))
+      val lam2 = math.toRadians(vi.getDouble(1))
+      val phi1 = math.toRadians(vj.getDouble(0))
+      val phi2 = math.toRadians(vi.getDouble(0))
+      sum += (lam2 - lam1) * (math.sin(phi1) + math.sin(phi2))
+      i += 1
+    }
+    val r = graft.core.GeoMath.MeanEarthRadiusM
+    java.lang.Double.valueOf(math.abs(sum) * r * r / 2.0)
+  }
+
+  /** st_ring_perimeter_m(ring): haversine sum over the closed ring's edges
+    * (same predecessor pairing as [[ringAreaM2]]). Null for < 2 vertices. */
+  def ringPerimeterM(ring: ArrayData): java.lang.Double = {
+    if (ring == null) return null
+    val n = ring.numElements()
+    if (n < 2) return null
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i == 0) n - 1 else i - 1
+      val vi = ring.getStruct(i, 2)
+      val vj = ring.getStruct(j, 2)
+      sum += Dist.haversine(vj.getDouble(0), vj.getDouble(1),
+        vi.getDouble(0), vi.getDouble(1))
+      i += 1
+    }
+    java.lang.Double.valueOf(sum)
+  }
+
+  /** st_ring_centroid(ring): planar shoelace centroid in (lat, lon) space
+    * (adequate for the small, antimeridian-free rings the join machinery
+    * accepts; degenerate zero-area rings fall back to the vertex mean).
+    * Null for empty rings. */
+  def ringCentroid(ring: ArrayData): InternalRow = {
+    if (ring == null) return null
+    val n = ring.numElements()
+    if (n == 0) return null
+    var a2 = 0.0 // twice the signed area
+    var cx = 0.0
+    var cy = 0.0
+    var sx = 0.0
+    var sy = 0.0
+    var i = 0
+    while (i < n) {
+      val j = if (i == 0) n - 1 else i - 1
+      val vi = ring.getStruct(i, 2)
+      val vj = ring.getStruct(j, 2)
+      val x1 = vj.getDouble(1); val y1 = vj.getDouble(0)
+      val x2 = vi.getDouble(1); val y2 = vi.getDouble(0)
+      val cross = x1 * y2 - x2 * y1
+      a2 += cross
+      cx += (x1 + x2) * cross
+      cy += (y1 + y2) * cross
+      sx += x2
+      sy += y2
+      i += 1
+    }
+    val (lat, lon) =
+      if (math.abs(a2) < 1e-12) (sy / n, sx / n)
+      else (cy / (3.0 * a2), cx / (3.0 * a2))
+    new GenericInternalRow(Array[Any](lat, lon))
+  }
+
   /** st_q8_pack(emb): per-vector int8 scalar quantization — the 100 TB
     * embedding-storage lever (8 bytes/dim -> 1 byte/dim + 16 bytes of
     * per-vector affine params; ~4x smaller on disk after parquet byte-array

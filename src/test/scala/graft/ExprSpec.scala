@@ -111,6 +111,32 @@ class ExprSpec extends AnyFunSuite {
     assert(r.getSeq[String](3).length == 9)
   }
 
+  test("ring metrics: 1-degree equatorial square area/perimeter/centroid") {
+    val ring = "array(" +
+      "struct(0.0d AS lat, 0.0d AS lon), struct(0.0d AS lat, 1.0d AS lon), " +
+      "struct(1.0d AS lat, 1.0d AS lon), struct(1.0d AS lat, 0.0d AS lon))"
+    val r = spark.sql(
+      s"""SELECT st_ring_area_m2($ring) AS a, st_ring_perimeter_m($ring) AS p,
+        st_ring_centroid($ring) AS c""").collect()(0)
+    // independent small-square estimate: (R*dPhi) * (R*dLam*cos(midLat))
+    val rM = 6371008.8
+    val deg = math.Pi / 180.0
+    val expArea = (rM * deg) * (rM * deg * math.cos(0.5 * deg))
+    assert(math.abs(r.getDouble(0) - expArea) / expArea < 0.005,
+      s"area ${r.getDouble(0)} vs ~$expArea")
+    val expPerim = 4 * rM * deg // two meridians exact, two parallels ~cos(lat)
+    assert(math.abs(r.getDouble(1) - expPerim) / expPerim < 0.01,
+      s"perimeter ${r.getDouble(1)} vs ~$expPerim")
+    val c = r.getStruct(2)
+    assert(math.abs(c.getDouble(0) - 0.5) < 1e-9 && math.abs(c.getDouble(1) - 0.5) < 1e-9)
+    // degenerate + null discipline
+    val d2 = spark.sql(
+      "SELECT st_ring_area_m2(array(struct(0.0d AS lat, 0.0d AS lon))) AS a, " +
+        "st_ring_centroid(array(struct(2.0d AS lat, 3.0d AS lon))) AS c").collect()(0)
+    assert(d2.isNullAt(0))
+    assert(d2.getStruct(1).getDouble(0) == 2.0 && d2.getStruct(1).getDouble(1) == 3.0)
+  }
+
   test("distances, tiles, wraps, helmert via SQL") {
     val r = spark.sql(
       """SELECT st_haversine(0d, 0d, 1d, 0d) AS hav,
