@@ -1315,9 +1315,23 @@ object OracleSql {
     )
     SELECT id AS doc_id, min(r) AS rep FROM reach GROUP BY id ORDER BY doc_id"""
 
+  /** q82: as-of join — independent correlated-subquery formulation (per
+    * click: the view with max (ts, event_id) at-or-before it), vs the
+    * engine's single-shuffle union + carry-forward window. */
+  def q82: String =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+    v AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+      (SELECT v.event_id FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_id,
+      (SELECT epoch_us(v.ts) FROM v WHERE v.user_id = c.user_id AND v.ts <= c.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_ts_us
+    FROM c ORDER BY c.event_id"""
+
   def inverseOracles: Map[String, String] = Map(
     "q72_stream_dedup" -> q72,
     "q80_dedup_components" -> q80,
+    "q82_asof_join" -> q82,
     "q74_quirk_compat" -> q74,
     "q75_ann_ivf_trained" -> q43,
     "q77_ann_q8" -> q77,

@@ -1266,6 +1266,21 @@ object SparkEntry {
         .where(col("jaccard") >= 0.008)
       Dedup.connectedComponents(ids, pairs).orderBy(col("doc_id"))
     }),
+    // q82: as-of join — each click matched to the user's most recent view
+    // at or before it (point-in-time lookup; one shuffle, no candidate
+    // multiplication). Oracle: correlated-subquery argmax, a fully
+    // independent formulation.
+    "q82_asof_join" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val ev = t(dir, "events").withColumn("ts", col("ts").cast("timestamp"))
+      val out = engine.AsOf.joinAsOf(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "view"))
+      out.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("asof_id"), unix_micros(col("asof_ts")).as("asof_ts_us"))
+        .orderBy(col("event_id"))
+    }),
     // q81: vector-layer analytics — spherical polygon area
     // (Chamberlain-Duquette), haversine perimeter, planar shoelace
     // centroid, all per polygon in one kernel pass over the dimension

@@ -303,6 +303,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq)
   }
 
+  test("as-of join: latest at-or-before match, equal-ts ties to max id, null when none") {
+    import spark.implicits._
+    val clicks = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, 100L, 20L), (1L, 100L, 21L), (1L, 60L, 22L), (3L, 5L, 23L))
+      .toDF("user_id", "ts", "event_id")
+    val got = engine.AsOf.joinAsOf(clicks, views).collect()
+      .map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    // click at ts=100: views at-or-before = {100->20, 100->21, 60->22};
+    // max ts wins, equal-ts tie -> max id
+    assert(got(10L) == (Some(21L), Some(100L)))
+    assert(got(11L) == (None, None)) // earliest view is at 60 > 50
+    assert(got(12L) == (None, None)) // user 2 has no views
+  }
+
   test("connected components: chains merge to min id, singletons stay, non-convergence throws") {
     import spark.implicits._
     val nodes = (0L to 9L).toDF("doc_id")
