@@ -1328,10 +1328,45 @@ object OracleSql {
         ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_ts_us
     FROM c ORDER BY c.event_id"""
 
+  /** q84: stream-stream interval join == the batch interval join (clicks x
+    * views, same user, view in [click - 1 h, click]). */
+  def q84: String =
+    """SELECT c.user_id, c.event_id AS l_event, v.event_id AS r_event,
+      epoch_us(c.ts) AS l_ts_us, epoch_us(v.ts) AS r_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+        AND v.ts >= c.ts - INTERVAL 3600 SECOND
+    ORDER BY l_event, r_event"""
+
+  /** q83: covering compaction — the expected output derived from first
+    * principles: the complete g4/g5 child sets cascade into g4 alone, the
+    * 31 incomplete east-neighbor children survive verbatim. */
+  def q83: String = {
+    val chars31 = "0123456789bcdefghjkmnpqrstuvwxyz".drop(1)
+      .map(c => s"('$c')").mkString(", ")
+    s"""WITH pts AS ($CustomerPointsSql), g0 AS (
+      SELECT c_custkey, lat, lon,
+        LEAST(CAST(floor((lon + 180.0)/360.0 * 8192) AS BIGINT), 8191) AS gx,
+        LEAST(CAST(floor((lat + 90.0)/180.0 * 4096) AS BIGINT), 4095) AS gy
+      FROM pts
+    ), g1 AS (
+      SELECT c_custkey, ${geohashSql("lat", "lon", 4)} AS g4,
+        ${geohashFromXY("(g0.gx + 1) % 8192", "g0.gy", 5)} AS ce
+      FROM g0
+    )
+    SELECT c_custkey, g4 AS cell FROM g1
+    UNION ALL
+    SELECT c_custkey, ce || c AS cell FROM g1 CROSS JOIN (VALUES $chars31) t(c)
+    ORDER BY c_custkey, cell"""
+  }
+
   def inverseOracles: Map[String, String] = Map(
     "q72_stream_dedup" -> q72,
     "q80_dedup_components" -> q80,
     "q82_asof_join" -> q82,
+    "q83_compact_cover" -> q83,
+    "q84_stream_stream_join" -> q84,
     "q74_quirk_compat" -> q74,
     "q75_ann_ivf_trained" -> q43,
     "q77_ann_q8" -> q77,

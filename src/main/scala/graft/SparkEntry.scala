@@ -1281,6 +1281,74 @@ object SparkEntry {
         col("asof_id"), unix_micros(col("asof_ts")).as("asof_ts_us"))
         .orderBy(col("event_id"))
     }),
+    // q84: stream-STREAM interval join under Trigger.AvailableNow — the
+    // last Structured Streaming operator class (joins between two streams
+    // with watermark-bounded state). Clicks and views staged as separate
+    // file streams; inner matches emit regardless of micro-batch slicing,
+    // so the sink equals the batch interval join (the oracle).
+    "q84_stream_stream_join" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      val ev = t(dir, "events")
+      def stageSide(tag: String, typ: String): String = {
+        val d0 = new java.io.File(scratchDir(tag, dir))
+        org.apache.commons.io.FileUtils.deleteDirectory(d0)
+        d0.mkdirs()
+        val tmp = new java.io.File(d0, "_tmp")
+        ev.where(col("event_type") === typ)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(d0, "data.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        d0.getPath
+      }
+      val clicksDir = stageSide("q84c", "click")
+      val viewsDir = stageSide("q84v", "view")
+      val sch = s.read.parquet(s"$clicksDir/data.parquet").schema
+      val outBase = scratchDir("q84", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
+      val q = graft.streaming.Streams.intervalJoinStream(
+          s.readStream.schema(sch).parquet(clicksDir),
+          s.readStream.schema(sch).parquet(viewsDir))
+        .select(col("user_id"), col("l_event"), col("r_event"),
+          unix_micros(col("l_ts")).as("l_ts_us"),
+          unix_micros(col("r_ts")).as("r_ts_us"))
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outBase/data")
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outBase/data")
+        .orderBy(col("l_event"), col("r_event"))
+    }),
+    // q83: covering compaction (st_compact_cells, the H3 compactCells
+    // analogue). Input per customer: all 32 children of the point's
+    // level-4 cell (g5's own children too — a CASCADE: they merge to g5,
+    // which completes g4's set) plus 31 of the east-neighbor level-5
+    // cell's children (incomplete — must survive). The oracle predicts the
+    // output from FIRST PRINCIPLES ({g4} + the 31 survivors), it does not
+    // simulate the algorithm.
+    "q83_compact_cover" -> ((spark, dir) => {
+      val s = prep(spark)
+      val b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+      val pts = customerPoints(s, dir)
+        .withColumn("g4", call_function("st_cell", col("lat"), col("lon"), lit(4)))
+        .withColumn("g5", call_function("st_cell", col("lat"), col("lon"), lit(5)))
+        .withColumn("ce", call_function("st_geohash_adjacent", col("g5"), lit("e")))
+      val children = (c: Column) => b32.map(ch => concat(c, lit(ch.toString)))
+      val cellsArr = array(
+        children(col("g4")) ++ children(col("g5")) ++
+          children(col("ce")).drop(1): _*)
+      pts.select(col("c_custkey"),
+        explode(call_function("st_compact_cells", cellsArr)).as("cell"))
+        .orderBy(col("c_custkey"), col("cell"))
+    }),
     // q81: vector-layer analytics — spherical polygon area
     // (Chamberlain-Duquette), haversine perimeter, planar shoelace
     // centroid, all per polygon in one kernel pass over the dimension

@@ -327,6 +327,9 @@ object GraftFunctions {
     "st_cosine" -> ((a: Seq[Expression]) =>
       si(DoubleType, "cosineSim",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType))))),
+    "st_compact_cells" -> ((a: Seq[Expression]) =>
+      si(ArrayType(StringType), "compactCells",
+        Seq(Cast(a(0), ArrayType(StringType))))),
     "st_ring_area_m2" -> ((a: Seq[Expression]) =>
       si(DoubleType, "ringAreaM2", Seq(a(0)))),
     "st_ring_perimeter_m" -> ((a: Seq[Expression]) =>

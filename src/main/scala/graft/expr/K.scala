@@ -844,6 +844,61 @@ object K {
     * pass with the same left-to-right accumulation order as the
     * zip_with/aggregate formulation (and the SQL oracle), including the
     * 1e-12 denominator floor. */
+  /** st_compact_cells(cells): covering compression (the H3 compactCells
+    * analogue for geohash cells): any complete set of 32 sibling cells is
+    * replaced by its parent, repeated bottom-up until no set completes —
+    * parents produced at level L can themselves complete a set at L-1.
+    * Coverage is EXACTLY preserved (32 siblings tile their parent), and
+    * mixed-level output is what the multi-resolution join machinery
+    * already consumes — the payoff is a smaller broadcast covering.
+    * Duplicates are dropped; output is sorted (deterministic). */
+  def compactCells(cells: ArrayData): ArrayData = {
+    if (cells == null) return null
+    val n = cells.numElements()
+    val set = new java.util.TreeSet[String]()
+    var i = 0
+    while (i < n) {
+      if (!cells.isNullAt(i)) set.add(cells.getUTF8String(i).toString)
+      i += 1
+    }
+    var maxLen = 0
+    val it0 = set.iterator()
+    while (it0.hasNext) { val l = it0.next().length; if (l > maxLen) maxLen = l }
+    var level = maxLen
+    while (level >= 2) {
+      // group level-`level` cells by parent; a parent with all 32 children
+      // present collapses (strictly fewer strings; never loses coverage)
+      val byParent = new java.util.HashMap[String, java.lang.Integer]()
+      val it = set.iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        if (c.length == level) {
+          val p = c.substring(0, level - 1)
+          byParent.merge(p, 1, (a, b) => a + b)
+        }
+      }
+      val pit = byParent.entrySet().iterator()
+      while (pit.hasNext) {
+        val e = pit.next()
+        if (e.getValue == 32) {
+          val p = e.getKey
+          var k = 0
+          while (k < 32) {
+            set.remove(p + graft.core.Geohash.Base32.charAt(k))
+            k += 1
+          }
+          set.add(p)
+        }
+      }
+      level -= 1
+    }
+    val out = new Array[Any](set.size)
+    val oit = set.iterator()
+    var o = 0
+    while (oit.hasNext) { out(o) = utf8(oit.next()); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** st_ring_area_m2(ring): spherical polygon area (m^2) by the
     * Chamberlain-Duquette spherical-excess approximation (the turf.js /
     * NASA JPL formula): |sum over edges of (lam2 - lam1) * (sin phi1 +

@@ -62,6 +62,33 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-STREAM inner join with an event-time range condition: each left
+    * row pairs with same-key right rows whose event time lies in
+    * [l_ts - boundSec, l_ts]. BOTH sides are watermarked and the join
+    * condition bounds the time skew, so each side's join state expires once
+    * the other side's watermark passes ts + bound — the state-bounded shape
+    * stream-stream joins require at 10^12 rows (an unconstrained join would
+    * buffer both streams forever). Inner-join matches emit as rows arrive
+    * (no watermark wait), so the result set equals the batch interval join
+    * under any micro-batch slicing. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         watermark: String = "2 hours",
+                         boundSec: Long = 3600): DataFrame = {
+    val l = left.select(col("user_id"), col("event_id").as("l_event"),
+        col("ts").cast("timestamp").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("event_id").as("r_event"),
+        col("ts").cast("timestamp").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+        col("user_id") === col("r_user") &&
+          col("r_ts") <= col("l_ts") &&
+          col("r_ts") >= col("l_ts") - org.apache.spark.sql.functions.expr(
+            s"INTERVAL $boundSec SECONDS"))
+      .select(col("user_id"), col("l_event"), col("r_event"),
+        col("l_ts"), col("r_ts"))
+  }
+
   final case class SessionState(count: Long, lastUs: Long, sessions: Long)
   final case class SessionUpdate(user_id: Long, sessions: Long, events: Long)
 

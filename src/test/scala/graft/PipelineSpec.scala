@@ -303,6 +303,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq)
   }
 
+  test("compact cells preserves coverage exactly on a real polygon covering") {
+    // a big polygon covered at a fine level completes many sibling sets
+    val ring = Corpus.genPoly(3).ring.flatMap(p => Seq(p.lat, p.lon)).toArray
+    val original = graft.core.Cells.coverRing(ring, 5).toSet
+    val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      original.toArray.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)
+        .asInstanceOf[Any]))
+    val compacted = (0 until graft.expr.K.compactCells(arr).numElements())
+      .map(i => graft.expr.K.compactCells(arr).getUTF8String(i).toString).toSet
+    assert(compacted.size < original.size, "nothing compacted on a big polygon")
+    // exact coverage both ways: every original cell has a compacted
+    // ancestor-or-self, and every compacted cell is an original cell or a
+    // parent whose ENTIRE subtree down to the original level is present
+    for (c <- original)
+      assert(compacted.exists(p => c.startsWith(p)), s"lost coverage at $c")
+    val b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+    def expand(cell: String, toLen: Int): Set[String] =
+      if (cell.length >= toLen) Set(cell)
+      else b32.flatMap(ch => expand(cell + ch, toLen)).toSet
+    for (p <- compacted)
+      assert(expand(p, 5).subsetOf(original), s"over-coverage from $p")
+  }
+
   test("as-of join: latest at-or-before match, equal-ts ties to max id, null when none") {
     import spark.implicits._
     val clicks = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 10L, 12L))
