@@ -182,6 +182,31 @@ class PlanSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("tile pyramid: one FileScan, coarser levels reuse the previous level's exchange") {
+    val docs = Corpus.documentsDf(spark, 300, partitions = 2)
+    val df = Tiler.pyramid(SpatialJoin.extractPoints(docs), 4, 7)
+    df.collect() // finalize AQE so reuse is visible
+    // executedPlan.toString prints Final + Initial plan under AQE; count
+    // scans in the FINAL section only
+    val plan = df.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("Scan parquet|LocalTableScan".r.findAllIn(finalPlan).size <= 1,
+      s"pyramid re-reads the points per level:\n${finalPlan.take(2000)}")
+    assert(finalPlan.contains("ReusedExchange"),
+      s"levels do not reuse the previous level's exchange:\n${finalPlan.take(2000)}")
+  }
+
+  test("as-of join plans exactly ONE shuffle (union-tag + carry-forward window)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+    val df = AsOf.joinAsOf(
+      ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1))
+    val plan = df.queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected exactly 1 shuffle, found $shuffles:\n${plan.take(2000)}")
+  }
+
   test("bucketed co-located join: zero exchange on either side") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     try {
