@@ -118,8 +118,12 @@ object Pipeline {
 
     // stage 0: dedup-clean — drop exact content duplicates and minhash
     // near-duplicates (jaccard >= 0.9 over concatenated text spans), keeping
-    // the lexicographically-first doc of each duplicate group (pair-loser
-    // removal: the cheap standard approximation of connected components)
+    // the lexicographically-first doc of each duplicate PAIR. This is the
+    // conservative policy: near-duplication is not transitive, so pair-loser
+    // removal keeps docs that are not themselves near any survivor. For the
+    // aggressive cluster-collapse policy (one canonical doc per connected
+    // component), feed the pair set to Dedup.connectedComponents and keep
+    // rep == doc_id rows instead.
     // stage fingerprints CHAIN: each includes its upstream stage's fp, so a
     // semantic change anywhere upstream invalidates everything downstream
     val cleanFp = s"clean:$docsFp:near=0.9"
@@ -174,6 +178,13 @@ object Pipeline {
     // stage 3: tile histogram of the joined points
     stage("tiles", s"$outDir/tiles", s"tiles:$joinedFp:$zoom", None) {
       Tiler.histogram(joined, zoom)
+    }
+
+    // stage 4: tile pyramid — the multi-zoom serving layout, built
+    // incrementally (each coarser level rolls up the previous level's
+    // tiles, not the points; see Tiler.pyramid)
+    stage("pyramid", s"$outDir/pyramid", s"pyramid:$joinedFp:$zoom", None) {
+      Tiler.pyramid(joined, math.max(0, zoom - 3), zoom)
     }
     out.toSeq
   }

@@ -30,7 +30,7 @@ class PipelineJobSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(docsDir)
 
     val first = Pipeline.run(spark, docsDir, "synthetic", out, 5, 7).toMap
-    assert(first.keySet == Set("clean", "profile", "points", "joined", "tiles"))
+    assert(first.keySet == Set("clean", "profile", "points", "joined", "tiles", "pyramid"))
     // the profile side output covers every cleaned doc (media-only -> und)
     assert(first("profile")._1 == first("clean")._1)
     // every planted "dup-" doc WITH TEXT has an exact twin with a smaller id,
@@ -49,7 +49,7 @@ class PipelineJobSpec extends AnyFunSuite {
     assert(first.values.forall(v => v._1 > 0 && !v._3), s"unexpected resume flags: $first")
 
     // manifests committed with per-partition lineage
-    for (st <- Seq("clean", "profile", "points", "joined", "tiles"))
+    for (st <- Seq("clean", "profile", "points", "joined", "tiles", "pyramid"))
       assert(graft.engine.Checkpoint.readManifestFingerprint(s"$out/$st").isDefined, st)
 
     // rerun: every stage must resume from its manifest with identical rows
