@@ -176,15 +176,15 @@ object Pipeline {
     }
 
     // stage 3: tile histogram of the joined points
-    stage("tiles", s"$outDir/tiles", s"tiles:$joinedFp:$zoom", None) {
+    val tiles = stage("tiles", s"$outDir/tiles", s"tiles:$joinedFp:$zoom", None) {
       Tiler.histogram(joined, zoom)
     }
 
-    // stage 4: tile pyramid — the multi-zoom serving layout, built
-    // incrementally (each coarser level rolls up the previous level's
-    // tiles, not the points; see Tiler.pyramid)
+    // stage 4: tile pyramid — the multi-zoom serving layout, SEEDED from
+    // stage 3's committed histogram (no re-aggregation of the joined
+    // points: every level is O(the previous level's tiles))
     stage("pyramid", s"$outDir/pyramid", s"pyramid:$joinedFp:$zoom", None) {
-      Tiler.pyramid(joined, math.max(0, zoom - 3), zoom)
+      Tiler.pyramidFromBase(tiles, math.max(0, zoom - 3), zoom)
     }
     out.toSeq
   }

@@ -93,6 +93,25 @@ object SparkEntry {
     p
   }
 
+  /** Write `df` as a SINGLE parquet file `destDir/name.parquet` with the
+    * given mtime. FileStreamSource orders candidate files by mtime, so the
+    * staged mtimes define micro-batch order under maxFilesPerTrigger=1 —
+    * shared by every streaming gate that needs deterministic batches. */
+  private def stageSingleParquet(df: DataFrame, destDir: java.io.File,
+                                 name: String, mtime: Long): Unit = {
+    val tmp = new java.io.File(destDir, s"_tmp_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).headOption
+      .getOrElse(throw new IllegalStateException(s"no part file written under $tmp"))
+    val dst = new java.io.File(destDir, s"$name.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+    // batch ORDER depends on these mtimes — a silent setLastModified
+    // failure would reorder batches and corrupt the gate, so fail loudly
+    require(dst.setLastModified(mtime), s"setLastModified failed for $dst")
+  }
+
   /** Derived deterministic points from customer keys (SQL-reproducible):
     * lat in [-80, 83.9], lon in [-180, 179.9]. */
   private def customerPoints(spark: SparkSession, dir: String): DataFrame = {
@@ -1076,19 +1095,8 @@ object SparkEntry {
       srcDir.mkdirs()
       val baseUs = 1704067200000000L // 2024-01-01 00:00:00 UTC
       val docs = t(dir, "documents")
-      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = new java.io.File(srcDir, s"_tmp_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(srcDir, s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-        // batch ORDER depends on these mtimes (FileStreamSource sorts by
-        // timestamp) — a silent setLastModified failure would let the echo
-        // batch run first and corrupt the gate, so fail loudly
-        require(dst.setLastModified(mtime), s"setLastModified failed for $dst")
-      }
+      def stage(df: DataFrame, name: String, mtime: Long): Unit =
+        stageSingleParquet(df, srcDir, name, mtime)
       // one row per DISTINCT text (min doc_id): within batch 0 every content
       // hash must be unique or the intra-batch survivor is arbitrary — the
       // fabricated sf1 replicates documents 10x with offset ids but
@@ -1258,11 +1266,15 @@ object SparkEntry {
     // The step after pair detection: one canonical doc per cluster.
     "q80_dedup_components" -> ((spark, dir) => {
       implicit val s: SparkSession = prep(spark)
-      val ids = t(dir, "documents").select(col("doc_id")).where(col("doc_id") < 20)
+      // filter the docs table BEFORE shingling: ngramJaccard joins on the
+      // pair ids anyway, but an unfiltered probe side would evaluate the
+      // shingle kernel over the whole table (1M rows at sf1) to keep 20
+      val docs20 = t(dir, "documents").where(col("doc_id") < 20)
+      val ids = docs20.select(col("doc_id"))
       val allPairs = ids.select(col("doc_id").as("doc_a"))
         .crossJoin(ids.select(col("doc_id").as("doc_b")))
         .where(col("doc_a") < col("doc_b"))
-      val pairs = Dedup.ngramJaccard(t(dir, "documents"), allPairs)
+      val pairs = Dedup.ngramJaccard(docs20, allPairs)
         .where(col("jaccard") >= 0.008)
       Dedup.connectedComponents(ids, pairs).orderBy(col("doc_id"))
     }),
@@ -1283,36 +1295,42 @@ object SparkEntry {
     }),
     // q84: stream-STREAM interval join under Trigger.AvailableNow — the
     // last Structured Streaming operator class (joins between two streams
-    // with watermark-bounded state). Clicks and views staged as separate
-    // file streams; inner matches emit regardless of micro-batch slicing,
-    // so the sink equals the batch interval join (the oracle).
+    // with watermark-bounded state). Each side is staged as TWO
+    // mtime-ordered files under maxFilesPerTrigger=1, so the run takes
+    // multiple micro-batches and later-batch clicks must match
+    // earlier-batch views from JOIN STATE — a single-file staging would
+    // never exercise the cross-batch path. The event-id-parity split puts
+    // old events in batch 2 as well, so the watermark is set LONGER than
+    // the corpus's time span: no row is ever late-dropped and the state
+    // path is isolated as the thing under test; the sink then equals the
+    // batch interval join (the oracle) exactly.
     "q84_stream_stream_join" -> ((spark, dir) => {
       val s = prep(spark)
       implicit val ss: SparkSession = s
       val ev = t(dir, "events")
+      val now = System.currentTimeMillis()
       def stageSide(tag: String, typ: String): String = {
         val d0 = new java.io.File(scratchDir(tag, dir))
         org.apache.commons.io.FileUtils.deleteDirectory(d0)
         d0.mkdirs()
-        val tmp = new java.io.File(d0, "_tmp")
-        ev.where(col("event_type") === typ)
+        val side = ev.where(col("event_type") === typ)
           .select(col("event_id"), col("user_id"), col("ts"))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          new java.io.File(d0, "data.parquet").toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+        stageSingleParquet(side.where(col("event_id") % 2 === 0), d0, "b0",
+          now - 600000L)
+        stageSingleParquet(side.where(col("event_id") % 2 === 1), d0, "b1", now)
         d0.getPath
       }
       val clicksDir = stageSide("q84c", "click")
       val viewsDir = stageSide("q84v", "view")
-      val sch = s.read.parquet(s"$clicksDir/data.parquet").schema
+      val sch = s.read.parquet(s"$clicksDir/b0.parquet").schema
       val outBase = scratchDir("q84", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
       val q = graft.streaming.Streams.intervalJoinStream(
-          s.readStream.schema(sch).parquet(clicksDir),
-          s.readStream.schema(sch).parquet(viewsDir))
+          s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(clicksDir),
+          s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(viewsDir),
+          watermark = "45 days")
         .select(col("user_id"), col("l_event"), col("r_event"),
           unix_micros(col("l_ts")).as("l_ts_us"),
           unix_micros(col("r_ts")).as("r_ts_us"))

@@ -28,11 +28,16 @@ object AsOf {
                idCol: String = "event_id"): DataFrame = {
     val idType = right.schema(idCol).dataType
     val tsType = right.schema(tsCol).dataType
-    val l = left.select(col(keyCol).as("k"), col(tsCol).as("t"),
-      col(idCol).as("lid"))
+    // null-timestamp rows carry no position on the time axis: a null-ts
+    // right row would sort FIRST in the window (nulls-first) and become a
+    // spurious carry-forward match with asof_ts = null; drop them on both
+    // sides (matching the SQL semantics v.ts <= c.ts, which is never true
+    // for nulls)
+    val l = left.where(col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("lid"))
       .withColumn("side", lit(1)).withColumn("rid", lit(null).cast(idType))
-    val r = right.select(col(keyCol).as("k"), col(tsCol).as("t"),
-      col(idCol).as("rid"))
+    val r = right.where(col(tsCol).isNotNull)
+      .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("rid"))
       .withColumn("side", lit(0)).withColumn("lid", lit(null).cast(idType))
     val w = Window.partitionBy("k")
       .orderBy(col("t"), col("side"), coalesce(col("rid"), col("lid")))

@@ -256,6 +256,16 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache() // reused every round; unpersisted below (plan never escapes)
+    // a pair endpoint missing from `nodes` would silently DROP its edges in
+    // the propagation join and split components with no error — fail fast
+    // instead (one dimension-sized anti-join action, consistent with the
+    // throw-on-non-convergence contract)
+    val orphans = edges.select(col("src").as("doc_id")).distinct()
+      .join(nodes.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      .limit(5).collect().map(_.get(0))
+    require(orphans.isEmpty,
+      s"pair endpoint(s) missing from nodes: ${orphans.mkString(", ")} — " +
+        "edges through them would be silently ignored")
     // id type is whatever the caller's doc_id is (long or string); the
     // "minimum" representative is numeric or lexicographic accordingly
     var labels = Durable.durable(

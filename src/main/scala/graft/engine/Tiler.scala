@@ -70,7 +70,18 @@ object Tiler {
       s"bad zoom range [$minZoom, $maxZoom]")
     val base = assign(points, maxZoom)
       .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
-    val levels = Iterator.iterate(base) { prev =>
+    pyramidFromBase(base, minZoom, maxZoom)
+  }
+
+  /** Pyramid seeded from an ALREADY-MATERIALIZED single-zoom histogram
+    * (tile_id, n_points) at `maxZoom` — the path for a pipeline that has
+    * just committed the base level: no re-aggregation of the points, every
+    * level O(previous level's tiles). */
+  def pyramidFromBase(base: DataFrame, minZoom: Int, maxZoom: Int): DataFrame = {
+    require(0 <= minZoom && minZoom <= maxZoom && maxZoom <= 29,
+      s"bad zoom range [$minZoom, $maxZoom]")
+    val b = base.select(col("tile_id"), col("n_points"))
+    val levels = Iterator.iterate(b) { prev =>
       prev.select(parentTileId(col("tile_id")).as("tile_id"), col("n_points"))
         .groupBy(col("tile_id")).agg(sum(col("n_points")).as("n_points"))
     }.take(maxZoom - minZoom + 1).toSeq

@@ -310,8 +310,9 @@ class PipelineSpec extends AnyFunSuite {
     val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
       original.toArray.map(org.apache.spark.unsafe.types.UTF8String.fromString(_)
         .asInstanceOf[Any]))
-    val compacted = (0 until graft.expr.K.compactCells(arr).numElements())
-      .map(i => graft.expr.K.compactCells(arr).getUTF8String(i).toString).toSet
+    val compactedArr = graft.expr.K.compactCells(arr)
+    val compacted = (0 until compactedArr.numElements())
+      .map(i => compactedArr.getUTF8String(i).toString).toSet
     assert(compacted.size < original.size, "nothing compacted on a big polygon")
     // exact coverage both ways: every original cell has a compacted
     // ancestor-or-self, and every compacted cell is an original cell or a
