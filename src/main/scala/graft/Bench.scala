@@ -27,7 +27,7 @@ object Bench {
     "q55_molodensky", "q66_langid_ngram", "q67_winnow",
     "q70_winnow_neardup", "q71_media_ppm_decode",
     "q73_spatial_semi_anti", "q75_ann_ivf_trained", "q76_multizoom_rollup",
-    "q77_ann_q8", "q78_ann_ivf_q8", "q79_tile_pyramid", "q80_dedup_components", "q81_ring_metrics", "q82_asof_join", "q83_compact_cover")
+    "q77_ann_q8", "q78_ann_ivf_q8", "q79_tile_pyramid", "q80_dedup_components", "q81_ring_metrics", "q82_asof_join", "q83_compact_cover", "q85_distance_join")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

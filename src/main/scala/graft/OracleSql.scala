@@ -265,6 +265,25 @@ object OracleSql {
     FROM m ORDER BY poly_id"""
   }
 
+  /** q85: fixed-radius distance join — brute-force cross join + haversine
+    * threshold (the engine's sufficient cell disk makes its candidate set a
+    * superset of every true match, so equi-join + refine equals this).
+    * The threshold compares the engines' last-ulp-different haversines
+    * directly; a boundary flip needs a pair within ~1e-9 m of exactly
+    * 25 km — the same accepted trig-drift envelope as the q34 ranks. */
+  def q85(nDocs: Long): String = {
+    val hubs = Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) =>
+      s"('hub-${"%02d".format(i)}', ${d(la)}, ${d(lo)})"
+    }.mkString(", ")
+    s"""WITH ${parsedCte(docsGlob(nDocs), capDoc = Some(f"doc-${SparkEntry.KnnDocCap}%09d"))},
+    hubs(qid, qlat, qlon) AS (VALUES $hubs)
+    SELECT h.qid, p.doc_id || ':' || CAST(p."offset" AS VARCHAR) AS pid,
+      round(${haversineSql("h.qlat", "h.qlon", "p.lat", "p.lon")}, 3) + 0.0 AS dist
+    FROM parsed p CROSS JOIN hubs h
+    WHERE ${haversineSql("h.qlat", "h.qlon", "p.lat", "p.lon")} <= 25000.0
+    ORDER BY qid, pid"""
+  }
+
   /** q79: tile pyramid — every zoom computed DIRECTLY from the points
     * (the engine derives coarser zooms from the finer level's tiles; slippy
     * nesting makes the two equal exactly). */
@@ -1878,6 +1897,7 @@ object OracleSql {
     "q76_multizoom_rollup" -> q76(nDocs),
     "q79_tile_pyramid" -> q79(nDocs),
     "q81_ring_metrics" -> q81(nDocs),
+    "q85_distance_join" -> q85(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

@@ -1293,6 +1293,24 @@ object SparkEntry {
         col("asof_id"), unix_micros(col("asof_ts")).as("asof_ts_us"))
         .orderBy(col("event_id"))
     }),
+    // q85: fixed-radius distance join — every extracted point within 25 km
+    // of each hotspot hub (the operator between kNN and containment). The
+    // doc cap bounds the quadratic DuckDB oracle only; the operator itself
+    // never cross-joins (provably sufficient cell disk + haversine refine).
+    "q85_distance_join" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+        .where(col("doc_id") < lit(f"doc-${KnnDocCap}%09d"))
+      val pts = SpatialJoin.extractPoints(docs)
+        .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
+          col("lat"), col("lon"))
+      val sites = s.createDataFrame(
+        Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) => (f"hub-$i%02d", la, lo) }.toSeq)
+        .toDF("qid", "lat", "lon")
+      SpatialJoin.withinDistance(sites, pts, radiusM = 25000.0)
+        .select(col("qid"), col("pid"), (round(col("dist"), 3) + 0.0).as("dist"))
+        .orderBy(col("qid"), col("pid"))
+    }),
     // q84: stream-STREAM interval join under Trigger.AvailableNow — the
     // last Structured Streaming operator class (joins between two streams
     // with watermark-bounded state). Each side is staged as TWO

@@ -264,6 +264,75 @@ object SpatialJoin {
     points.select("doc_id").distinct().join(hits, Seq("doc_id"), "left_anti")
   }
 
+  /** Fixed-radius distance join: every (site, point) pair within `radiusM`
+    * metres — the "all points near each site" query between kNN (nearest k)
+    * and PIP containment (polygon membership).
+    *
+    * Shape: each site explodes into its cell DISK of Chebyshev radius k,
+    * where k is the smallest ring count whose provable outside-disk
+    * distance bound ([[Knn.outsideDiskLowerBound]], worst-cased over the
+    * sites' maximum |lat| — one dimension-sized driver aggregate) reaches
+    * `radiusM`; a point within the radius is therefore ALWAYS inside the
+    * disk, so equi-join on cell + exact haversine refine is exact, with no
+    * point-side explode and no candidate duplication (a disk is a set, so
+    * each site meets each point's cell at most once).
+    *
+    * sites: (qid, lat, lon) — the small side (broadcast); points:
+    * (pid, lat, lon) — the fact side, which never shuffles.
+    * Output: (qid, pid, dist) with dist <= radiusM. */
+  def withinDistance(sites: DataFrame, points: DataFrame, radiusM: Double,
+                     level: Int = DefaultLevel): DataFrame = {
+    require(radiusM > 0, s"radiusM must be positive: $radiusM")
+    val spark = sites.sparkSession
+    // per-site disk radius k (sites are dimension-sized — they are about to
+    // be broadcast — so computing k on the driver costs one small collect).
+    // Near the poles the Chebyshev bound COLLAPSES (cell lon-width -> 0 as
+    // cos(lat) -> 0, and growing the disk pushes its worst-case |lat|
+    // toward 90 faster than the bound grows), so sites whose bound cannot
+    // reach radiusM within k <= 64 rings take the exact LAT-BAND path
+    // instead: |lat(point) - lat(site)| <= radius-in-latitude-degrees is a
+    // NECESSARY condition for any within-radius pair (meridian arc is the
+    // shortest way to change latitude), and near the pole that band is a
+    // tiny fraction of the corpus.
+    val siteRows = sites.select(col("qid"), col("lat"), col("lon")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def kFor(lat: Double): Option[Int] =
+      (1 to 64).find(k => Knn.outsideDiskLowerBound(lat, level, k) >= radiusM)
+    val (regular, polar) = siteRows.partition(s => kFor(s._2).isDefined)
+    import spark.implicits._
+    def refine(cand: DataFrame): DataFrame =
+      cand.withColumn("dist", call_function("st_haversine",
+          col("q_lat"), col("q_lon"), col("lat"), col("lon")))
+        .where(col("dist") <= radiusM)
+        .select(col("qid"), col("pid"), col("dist"))
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (regular.nonEmpty) {
+      val siteCells = regular.map { case (q, la, lo) => (q, la, lo, kFor(la).get) }
+        .toSeq.toDF("qid", "q_lat", "q_lon", "k")
+        .withColumn("scell",
+          call_function("st_cell", col("q_lat"), col("q_lon"), lit(level)))
+        .withColumn("cell",
+          explode(call_function("st_cell_disk", col("scell"), col("k"))))
+        .select(col("qid"), col("q_lat"), col("q_lon"), col("cell"))
+      parts += refine(points
+        .withColumn("cell", call_function("st_cell", col("lat"), col("lon"), lit(level)))
+        .join(broadcast(siteCells), Seq("cell")))
+    }
+    if (polar.nonEmpty) {
+      // conservative band half-width: true lat delta <= radius / (meridian
+      // metres per degree), and MetersPerDegree is rounded DOWN
+      val bandDeg = radiusM / Knn.MetersPerDegree
+      val polarDf = polar.toSeq.toDF("qid", "q_lat", "q_lon")
+      parts += refine(points.join(broadcast(polarDf),
+        abs(col("lat") - col("q_lat")) <= bandDeg))
+    }
+    if (parts.isEmpty) // empty site set -> correctly-typed empty frame
+      sites.select(col("qid")).where(lit(false))
+        .crossJoin(points.select(col("pid")).where(lit(false)))
+        .withColumn("dist", lit(0.0))
+    else parts.reduce(_ unionByName _)
+  }
+
   /** Both containment answers from ONE spatial join: (doc_id, status) with
     * status 'in' (>= 1 point in any polygon) or 'out'. A semi + anti pair of
     * calls evaluates the underlying join twice; a user asking "which docs

@@ -157,6 +157,33 @@ class EngineSpec extends AnyFunSuite {
     points.unpersist()
   }
 
+  test("fixed-radius distance join equals brute force (incl. near-polar site)") {
+    import spark.implicits._
+    val docs = Corpus.documentsDf(spark, 500, partitions = 4)
+    val pts = SpatialJoin.extractPoints(docs)
+      .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
+        col("lat"), col("lon")).cache()
+    val sites = Seq(
+      ("s0", Corpus.Hotspots(0)._1, Corpus.Hotspots(0)._2),
+      ("s1", Corpus.Hotspots(3)._1, Corpus.Hotspots(3)._2),
+      ("sp", 84.5, 10.0)) // near-polar: anisotropic cells stress the bound
+      .toDF("qid", "lat", "lon")
+    val radius = 75000.0
+    val got = SpatialJoin.withinDistance(sites, pts, radius).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val ptRows = pts.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val siteRows = sites.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val brute = (for {
+      (qid, sla, slo) <- siteRows
+      (pid, pla, plo) <- ptRows
+      if graft.core.Dist.haversine(sla, slo, pla, plo) <= radius
+    } yield (qid, pid)).toSet
+    pts.unpersist()
+    assert(got == brute,
+      s"distance join mismatch: missing=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
+    assert(brute.nonEmpty, "degenerate test: no pairs within radius")
+  }
+
   test("huge polygons are never dropped (adaptive covering)") {
     import spark.implicits._
     // radius ~30 deg octagon: would exceed any fixed fine-level cell cap
