@@ -272,11 +272,8 @@ object OracleSql {
     * directly; a boundary flip needs a pair within ~1e-9 m of exactly
     * 25 km — the same accepted trig-drift envelope as the q34 ranks. */
   def q85(nDocs: Long): String = {
-    val hubs = Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) =>
-      s"('hub-${"%02d".format(i)}', ${d(la)}, ${d(lo)})"
-    }.mkString(", ")
     s"""WITH ${parsedCte(docsGlob(nDocs), capDoc = Some(f"doc-${SparkEntry.KnnDocCap}%09d"))},
-    hubs(qid, qlat, qlon) AS (VALUES $hubs)
+    hubs(qid, qlat, qlon) AS (VALUES $hubsValues)
     SELECT h.qid, p.doc_id || ':' || CAST(p."offset" AS VARCHAR) AS pid,
       round(${haversineSql("h.qlat", "h.qlon", "p.lat", "p.lon")}, 3) + 0.0 AS dist
     FROM parsed p CROSS JOIN hubs h
@@ -298,6 +295,11 @@ object OracleSql {
     ORDER BY tile_id"""
   }
 
+  /** The 20 hotspot hubs as VALUES rows — shared by the q34/q85 oracles. */
+  private def hubsValues: String = Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) =>
+    s"('hub-${"%02d".format(i)}', ${d(la)}, ${d(lo)})"
+  }.mkString(", ")
+
   /** Haversine fragment mirroring Dist.haversine(lat1, lon1, lat2, lon2). */
   def haversineSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
     s"2.0 * 6371008.8 * asin(LEAST(1.0, sqrt(" +
@@ -307,11 +309,8 @@ object OracleSql {
   /** q34: kNN = brute-force top-k per hotspot query (the engine's ring
     * expansion + residual brute-force completion is provably exact). */
   def q34(nDocs: Long): String = {
-    val hubs = Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) =>
-      s"('hub-${"%02d".format(i)}', ${d(la)}, ${d(lo)})"
-    }.mkString(", ")
     s"""WITH ${parsedCte(docsGlob(nDocs), capDoc = Some(f"doc-${SparkEntry.KnnDocCap}%09d"))},
-    hubs(qid, qlat, qlon) AS (VALUES $hubs),
+    hubs(qid, qlat, qlon) AS (VALUES $hubsValues),
     cand AS (
       SELECT h.qid, p.doc_id || ':' || CAST(p."offset" AS VARCHAR) AS pid,
         ${haversineSql("h.qlat", "h.qlon", "p.lat", "p.lon")} AS dist

@@ -112,6 +112,13 @@ object SparkEntry {
     require(dst.setLastModified(mtime), s"setLastModified failed for $dst")
   }
 
+  /** The 20 hotspot hubs as a (qid, lat, lon) frame — shared by the kNN and
+    * distance-join gates so the site set can never desynchronize. */
+  private def hubSites(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) => (f"hub-$i%02d", la, lo) }.toSeq)
+      .toDF("qid", "lat", "lon")
+
   /** Derived deterministic points from customer keys (SQL-reproducible):
     * lat in [-80, 83.9], lon in [-180, 179.9]. */
   private def customerPoints(spark: SparkSession, dir: String): DataFrame = {
@@ -390,9 +397,7 @@ object SparkEntry {
       val pts = SpatialJoin.extractPoints(docs)
         .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
           col("lat"), col("lon"))
-      val queries = s.createDataFrame(
-        Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) => (f"hub-$i%02d", la, lo) }.toSeq)
-        .toDF("qid", "lat", "lon")
+      val queries = hubSites(s)
       Knn.knn(s, queries, pts, k = 10)
         .select(col("qid"), col("pid"), (round(col("dist"), 3) + 0.0).as("dist"), col("rank"))
         .orderBy(col("qid"), col("rank"))
@@ -1301,13 +1306,12 @@ object SparkEntry {
       val s = prep(spark)
       val docs = Corpus.storedDocs(s, corpusDocs(dir))
         .where(col("doc_id") < lit(f"doc-${KnnDocCap}%09d"))
+      // keep the cell column extractPoints already computed (withinDistance
+      // reuses it instead of re-encoding the fact side)
       val pts = SpatialJoin.extractPoints(docs)
         .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
-          col("lat"), col("lon"))
-      val sites = s.createDataFrame(
-        Corpus.Hotspots.zipWithIndex.map { case ((la, lo), i) => (f"hub-$i%02d", la, lo) }.toSeq)
-        .toDF("qid", "lat", "lon")
-      SpatialJoin.withinDistance(sites, pts, radiusM = 25000.0)
+          col("lat"), col("lon"), col("cell"))
+      SpatialJoin.withinDistance(hubSites(s), pts, radiusM = 25000.0)
         .select(col("qid"), col("pid"), (round(col("dist"), 3) + 0.0).as("dist"))
         .orderBy(col("qid"), col("pid"))
     }),

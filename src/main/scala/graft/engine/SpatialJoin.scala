@@ -278,7 +278,9 @@ object SpatialJoin {
     * each site meets each point's cell at most once).
     *
     * sites: (qid, lat, lon) — the small side (broadcast); points:
-    * (pid, lat, lon) — the fact side, which never shuffles.
+    * (pid, lat, lon[, cell]) — the fact side, which never shuffles; a
+    * present `cell` column is REUSED and must have been computed at this
+    * `level` (extractPoints' default).
     * Output: (qid, pid, dist) with dist <= radiusM. */
   def withinDistance(sites: DataFrame, points: DataFrame, radiusM: Double,
                      level: Int = DefaultLevel): DataFrame = {
@@ -296,34 +298,44 @@ object SpatialJoin {
     // tiny fraction of the corpus.
     val siteRows = sites.select(col("qid"), col("lat"), col("lon")).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // STRICT > radiusM: the refine predicate is dist <= radiusM, so a point
+    // at distance exactly equal to a merely ">=" bound could be a true
+    // match outside the disk. (MetersPerDegree's round-down already makes
+    // that unreachable, but exactness must not hinge on a constant's
+    // rounding direction — Knn uses the same strict discipline.)
     def kFor(lat: Double): Option[Int] =
-      (1 to 64).find(k => Knn.outsideDiskLowerBound(lat, level, k) >= radiusM)
-    val (regular, polar) = siteRows.partition(s => kFor(s._2).isDefined)
+      (1 to 64).find(k => Knn.outsideDiskLowerBound(lat, level, k) > radiusM)
+    val withK = siteRows.map(s => (s, kFor(s._2)))
+    val regular = withK.collect { case ((q, la, lo), Some(k)) => (q, la, lo, k) }
+    val polar = withK.collect { case (s, None) => s }
     import spark.implicits._
     def refine(cand: DataFrame): DataFrame =
       cand.withColumn("dist", call_function("st_haversine",
           col("q_lat"), col("q_lon"), col("lat"), col("lon")))
         .where(col("dist") <= radiusM)
         .select(col("qid"), col("pid"), col("dist"))
+    // reuse the caller's cell column when present — extractPoints already
+    // pays the encode; it MUST have been computed at this `level`
+    val pts =
+      if (points.columns.contains("cell")) points
+      else points.withColumn("cell",
+        call_function("st_cell", col("lat"), col("lon"), lit(level)))
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (regular.nonEmpty) {
-      val siteCells = regular.map { case (q, la, lo) => (q, la, lo, kFor(la).get) }
-        .toSeq.toDF("qid", "q_lat", "q_lon", "k")
+      val siteCells = regular.toSeq.toDF("qid", "q_lat", "q_lon", "k")
         .withColumn("scell",
           call_function("st_cell", col("q_lat"), col("q_lon"), lit(level)))
         .withColumn("cell",
           explode(call_function("st_cell_disk", col("scell"), col("k"))))
         .select(col("qid"), col("q_lat"), col("q_lon"), col("cell"))
-      parts += refine(points
-        .withColumn("cell", call_function("st_cell", col("lat"), col("lon"), lit(level)))
-        .join(broadcast(siteCells), Seq("cell")))
+      parts += refine(pts.join(broadcast(siteCells), Seq("cell")))
     }
     if (polar.nonEmpty) {
       // conservative band half-width: true lat delta <= radius / (meridian
       // metres per degree), and MetersPerDegree is rounded DOWN
       val bandDeg = radiusM / Knn.MetersPerDegree
       val polarDf = polar.toSeq.toDF("qid", "q_lat", "q_lon")
-      parts += refine(points.join(broadcast(polarDf),
+      parts += refine(pts.join(broadcast(polarDf),
         abs(col("lat") - col("q_lat")) <= bandDeg))
     }
     if (parts.isEmpty) // empty site set -> correctly-typed empty frame

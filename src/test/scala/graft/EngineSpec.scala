@@ -160,9 +160,18 @@ class EngineSpec extends AnyFunSuite {
   test("fixed-radius distance join equals brute force (incl. near-polar site)") {
     import spark.implicits._
     val docs = Corpus.documentsDf(spark, 500, partitions = 4)
+    // plant deterministic points near the polar site so its path is tested
+    // NON-vacuously: one inside the radius, one inside the lat band but far
+    // away in longitude (a band candidate the refine must reject), one just
+    // outside the band
+    val planted = Seq(
+      ("polar:in", 84.55, 10.3),
+      ("polar:band-only", 84.5, -170.0),
+      ("polar:outside", 83.0, 10.0)).toDF("pid", "lat", "lon")
     val pts = SpatialJoin.extractPoints(docs)
       .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
-        col("lat"), col("lon")).cache()
+        col("lat"), col("lon"))
+      .unionByName(planted).cache()
     val sites = Seq(
       ("s0", Corpus.Hotspots(0)._1, Corpus.Hotspots(0)._2),
       ("s1", Corpus.Hotspots(3)._1, Corpus.Hotspots(3)._2),
@@ -182,6 +191,10 @@ class EngineSpec extends AnyFunSuite {
     assert(got == brute,
       s"distance join mismatch: missing=${brute.diff(got).take(5)} extra=${got.diff(brute).take(5)}")
     assert(brute.nonEmpty, "degenerate test: no pairs within radius")
+    // the polar path specifically must have found its planted match and
+    // rejected the band-only / out-of-band plants
+    assert(got.contains(("sp", "polar:in")))
+    assert(!got.contains(("sp", "polar:band-only")) && !got.contains(("sp", "polar:outside")))
   }
 
   test("huge polygons are never dropped (adaptive covering)") {
