@@ -237,60 +237,88 @@ object Dedup {
     * cluster id (docs in no pair stay their own singleton); `pairs`
     * (doc_a, doc_b) is undirected.
     *
-    * Iterative min-label propagation: each round every node takes the min
-    * of its label and its neighbors' labels — converges in O(component
-    * diameter) rounds (near-dup clusters are shallow: most are stars around
-    * one original). THROWS if not converged by `maxIter` rather than
-    * returning a plausible-but-wrong clustering.
+    * Min-label propagation WITH per-round pointer doubling (path
+    * shortcutting): each round every node takes the min of its label and
+    * its neighbors' labels, then follows its representative pointer one
+    * extra hop (rep <- rep(rep), looked up in the previous round's label
+    * map). Propagation alone needs O(component diameter) rounds — a
+    * CHAIN-shaped dup graph (pairwise sliding near-dups) of length 10^6
+    * would blow any practical maxIter; the shortcut roughly doubles how far
+    * the minimum has reached each round, so convergence is O(log n) rounds
+    * (a 1000-node path converges in ~10, gated by EngineSpec). Reps only
+    * ever DECREASE and stay within the component (each new rep is some
+    * member's current-or-previous rep), so the fixpoint every member agrees
+    * on is the component MINIMUM, exactly as pure propagation's. THROWS if
+    * not converged by `maxIter` rather than returning a
+    * plausible-but-wrong clustering.
     *
     * Scale shape: each round shuffles only the label table (one row per
-    * node) keyed by id against the cached edge list; labels are RELIABLY
-    * checkpointed per round ([[Durable]] — executor-loss-safe,
-    * lineage-bounded), and convergence costs one count action per round
-    * (documented driver actions, like Knn's adaptive loop). */
+    * node) — once against the cached edge list, once for the shortcut
+    * lookup; labels are snapshotted per round through [[Durable.Rounds]]
+    * (reliable parquet under the checkpoint dir — executor-loss-safe,
+    * lineage-bounded — with the SUPERSEDED round deleted as soon as the
+    * next one commits, so a long-lived session holds at most two rounds
+    * per call instead of accumulating all of them), and convergence costs
+    * one count action per round (documented driver actions, like Knn's
+    * adaptive loop). */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 30): DataFrame = {
     val spark = nodes.sparkSession
-    Durable.ensureCheckpointDir(spark)
+    val rounds = new Durable.Rounds(spark, "cc")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .cache() // reused every round; unpersisted below (plan never escapes)
-    // a pair endpoint missing from `nodes` would silently DROP its edges in
-    // the propagation join and split components with no error — fail fast
-    // instead (one dimension-sized anti-join action, consistent with the
-    // throw-on-non-convergence contract)
-    val orphans = edges.select(col("src").as("doc_id")).distinct()
-      .join(nodes.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      .limit(5).collect().map(_.get(0))
-    require(orphans.isEmpty,
-      s"pair endpoint(s) missing from nodes: ${orphans.mkString(", ")} — " +
-        "edges through them would be silently ignored")
-    // id type is whatever the caller's doc_id is (long or string); the
-    // "minimum" representative is numeric or lexicographic accordingly
-    var labels = Durable.durable(
-      nodes.select(col("doc_id").as("id")).distinct()
-        .withColumn("rep", col("id")))
-    var changed = 1L
-    var i = 0
-    while (changed > 0 && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("src"), col("rep").as("srep")), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min(col("srep")).as("nmin"))
-      val next = Durable.durable(
-        labels.join(nbrMin, Seq("id"), "left_outer")
+      .cache() // reused every round; unpersisted in the finally below
+    try {
+      // a pair endpoint missing from `nodes` would silently DROP its edges in
+      // the propagation join and split components with no error — fail fast
+      // instead (one dimension-sized anti-join action, consistent with the
+      // throw-on-non-convergence contract)
+      val orphans = edges.select(col("src").as("doc_id")).distinct()
+        .join(nodes.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+        .limit(5).collect().map(_.get(0))
+      require(orphans.isEmpty,
+        s"pair endpoint(s) missing from nodes: ${orphans.mkString(", ")} — " +
+          "edges through them would be silently ignored")
+      // id type is whatever the caller's doc_id is (long or string); the
+      // "minimum" representative is numeric or lexicographic accordingly
+      var labels = rounds.commit(
+        nodes.select(col("doc_id").as("id")).distinct()
+          .withColumn("rep", col("id")))
+      var changed = 1L
+      var i = 0
+      while (changed > 0 && i < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("src"), col("rep").as("srep")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("srep")).as("nmin"))
+        val propagated = labels.join(nbrMin, Seq("id"), "left_outer")
           .select(col("id"),
-            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep")))
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .where(col("n.rep") =!= col("o.rep")).count()
-      labels = next
-      i += 1
-    }
-    edges.unpersist()
-    require(changed == 0,
-      s"connectedComponents did not converge within $maxIter rounds")
-    labels.select(col("id").as("doc_id"), col("rep"))
+            least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        // pointer doubling against the PREVIOUS round's (file-backed) map:
+        // rep_{r-1}(u) >= rep_r(u) and both are valid shrinking pointers
+        // into the component, so the stale lookup preserves correctness
+        // while avoiding a second materialization of `propagated` per
+        // round; reps are always node ids, so the left join + coalesce is
+        // purely defensive
+        val shortcut = propagated
+          .join(labels.select(col("id").as("rep"), col("rep").as("rep2")),
+            Seq("rep"), "left_outer")
+          .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+        val next = rounds.commit(shortcut)
+        changed = next.alias("n")
+          .join(labels.alias("o"), col("n.id") === col("o.id"))
+          .where(col("n.rep") =!= col("o.rep")).count()
+        rounds.dropPrevious() // the compare above was the last read of r-1
+        labels = next
+        i += 1
+      }
+      require(changed == 0,
+        s"connectedComponents did not converge within $maxIter rounds")
+      // the returned frame reads the FINAL round's parquet; those files are
+      // removed at JVM exit (Durable.Rounds shutdown hook), or earlier if
+      // the caller materializes the result and closes the session's scratch
+      labels.select(col("id").as("doc_id"), col("rep"))
+    } finally edges.unpersist()
   }
 
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",

@@ -284,6 +284,8 @@ object SpatialJoin {
     * Output: (qid, pid, dist) with dist <= radiusM. */
   def withinDistance(sites: DataFrame, points: DataFrame, radiusM: Double,
                      level: Int = DefaultLevel): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
     require(radiusM > 0, s"radiusM must be positive: $radiusM")
     val spark = sites.sparkSession
     // per-site disk radius k (sites are dimension-sized — they are about to
@@ -296,8 +298,23 @@ object SpatialJoin {
     // NECESSARY condition for any within-radius pair (meridian arc is the
     // shortest way to change latitude), and near the pole that band is a
     // tiny fraction of the corpus.
-    val siteRows = sites.select(col("qid"), col("lat"), col("lon")).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    // qid is collected GENERICALLY (any type — the output keeps it);
+    // lat/lon are cast so float-typed site coords work too. Null site
+    // coords fail fast rather than silently matching nothing.
+    val qidType = sites.schema("qid").dataType
+    val siteRows = sites.select(col("qid"),
+        col("lat").cast("double").as("lat"), col("lon").cast("double").as("lon"))
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(1) && !r.isNullAt(2),
+          s"site ${r.get(0)} has null lat/lon")
+        (r.get(0), r.getDouble(1), r.getDouble(2))
+      }
+    def siteDf(rows: Seq[Row], extra: Seq[StructField]): DataFrame =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+        StructType(Seq(StructField("qid", qidType),
+          StructField("q_lat", DoubleType, nullable = false),
+          StructField("q_lon", DoubleType, nullable = false)) ++ extra))
     // STRICT > radiusM: the refine predicate is dist <= radiusM, so a point
     // at distance exactly equal to a merely ">=" bound could be a true
     // match outside the disk. (MetersPerDegree's round-down already makes
@@ -308,7 +325,6 @@ object SpatialJoin {
     val withK = siteRows.map(s => (s, kFor(s._2)))
     val regular = withK.collect { case ((q, la, lo), Some(k)) => (q, la, lo, k) }
     val polar = withK.collect { case (s, None) => s }
-    import spark.implicits._
     def refine(cand: DataFrame): DataFrame =
       cand.withColumn("dist", call_function("st_haversine",
           col("q_lat"), col("q_lon"), col("lat"), col("lon")))
@@ -322,7 +338,8 @@ object SpatialJoin {
         call_function("st_cell", col("lat"), col("lon"), lit(level)))
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (regular.nonEmpty) {
-      val siteCells = regular.toSeq.toDF("qid", "q_lat", "q_lon", "k")
+      val siteCells = siteDf(regular.toSeq.map { case (q, la, lo, k) => Row(q, la, lo, k) },
+          Seq(StructField("k", IntegerType, nullable = false)))
         .withColumn("scell",
           call_function("st_cell", col("q_lat"), col("q_lon"), lit(level)))
         .withColumn("cell",
@@ -332,11 +349,20 @@ object SpatialJoin {
     }
     if (polar.nonEmpty) {
       // conservative band half-width: true lat delta <= radius / (meridian
-      // metres per degree), and MetersPerDegree is rounded DOWN
+      // metres per degree), and MetersPerDegree is rounded DOWN. The band
+      // test is discretized into an integer band id so the join is an
+      // EQUI-join (broadcast HASH join): a raw |lat - q_lat| <= bandDeg
+      // predicate would plan a broadcast nested-loop join — a full fact
+      // scan per polar site batch. |dlat| <= bandDeg implies the point's
+      // band id is within +-1 of the site's, so each site covers 3 band
+      // keys and the haversine refine keeps exactness.
       val bandDeg = radiusM / Knn.MetersPerDegree
-      val polarDf = polar.toSeq.toDF("qid", "q_lat", "q_lon")
-      parts += refine(pts.join(broadcast(polarDf),
-        abs(col("lat") - col("q_lat")) <= bandDeg))
+      val polarDf = siteDf(polar.toSeq.map { case (q, la, lo) => Row(q, la, lo) }, Nil)
+        .withColumn("lat_band", explode(array((-1 to 1).map(d =>
+          floor(col("q_lat") / lit(bandDeg)).cast("long") + lit(d.toLong)): _*)))
+      parts += refine(
+        pts.withColumn("lat_band", floor(col("lat") / lit(bandDeg)).cast("long"))
+          .join(broadcast(polarDf), Seq("lat_band")))
     }
     if (parts.isEmpty) // empty site set -> correctly-typed empty frame
       sites.select(col("qid")).where(lit(false))

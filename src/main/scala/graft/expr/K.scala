@@ -1026,6 +1026,7 @@ object K {
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (b.isNullAt(i)) return null // null element -> NULL, like cosineSim
       val x = minv + (q(i) & 0xFF).toDouble * scale
       val y = b.getDouble(i)
       dot += x * y
@@ -1051,6 +1052,15 @@ object K {
                 dim: Int): java.lang.Long = {
     if (emb == null || centsFlat == null || cids == null) return null
     if (dim <= 0 || emb.numElements() != dim) return null
+    // a null element must yield NULL (cosineSim's discipline) — toDoubleArray
+    // would silently read it as 0.0 and assign a plausible-but-wrong cid.
+    // centsFlat/cids are engine-built literals (flattened Array[Double] /
+    // Array[Long] — never element-null), so only the data column is scanned.
+    var nc = 0
+    while (nc < dim) {
+      if (emb.isNullAt(nc)) return null
+      nc += 1
+    }
     val e = emb.toDoubleArray()
     val cm = centsFlat.toDoubleArray()
     val ids = cids.toLongArray()

@@ -197,6 +197,17 @@ class EngineSpec extends AnyFunSuite {
     assert(!got.contains(("sp", "polar:band-only")) && !got.contains(("sp", "polar:outside")))
   }
 
+  test("distance join accepts non-string qid and float coords (generic schema)") {
+    import spark.implicits._
+    val sites = Seq((7L, 40.0f, -74.0f), (8L, 84.6f, 10.0f))
+      .toDF("qid", "lat", "lon") // long qid, FLOAT lat/lon — Knn-style callers
+    val pts = Seq(("p1", 40.01, -74.01), ("p2", 84.55, 10.3), ("p3", 10.0, 10.0))
+      .toDF("pid", "lat", "lon")
+    val got = SpatialJoin.withinDistance(sites, pts, radiusM = 25000.0).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((7L, "p1"), (8L, "p2")))
+  }
+
   test("huge polygons are never dropped (adaptive covering)") {
     import spark.implicits._
     // radius ~30 deg octagon: would exceed any fixed fine-level cell cap

@@ -342,6 +342,55 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(12L) == (None, None)) // user 2 has no views
   }
 
+  test("as-of join keeps null-ts left rows (null match) and ignores null-ts right rows") {
+    import spark.implicits._
+    val clicks = Seq((1L, Some(100L), 10L), (1L, None, 11L), (2L, None, 12L))
+      .toDF("user_id", "ts", "event_id")
+    val views = Seq((1L, Some(60L), 20L), (1L, None, 21L), (2L, None, 22L))
+      .toDF("user_id", "ts", "event_id")
+    val got = engine.AsOf.joinAsOf(clicks, views).collect()
+      .map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    // every left row comes back, null-ts ones with a null match; a null-ts
+    // right row must never be carried forward as a spurious match
+    assert(got.keySet == Set(10L, 11L, 12L))
+    assert(got(10L) == (Some(20L), Some(60L)))
+    assert(got(11L) == (None, None))
+    assert(got(12L) == (None, None))
+  }
+
+  test("as-of join: time-bucketed two-pass equals one-pass and splits a hot key") {
+    import spark.implicits._
+    val n = 1000000L
+    // ONE pathologically hot key: n views at even ts, n clicks at odd ts —
+    // the single-partition-window shape the bucketed variant exists for
+    val views = spark.range(n).select(lit(1L).as("user_id"),
+      (col("id") * 2).as("ts"), col("id").as("event_id"))
+    val clicks = spark.range(n).select(lit(1L).as("user_id"),
+      (col("id") * 2 + 1).as("ts"), (col("id") + n).as("event_id"))
+    val bf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => floor(t / lit(4096L)).cast("long")
+    val out = engine.AsOf.joinAsOf(clicks, views, bucketFn = Some(bf))
+    // closed form: the click at ts = 2i+1 matches the view at 2i (id i)
+    assert(out.where(col("asof_id") =!= (col("ts") - 1) / 2).count() == 0L)
+    assert(out.where(col("asof_ts") =!= col("ts") - 1).count() == 0L)
+    assert(out.count() == n)
+    assert(out.where(col("asof_id").isNull).count() == 0L)
+    // the hot key's rows must NOT be serialized into one task: the pass-1
+    // window partitions by (key, bucket), so many partitions carry rows
+    assert(out.select(spark_partition_id()).distinct().count() > 1,
+      "bucketed as-of still runs the hot key in a single partition")
+    // and on a small slice, the bucketed path must agree with the one-pass
+    // path row for row (including bucket-boundary carries)
+    val smallV = views.where(col("event_id") < 300)
+    val smallC = clicks.where(col("event_id") >= n && col("event_id") < n + 300)
+    val a = engine.AsOf.joinAsOf(smallC, smallV).collect()
+      .map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4)))).toSet
+    val b = engine.AsOf.joinAsOf(smallC, smallV,
+        bucketFn = Some(t => floor(t / lit(64L)).cast("long"))).collect()
+      .map(r => (r.getLong(1), Option(r.get(3)), Option(r.get(4)))).toSet
+    assert(a == b)
+  }
+
   test("connected components: chains merge to min id, singletons stay, non-convergence throws") {
     import spark.implicits._
     val nodes = (0L to 9L).toDF("doc_id")
@@ -356,6 +405,18 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents(nodes, pairs, maxIter = 1)
     }
+  }
+
+  test("connected components: 1000-node chain converges in O(log n) rounds") {
+    import spark.implicits._
+    // the worst-case topology for pure min-label propagation (diameter 999
+    // would need 999 rounds); pointer doubling must close it in ~10 — the
+    // maxIter budget here is the gate
+    val nodes = (0L until 1000L).toDF("doc_id")
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(nodes, pairs, maxIter = 15).collect()
+    assert(got.length == 1000)
+    assert(got.forall(_.getLong(1) == 0L), "chain did not collapse to min id 0")
   }
 
   test("embedding-cosine near-dup finds planted duplicate/near vectors") {

@@ -207,6 +207,41 @@ class PlanSpec extends AnyFunSuite {
       s"expected exactly 1 shuffle, found $shuffles:\n${plan.take(2000)}")
   }
 
+  test("polar distance-join fallback plans a broadcast HASH join, never nested-loop") {
+    import spark.implicits._
+    // a site this close to the pole cannot satisfy the cell-disk bound, so
+    // it must take the lat-band fallback — which, equi-keyed on the integer
+    // band id, plans a broadcast hash join; the old raw |dlat| <= bandDeg
+    // predicate planned a BroadcastNestedLoopJoin (a full fact scan per
+    // polar site batch)
+    val sites = Seq(("sp", 89.5, 10.0)).toDF("qid", "lat", "lon")
+    val pts = Seq(("p1", 89.51, 10.2), ("p2", 0.0, 0.0)).toDF("pid", "lat", "lon")
+    val df = SpatialJoin.withinDistance(sites, pts, radiusM = 25000.0)
+    val plan = physical(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"polar fallback still plans a nested-loop scan:\n${plan.take(1500)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"polar fallback is not a broadcast hash join:\n${plan.take(1500)}")
+    // and it still answers correctly
+    val got = df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("sp", "p1")))
+  }
+
+  test("as-of two-pass: pass-1 window partitions by (key, bucket)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts").cast("timestamp").as("ts"))
+    val df = AsOf.joinAsOf(
+      ev.where(col("event_id") % 2 === 0), ev.where(col("event_id") % 2 === 1),
+      bucketFn = Some(AsOf.timeBuckets(3600L * 1000000L)))
+    val plan = physical(df)
+    // the hot-key fix: the row-level carry-forward window keys on BOTH the
+    // key and the coarse time bucket (two partition expressions), so a hot
+    // key spreads across one task per bucket
+    assert("partitionBy=\\[k#\\d+L?, b#\\d+L?\\]|hashpartitioning\\(k#\\d+L?, b#\\d+L?"
+      .r.findFirstIn(plan).isDefined,
+      s"pass-1 window not partitioned by (key, bucket):\n${plan.take(2500)}")
+  }
+
   test("bucketed co-located join: zero exchange on either side") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_bucket").toString
     try {
