@@ -70,18 +70,31 @@ object Ann {
     *    sampleCap x dims doubles, e.g. 64k x 128 = 64 MB at the cap);
     *  - init: greedy k-means++ style farthest-point seeding over the sample
     *    (deterministic — no RNG: first point is sample(0), each next seed is
-    *    the sample point with MINIMUM max-cosine to the chosen set);
-    *  - `iters` Lloyd rounds with cosine assignment (ties -> lowest cid) and
-    *    renormalized mean updates; an emptied cluster keeps its centroid.
+    *    the sample point with MINIMUM max-cosine to the chosen set). One-time
+    *    driver cost O(sampleCap * k * dims) — the flops of a SINGLE Lloyd
+    *    round (~seconds at k = 1024); for k >~ 10^4 lists, swap in k-means||
+    *    seeding over the sample (published norm) — everything downstream is
+    *    unchanged;
+    *  - `iters` Lloyd rounds, each a DISTRIBUTED job over the parallelized
+    *    sample: assignment is the same single-literal `st_ivf_assign` kernel
+    *    the production index build uses (map-only, ties -> lowest cid), and
+    *    the centroid update is a (cid, dim-position) groupBy whose per-element
+    *    sums run in DECIMAL(38,18) — decimal addition is exact, so the sums
+    *    are identical under ANY partitioning/task order, which is what keeps
+    *    the whole fit bit-deterministic (a double sum would vary with
+    *    reduction order). Per round the driver only collects k x dims
+    *    (cid, pos, sum, count) rows and renormalizes — O(k * dims), not
+    *    O(sampleCap); an emptied cluster keeps its centroid.
     *
-    * Returns (cid 0..k-1, centroid) sorted by cid. At 10^9+ vectors this
-    * driver-side fit stays O(sampleCap * k * dims * iters) — independent of
-    * corpus size; the distributed cost is only the one sample scan. For
-    * k >~ 10^4 swap the seeding for k-means|| over the sample (published
-    * norm); assignment/probe/search below are unchanged either way. */
+    * Returns (cid 0..k-1, centroid) sorted by cid. At 10^9+ vectors this fit
+    * stays bounded: the distributed cost is one sample scan plus `iters`
+    * assignment jobs over at most sampleCap rows, and the driver never does
+    * O(sample * k) flops per iteration (the round-4 scale seam this
+    * replaces). */
   def kmeansFit(corpus: DataFrame, k: Int, iters: Int = 10,
                 sampleCap: Int = 65536): Array[(Long, Array[Double])] = {
     require(k >= 2, s"need k >= 2, got $k")
+    val spark = corpus.sparkSession
     val sample = corpus
       .select(col("vec_id"), col("embedding").cast("array<double>"))
       .orderBy(xxhash64(col("vec_id")), col("vec_id"))
@@ -119,31 +132,42 @@ object Ann {
       }
       seeds += pts(worstIdx)
     }
-    var cents = seeds.toArray
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(k)(new Array[Double](dim))
-      val counts = new Array[Long](k)
-      var i = 0
-      while (i < pts.length) {
-        var best = 0; var bs = Double.NegativeInfinity
-        var c = 0
-        while (c < k) {
-          val s = dot(pts(i), cents(c))
-          if (s > bs) { bs = s; best = c }
-          c += 1
+    // parallelize the (already normalized) sample once for the Lloyd jobs;
+    // the driver copy was needed for seeding anyway, so this ships it back
+    // out exactly once (bounded: sampleCap x dims doubles)
+    import spark.implicits._
+    val sampleDist = spark.sparkContext
+      .parallelize(pts.map(_.toSeq).toSeq, spark.sparkContext.defaultParallelism)
+      .toDF("emb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents = seeds.toArray
+      var it = 0
+      while (it < iters) {
+        val flat = cents.flatMap(_.toSeq).toSeq
+        val cids = (0L until k.toLong).toSeq
+        val stats = sampleDist
+          .withColumn("cid", call_function("st_ivf_assign",
+            col("emb"), typedLit(flat), typedLit(cids), lit(dim)))
+          .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(sum(col("v").cast("decimal(38,18)")).as("s"),
+            count(lit(1)).as("c"))
+          .collect()
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        stats.foreach { r =>
+          val c = r.getLong(0).toInt
+          sums(c)(r.getInt(1)) = r.getDecimal(2).doubleValue()
+          counts(c) = r.getLong(3)
         }
-        var d0 = 0
-        while (d0 < dim) { sums(best)(d0) += pts(i)(d0); d0 += 1 }
-        counts(best) += 1
-        i += 1
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c) else normalized(sums(c))
+        }
+        it += 1
       }
-      cents = Array.tabulate(k) { c =>
-        if (counts(c) == 0) cents(c) else normalized(sums(c))
-      }
-      it += 1
-    }
-    cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
+      cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
+    } finally sampleDist.unpersist()
   }
 
   /** Map-only centroid assignment: one `st_ivf_assign` kernel call per row

@@ -294,6 +294,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("kmeansFit scales to hundreds of centroids (distributed Lloyd rounds)") {
+    import spark.implicits._
+    // 4096 vectors, k=128: the regime where a driver-side Lloyd loop starts
+    // to hurt — the distributed rounds must return k sorted, unit-norm
+    // centroids that actually partition the data
+    val rng = new java.util.Random(11L)
+    val vecs = (0 until 4096).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    val cents = Ann.kmeansFit(vecs.toDF("vec_id", "embedding"), k = 128, iters = 3)
+    assert(cents.length == 128)
+    assert(cents.map(_._1).toSeq == (0L until 128L))
+    for ((_, c) <- cents) {
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid not unit-norm: $norm")
+    }
+    // every centroid distinct (no farthest-point duplicate collapse)
+    assert(cents.map(_._2.toSeq).distinct.length == 128)
+    // the assignment kernel spreads the corpus over many lists
+    val assigned = Ann.assignCids(vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")), cents)
+    assert(assigned.select("cid").distinct().count() > 64)
+  }
+
   test("kmeansFit is deterministic and parallelism-invariant") {
     import spark.implicits._
     val rng = new java.util.Random(9L)
