@@ -52,12 +52,24 @@ object SpatialJoin {
 
   /** Polygon layer -> (poly_id, ring, cell) multi-resolution covering rows.
     * Each polygon is covered at the finest level <= `level` that stays under
-    * MaxCellsPerPolygon; the geohash prefix encodes its own level. */
+    * MaxCellsPerPolygon; the geohash prefix encodes its own level.
+    *
+    * `compact` (default ON) pipes the covering through `st_compact_cells`
+    * (H3 compactCells analogue): complete 32-sibling sets collapse into
+    * their parent, shrinking the broadcast/shuffle payload the covering
+    * becomes — coverage is EXACTLY preserved and the compacted cells stay
+    * pairwise disjoint, so join results are bit-identical (gated by
+    * q31/q56). Measured on the hotspot layer: see BASELINE.md compaction
+    * A/B. Turn off only to pin a single covering level per polygon. */
   def polygonCells(polys: DataFrame, level: Int = DefaultLevel,
-                   maxCells: Int = MaxCellsPerPolygon): DataFrame =
+                   maxCells: Int = MaxCellsPerPolygon,
+                   compact: Boolean = true): DataFrame = {
+    val cover = call_function("st_cover_cells_adaptive",
+      col("ring"), lit(level), lit(maxCells))
     polys.select(col("poly_id"), col("ring"),
-      explode(call_function("st_cover_cells_adaptive",
-        col("ring"), lit(level), lit(maxCells))).as("cell"))
+      explode(if (compact) call_function("st_compact_cells", cover) else cover)
+        .as("cell"))
+  }
 
   /** Prepared polygon side: covering rows + the distinct covering levels.
     * Build once per polygon-layer version and reuse across jobs — the
@@ -81,8 +93,8 @@ object SpatialJoin {
 
   def buildIndex(polys: DataFrame, level: Int = DefaultLevel,
                  maxCells: Int = MaxCellsPerPolygon,
-                 cache: Boolean = false): PolygonIndex = {
-    val pc = polygonCells(polys, level, maxCells)
+                 cache: Boolean = false, compact: Boolean = true): PolygonIndex = {
+    val pc = polygonCells(polys, level, maxCells, compact)
     val pcc = if (cache) pc.cache() else pc
     val levels = pcc.select(length(col("cell")).as("l"))
       .distinct().collect().map(_.getInt(0)).sorted
@@ -195,11 +207,15 @@ object SpatialJoin {
     // multiplies the dimension payload by the per-polygon cell count; the
     // geometry is re-attached once per MATCHED row by a second broadcast
     // join on poly_id, where each polygon's rings ship exactly once.
+    // per-ring covering, compacted (st_compact_cells — complete sibling
+    // sets collapse, coverage exactly preserved): fewer (poly_id, cell)
+    // rows enter the dedup/prune shuffles and the broadcast below
     val cells0 = polys
       .select(col("poly_id"), explode(col("rings")).as("ring"))
       .select(col("poly_id"),
-        explode(call_function("st_cover_cells_adaptive",
-          col("ring"), lit(level), lit(maxCells))).as("cell"))
+        explode(call_function("st_compact_cells",
+          call_function("st_cover_cells_adaptive",
+            col("ring"), lit(level), lit(maxCells)))).as("cell"))
       .dropDuplicates("poly_id", "cell")
     // drop cells strictly nested under a coarser cell of the SAME polygon:
     // coverage is unchanged (the coarser cell contains them) and the
