@@ -850,6 +850,46 @@ object OracleSql {
     FROM ds ORDER BY c_custkey"""
   }
 
+  /** q86: registry datum-shift round trip — forward (datum -> WGS84) then
+    * the approximate inverse (all seven p7 parameters negated, quirk Q6)
+    * mirrored as plain arithmetic over the same derived ECEF positions.
+    * The inverse consumes the UNROUNDED forward result, exactly like the
+    * engine's chained kernels. */
+  def q86: String = {
+    val e2 = KF * (2.0 - KF)
+    val p7 = graft.core.Registry.helmert7ByDatum(6277L)
+    val sF = 1.0 + p7.ds * 1e-6
+    val sI = 1.0 + (-p7.ds) * 1e-6
+    def arc(v: Double): String = s"(${d(v)} / 3600.0) * pi() / 180.0"
+    s"""WITH pts AS ($CustomerPointsSql), c1 AS (
+      SELECT c_custkey, lat * pi() / 180.0 AS phi, lon * pi() / 180.0 AS lam FROM pts
+    ), c2 AS (
+      SELECT *, sin(phi) AS sphi, cos(phi) AS cphi,
+        ${d(KA)} / sqrt(1.0 - ${d(e2)} * sin(phi) * sin(phi)) AS nu
+      FROM c1
+    ), e AS (
+      SELECT c_custkey, (nu + 0.0) * cphi * cos(lam) AS x, (nu + 0.0) * cphi * sin(lam) AS y,
+        (nu * (1.0 - ${d(e2)}) + 0.0) * sphi AS z
+      FROM c2
+    ), rr AS (
+      SELECT *, ${arc(p7.rx)} AS frx, ${arc(p7.ry)} AS fry, ${arc(p7.rz)} AS frz,
+        ${arc(-p7.rx)} AS irx, ${arc(-p7.ry)} AS iry, ${arc(-p7.rz)} AS irz
+      FROM e
+    ), f AS (
+      SELECT c_custkey, irx, iry, irz,
+        ${d(p7.dx)} + ${d(sF)} * (x + frz * y - fry * z) AS fx,
+        ${d(p7.dy)} + ${d(sF)} * (-(frz) * x + y + frx * z) AS fy,
+        ${d(p7.dz)} + ${d(sF)} * (fry * x - frx * y + z) AS fz
+      FROM rr
+    )
+    SELECT c_custkey,
+      round(fx, 4) + 0.0 AS fx, round(fy, 4) + 0.0 AS fy, round(fz, 4) + 0.0 AS fz,
+      round(${d(-p7.dx)} + ${d(sI)} * (fx + irz * fy - iry * fz), 4) + 0.0 AS ix,
+      round(${d(-p7.dy)} + ${d(sI)} * (-(irz) * fx + fy + irx * fz), 4) + 0.0 AS iy,
+      round(${d(-p7.dz)} + ${d(sI)} * (iry * fx - irx * fy + fz), 4) + 0.0 AS iz
+    FROM f ORDER BY c_custkey"""
+  }
+
   /** q55: abridged Molodensky direct geodetic shift — published formula
     * mirror (Transform.molodenskyAbridged), WGS84 -> International 1924. */
   def q55: String = {
@@ -1408,7 +1448,8 @@ object OracleSql {
     "q52_geohash_inverse" -> q52,
     "q53_olc_inverse" -> q53,
     "q54_datum_transforms" -> q54,
-    "q55_molodensky" -> q55)
+    "q55_molodensky" -> q55,
+    "q86_datum_shift_inverse" -> q86)
 
   // ---- q36: tile polyfill (vector->raster covering) ------------------------
 

@@ -1419,6 +1419,29 @@ object SparkEntry {
       val docs = Corpus.storedDocs(s, corpusDocs(dir))
       Tiler.multiZoomHistogram(SpatialJoin.extractPoints(docs), Seq(4, 7))
         .orderBy(col("tile_z4"), col("tile_z7"))
+    }),
+    // q86: registry datum-shift ROUND TRIP — st_datum_shift_inv is the
+    // WGS84->datum direction from the SAME p7 registry row with all seven
+    // parameters negated (EPSG-style approximate reversal; quirk Q6: the
+    // negation is a first-order inverse only — the millimetre round-trip
+    // residual is gated in CoreKernelSpec). This gate pins BOTH directions'
+    // arithmetic against an independent SQL mirror of the registry row.
+    "q86_datum_shift_inverse" -> ((spark, dir) => {
+      val s = prep(spark)
+      customerPoints(s, dir)
+        .withColumn("e", call_function("st_geo_to_ecef", col("lat"), col("lon"), lit(0.0)))
+        .withColumn("fwd", call_function("st_datum_shift",
+          col("e.x"), col("e.y"), col("e.z"), lit("osgb1970")))
+        .withColumn("inv", call_function("st_datum_shift_inv",
+          col("fwd.x"), col("fwd.y"), col("fwd.z"), lit("osgb1970")))
+        .select(col("c_custkey"),
+          (round(col("fwd.x"), 4) + 0.0).as("fx"),
+          (round(col("fwd.y"), 4) + 0.0).as("fy"),
+          (round(col("fwd.z"), 4) + 0.0).as("fz"),
+          (round(col("inv.x"), 4) + 0.0).as("ix"),
+          (round(col("inv.y"), 4) + 0.0).as("iy"),
+          (round(col("inv.z"), 4) + 0.0).as("iz"))
+        .orderBy(col("c_custkey"))
     })
   )
 

@@ -214,6 +214,8 @@ object GraftFunctions {
     }),
     "st_datum_shift" -> ((a: Seq[Expression]) =>
       si(EcefT, "datumShiftToWgs84", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), str(a(3)), strict))),
+    "st_datum_shift_inv" -> ((a: Seq[Expression]) =>
+      si(EcefT, "datumShiftFromWgs84", Seq(dbl(a(0)), dbl(a(1)), dbl(a(2)), str(a(3)), strict))),
     "st_box_center" -> ((a: Seq[Expression]) =>
       si(PointT, "boxCenter", a.take(4).map(dbl), nullable = false)),
     "st_datum" -> ((a: Seq[Expression]) => si(DatumT, "datumInfo", Seq(str(a.head), strict))),

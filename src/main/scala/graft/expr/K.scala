@@ -503,6 +503,30 @@ object K {
     new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
   }
 
+  /** st_datum_shift_inv(x,y,z, datum_name): WGS84 -> datum, the EPSG-style
+    * approximate reversal of the SAME registry Helmert-7 row — all seven
+    * parameters negated (translations, arcsecond rotations, ppm scale
+    * delta). Quirk Q6 applies: negation is a FIRST-ORDER inverse of the
+    * small-angle form, not the exact matrix inverse — round-trip residual
+    * is O(rot * |T| + (rot + ds)^2 * |X|): centimetres for
+    * published-magnitude parameters (arcsec rotations, ppm scale,
+    * hundreds-of-metres translations); registry rows inherited
+    * VERBATIM from the reference CSV (ingested unscaled — hundreds of
+    * arcsec) scale the residual by the same law (both regimes gated in
+    * CoreKernelSpec). Null for unknown datum / missing parameters, like
+    * the forward shift. */
+  def datumShiftFromWgs84(x: Double, y: Double, z: Double, datum: UTF8String,
+                          strict: Boolean): InternalRow = {
+    if (datum == null) return null
+    val d = Registry.resolveDatum(datum.toString).orNull
+    if (d == null) return failIf(strict, new DatumException(s"Unknown datum [$datum]!"))
+    val p = Registry.helmert7ByDatum.get(d.epsg).orNull
+    if (p == null)
+      return failIf(strict, new DatumException(s"No transform parameters for datum [$datum]!"))
+    val r = Transform.helmert7Ppm(x, y, z, -p.dx, -p.dy, -p.dz, -p.rx, -p.ry, -p.rz, -p.ds)
+    new GenericInternalRow(Array[Any](r(0), r(1), r(2)))
+  }
+
   // ---- ellipsoid / registry lookups (foldable at plan time) ---------------
 
   /** st_box_center(south, west, north, east) -> struct<lat,lon>: midpoint of

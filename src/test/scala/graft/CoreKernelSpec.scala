@@ -265,6 +265,33 @@ class CoreKernelSpec extends AnyFunSuite {
     assert(math.abs(r(2) - 4774058.288906659) < 1e-6)
   }
 
+  test("datum-shift inverse: negated-parameter reversal round-trips within O(|X|*(rot+ds)^2) (Q6)") {
+    val (x0, y0, z0) = (3875000.0, -110000.0, 5100000.0)
+    def roundTrip(dx: Double, dy: Double, dz: Double,
+                  rx: Double, ry: Double, rz: Double, ds: Double): Double = {
+      val f = Transform.helmert7Ppm(x0, y0, z0, dx, dy, dz, rx, ry, rz, ds)
+      val b = Transform.helmert7Ppm(f(0), f(1), f(2), -dx, -dy, -dz, -rx, -ry, -rz, -ds)
+      math.sqrt(math.pow(b(0) - x0, 2) + math.pow(b(1) - y0, 2) + math.pow(b(2) - z0, 2))
+    }
+    // published-magnitude parameters (Potsdam): arcsec-scale rotations,
+    // ppm-scale ds -> the first-order inverse round-trips to centimetres
+    // (the rot*|T| cross term dominates: ~1.5e-5 rad * 700 m ~ 1 cm), and
+    // is genuinely nonzero (it is NOT the matrix inverse)
+    val sane = roundTrip(-581.99, -105.01, -414.0, 1.04, 0.35, -3.08, -8.3)
+    assert(sane < 5e-2, s"round-trip residual $sane m exceeds the Q6 envelope")
+    assert(sane > 1e-9, s"residual $sane suspiciously zero — exact inverse?")
+    // registry rows inherited VERBATIM from the reference CSV (its loader
+    // ingests unscaled values — hundreds of arcsec, 10^4 ppm): the same
+    // second-order law scales the residual to |X|*(rot+ds)^2 ~ kilometres.
+    // The inverse mirrors the convention regardless; this pins the LAW.
+    val p = Registry.helmert7ByDatum(6277L) // osgb1970, quirk magnitudes
+    val rotRad = Seq(p.rx, p.ry, p.rz).map(a => math.abs(a) / 3600.0 * math.Pi / 180.0).max
+    val tNorm = math.sqrt(p.dx * p.dx + p.dy * p.dy + p.dz * p.dz)
+    val bound = rotRad * tNorm + 6.4e6 * math.pow(rotRad + math.abs(p.ds) * 1e-6, 2) * 4
+    val quirk = roundTrip(p.dx, p.dy, p.dz, p.rx, p.ry, p.rz, p.ds)
+    assert(quirk < bound, s"quirk-magnitude residual $quirk m exceeds law bound $bound m")
+  }
+
   test("helmert3 and molodensky-badekas basics") {
     val r3 = Transform.helmert3(1, 2, 3, 10, 20, 30)
     assert(r3.toSeq == Seq(11.0, 22.0, 33.0))
