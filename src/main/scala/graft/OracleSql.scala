@@ -1936,6 +1936,9 @@ object OracleSql {
     "q73_spatial_semi_anti" -> q73(nDocs),
     "q76_multizoom_rollup" -> q76(nDocs),
     "q79_tile_pyramid" -> q79(nDocs),
+    // q87 streams to the same final state as the batch pyramid (additive
+    // counts), so it shares q79's direct-from-points oracle verbatim
+    "q87_stream_pyramid" -> q79(nDocs),
     "q81_ring_metrics" -> q81(nDocs),
     "q85_distance_join" -> q85(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),

@@ -1420,6 +1420,26 @@ object SparkEntry {
       Tiler.multiZoomHistogram(SpatialJoin.extractPoints(docs), Seq(4, 7))
         .orderBy(col("tile_z4"), col("tile_z7"))
     }),
+    // q87: STREAMING incremental tile pyramid — the ingest tick: each
+    // micro-batch (maxFilesPerTrigger=1 over the stored corpus dir) commits
+    // its base-tile delta and rebuilds the pyramid from the merged base
+    // (O(tiles) per tick, batchId-keyed delta overwrite = exactly-once).
+    // Tile counts are additive, so the final pyramid equals the batch
+    // pyramid on the whole corpus regardless of batch slicing — the oracle
+    // is exactly q79's (every zoom computed directly from the points).
+    "q87_stream_pyramid" -> ((spark, dir) => {
+      val s = prep(spark)
+      val nDocs = corpusDocs(dir)
+      val (docsPath, _) = Corpus.ensure(s, nDocs)
+      val sch = s.read.parquet(docsPath).schema
+      val outBase = scratchDir("q87", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
+      val q = graft.streaming.Streams.pyramidStream(s,
+        s.readStream.schema(sch).option("maxFilesPerTrigger", 1).parquet(docsPath),
+        outBase, minZoom = 4, maxZoom = 7, checkpoint = s"$outBase/ckpt")
+      q.awaitTermination()
+      s.read.parquet(s"$outBase/pyramid").orderBy(col("tile_id"))
+    }),
     // q86: registry datum-shift ROUND TRIP — st_datum_shift_inv is the
     // WGS84->datum direction from the SAME p7 registry row with all seven
     // parameters negated (EPSG-style approximate reversal; quirk Q6: the

@@ -89,6 +89,45 @@ object Streams {
         col("l_ts"), col("r_ts"))
   }
 
+  /** Incremental tile-pyramid maintenance from a document STREAM — the
+    * ingest tick of a production tile server: each micro-batch extracts its
+    * points (stateless kernels), aggregates the batch's base-zoom tile
+    * DELTA (O(batch points)), commits it under a batchId-keyed path
+    * (overwrite per batch id -> re-running a batch after a crash replaces
+    * its own delta instead of double-counting: exactly-once without a
+    * transactional sink), then rebuilds the pyramid from the MERGED base
+    * via [[graft.engine.Tiler.pyramidFromBase]] — O(occupied tiles), never
+    * re-reading earlier batches' points. Delta dirs grow by one aggregated
+    * histogram per tick; compact on any background cadence (the merge is
+    * an associative sum, so compaction is a plain rewrite). AvailableNow
+    * drains a staged backlog; use a processing-time trigger on a live
+    * stream. Pyramid lands at `workDir`/pyramid. */
+  def pyramidStream(spark: SparkSession, docs: DataFrame, workDir: String,
+                    minZoom: Int, maxZoom: Int,
+                    checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val pts = batch
+          .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
+          .where(col("span.kind") === "text")
+          .select(col("doc_id"),
+            call_function("st_parse_point", col("span.text")).as("pt"))
+          .where(col("pt").isNotNull)
+          .select(col("doc_id"), col("pt.lat").as("lat"), col("pt.lon").as("lon"))
+        graft.engine.Tiler.assign(pts, maxZoom)
+          .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+          .write.mode("overwrite").parquet(s"$workDir/base_deltas/b$batchId")
+        val base = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$workDir/base_deltas")
+          .groupBy(col("tile_id")).agg(sum(col("n_points")).as("n_points"))
+        graft.engine.Tiler.pyramidFromBase(base, minZoom, maxZoom)
+          .write.mode("overwrite").parquet(s"$workDir/pyramid")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class SessionState(count: Long, lastUs: Long, sessions: Long)
   final case class SessionUpdate(user_id: Long, sessions: Long, events: Long)
 

@@ -60,6 +60,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.length > 0 && got.sameElements(want))
   }
 
+  test("incremental pyramid stream equals the batch pyramid on the unioned corpus") {
+    val dir = tmp()
+    val work = tmp()
+    val docs = Corpus.documentsDf(spark, 300, partitions = 3)
+    docs.write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    // maxFilesPerTrigger=1 over 3 part files -> 3 ingest ticks: later ticks
+    // must MERGE into the committed base, not recompute from scratch
+    val q = Streams.pyramidStream(spark,
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir),
+      work, minZoom = 4, maxZoom = 7, checkpoint = s"$work/ckpt")
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$work/pyramid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = graft.engine.Tiler.pyramid(
+        SpatialJoin.extractPoints(spark.read.parquet(dir)), 4, 7)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got.nonEmpty && got == want)
+    // multiple deltas really were committed (one per tick)
+    val deltaDirs = new java.io.File(s"$work/base_deltas").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(deltaDirs.size >= 2, s"expected >= 2 ingest ticks, saw $deltaDirs")
+  }
+
   test("stream-static spatial join equals batch join") {
     val dir = tmp()
     Corpus.documentsDf(spark, 300, partitions = 3).write.mode("overwrite").parquet(dir)
