@@ -1239,12 +1239,16 @@ object OracleSql {
 
   /** Shared winnowing CTEs d/h/m (k-gram polynomial hashes — base 257,
     * exact BIGINT: codepoints * 257^4 stay under 2^63 — and window-of-w
-    * minima; unicode() == Java charAt on the ASCII corpus). ONE definition
-    * backing both q67 and q70 so the two oracles can never silently model
-    * different fingerprints than the single st_winnow kernel. */
+    * minima). unicode() counts CODEPOINTS, exactly like the kernel's
+    * codePointAt loop, so the mirror holds beyond the BMP too — the
+    * explicit BIGINT cast matters there: unicode() is INT32 and
+    * 0x10FFFF * 257^3 overflows INT32 (ASCII codepoints stayed under 2^31
+    * only by luck: 122 * 257^3 = 2.07e9). ONE definition backing both q67
+    * and q70 so the two oracles can never silently model different
+    * fingerprints than the single st_winnow kernel. */
   private def winnowCtes(docFilter: String, k: Int = 5, w: Int = 4): String = {
     val hash = (0 until k).map { j =>
-      s"unicode(substr(t, i + $j, 1)) * ${math.pow(257.0, (k - 1 - j).toDouble).toLong}"
+      s"CAST(unicode(substr(t, i + $j, 1)) AS BIGINT) * ${math.pow(257.0, (k - 1 - j).toDouble).toLong}"
     }.mkString(" + ")
     s"""d AS (SELECT doc_id, lower(text) AS t FROM documents$docFilter),
     h AS (

@@ -24,6 +24,28 @@ class ExprSpec extends AnyFunSuite {
     s
   }
 
+  test("st_winnow / st_langid iterate CODEPOINTS: non-BMP parity with the SQL-oracle pipeline") {
+    // the q67 oracle hashes unicode(substr(t, i, 1)) — CODEPOINTS. A
+    // UTF-16-unit kernel loop would hash each surrogate half separately and
+    // diverge on any astral character. Expected fingerprints computed by
+    // running the exact q67 CTE pipeline (k=5, w=4, BIGINT-cast) in DuckDB
+    // over this string (U+1D11E musical symbol + U+1F600 emoji, both
+    // surrogate pairs in UTF-16):
+    val text = "the quick 𝄞 brown fox 😀 jumps"
+    val want = Seq(141270121178L, 141337823629L, 141406115548L, 141524936658L,
+      429464565032L, 433733565740L, 446864223341L, 480421696731L, 486306306855L)
+    val got = spark.sql(s"SELECT st_winnow('$text', 5, 4) AS fp")
+      .collect()(0).getSeq[Long](0)
+    assert(got == want, s"non-BMP winnow diverged from the oracle pipeline: $got")
+    // langid trigram counting is substring-literal based, so astral noise
+    // between words must not disturb the scores (BMP trigrams cannot match
+    // inside a surrogate pair)
+    val lang = spark.sql(
+      "SELECT st_langid('the 😀 house and the 𝄞 dog of the king') AS l")
+      .collect()(0).getString(0)
+    assert(lang == "en", s"non-BMP noise broke language id: $lang")
+  }
+
   test("st_geohash + decode round trip via SQL, codegen only") {
     val rows = spark.sql(
       """SELECT st_geohash(52.205, 0.119, 7) AS h,
