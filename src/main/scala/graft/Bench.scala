@@ -10,11 +10,14 @@ object Bench {
 
   /** Benched surface: flagship spatial pipeline + relational + pipeline ops
     * (the round-1..3 set), widened in round 4 with the inverse/parse surface
-    * (q49-q55), the text/media operators (q66/q67/q70/q71), and the round-4
-    * additions (q73/q75-q80) so a regression anywhere on the scalar or
-    * pipeline surface shows up in BENCH_r*.json. Streaming rows are
-    * excluded on purpose: their wall time is dominated by sink/checkpoint
-    * staging I/O, not operator cost. */
+    * (q49-q55), the text/media operators (q66/q67/q70/q71) and the round-4
+    * additions (q73/q75-q83/q85), and in round 5 with the remaining cheap
+    * batch rows (q58, q62-q65) plus the new q86 — every non-streaming gate
+    * query is now benched, so a regression anywhere on the scalar or
+    * pipeline surface shows up in BENCH_r*.json. The six streaming rows
+    * (q57/q59/q60/q72/q84/q87) are excluded on purpose: their wall time is
+    * dominated by sink/checkpoint staging I/O, not operator cost (stated in
+    * BASELINE.md). */
   val HeadlineQueries: Seq[String] = Seq(
     "q31_spatial_join", "q33_tile_histogram", "q32_spatial_join_salted",
     "q01_pricing_agg", "q02_join_nation_revenue", "q08_tile_agg",
@@ -27,7 +30,10 @@ object Bench {
     "q55_molodensky", "q66_langid_ngram", "q67_winnow",
     "q70_winnow_neardup", "q71_media_ppm_decode",
     "q73_spatial_semi_anti", "q75_ann_ivf_trained", "q76_multizoom_rollup",
-    "q77_ann_q8", "q78_ann_ivf_q8", "q79_tile_pyramid", "q80_dedup_components", "q81_ring_metrics", "q82_asof_join", "q83_compact_cover", "q85_distance_join")
+    "q77_ann_q8", "q78_ann_ivf_q8", "q79_tile_pyramid", "q80_dedup_components",
+    "q81_ring_metrics", "q82_asof_join", "q83_compact_cover", "q85_distance_join",
+    "q58_ngram_jaccard", "q62_cell_surface", "q63_utm_registry_surface",
+    "q64_olc_parse_matmul", "q65_cover_cells", "q86_datum_shift_inverse")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —
