@@ -132,9 +132,63 @@ object Ann {
       }
       seeds += pts(worstIdx)
     }
-    // parallelize the (already normalized) sample once for the Lloyd jobs;
-    // the driver copy was needed for seeding anyway, so this ships it back
-    // out exactly once (bounded: sampleCap x dims doubles)
+    // Lloyd rounds: the assignment rule in BOTH regimes is the st_ivf_assign
+    // law (sim = dot / max(|a||b|, 1e-12), strict-> ties to the lowest cid).
+    // Below SmallFitFlops total flops the loop runs ON THE DRIVER — the
+    // whole fit is microseconds-to-milliseconds of arithmetic and per-round
+    // Spark jobs would be pure scheduling overhead (measured 4x on the q75
+    // bench row); above it, each round is a distributed job over the
+    // parallelized sample with DECIMAL centroid sums (exact, so the result
+    // is identical under any partitioning). The regime choice is a
+    // deterministic function of (sample, k, dims, iters), so the fit stays
+    // reproducible; the two regimes may differ in final-centroid ulps
+    // (double vs decimal summation), which nothing downstream pins.
+    val smallFit =
+      sample.length.toLong * k * dim * math.max(iters, 1) <= SmallFitFlops
+    if (smallFit) {
+      var cents = seeds.toArray
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](dim))
+        val counts = new Array[Long](k)
+        var i = 0
+        while (i < pts.length) {
+          // kernel-law similarity (pts/cents are normalized, but the norm
+          // factor is kept so the law matches st_ivf_assign bit-for-bit)
+          var na = 0.0
+          var d0 = 0
+          while (d0 < dim) { na += pts(i)(d0) * pts(i)(d0); d0 += 1 }
+          val sqna = math.sqrt(na)
+          var best = 0; var bs = Double.NegativeInfinity
+          var c = 0
+          while (c < k) {
+            var nb = 0.0; var dt = 0.0
+            var j = 0
+            while (j < dim) {
+              val y = cents(c)(j)
+              dt += pts(i)(j) * y
+              nb += y * y
+              j += 1
+            }
+            val s = dt / math.max(sqna * math.sqrt(nb), 1e-12)
+            if (s > bs) { bs = s; best = c }
+            c += 1
+          }
+          var d1 = 0
+          while (d1 < dim) { sums(best)(d1) += pts(i)(d1); d1 += 1 }
+          counts(best) += 1
+          i += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c) else normalized(sums(c))
+        }
+        it += 1
+      }
+      return cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
+    }
+    // distributed regime: parallelize the (already normalized) sample once
+    // for the Lloyd jobs; the driver copy was needed for seeding anyway, so
+    // this ships it back out exactly once (bounded: sampleCap x dims doubles)
     import spark.implicits._
     val sampleDist = spark.sparkContext
       .parallelize(pts.map(_.toSeq).toSeq, spark.sparkContext.defaultParallelism)
@@ -169,6 +223,13 @@ object Ann {
       cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
     } finally sampleDist.unpersist()
   }
+
+  /** Driver-vs-distributed Lloyd regime threshold (total flops for the whole
+    * fit): 2e8 is well under a second of scalar arithmetic — below it the
+    * per-round Spark-job scheduling dominates any distributed win. The q75
+    * gate (2048 x 16 x dims x 5) sits below; a k=1024 production fit sits
+    * far above. */
+  val SmallFitFlops: Long = 200000000L
 
   /** Map-only centroid assignment: one `st_ivf_assign` kernel call per row
     * with the centroid matrix shipped as a SINGLE flat array literal (plus a

@@ -291,8 +291,11 @@ object Dedup {
         val nbrMin = edges
           .join(labels.select(col("id").as("src"), col("rep").as("srep")), Seq("src"))
           .groupBy(col("dst").as("id")).agg(min(col("srep")).as("nmin"))
+        // keep the previous rep alongside: the change flag is computed
+        // INSIDE the round's plan, so convergence detection costs a scan of
+        // the committed snapshot instead of an extra self-join per round
         val propagated = labels.join(nbrMin, Seq("id"), "left_outer")
-          .select(col("id"),
+          .select(col("id"), col("rep").as("rep0"),
             least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
         // pointer doubling against the PREVIOUS round's (file-backed) map:
         // rep_{r-1}(u) >= rep_r(u) and both are valid shrinking pointers
@@ -303,12 +306,11 @@ object Dedup {
         val shortcut = propagated
           .join(labels.select(col("id").as("rep"), col("rep").as("rep2")),
             Seq("rep"), "left_outer")
-          .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+          .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"),
+            (coalesce(col("rep2"), col("rep")) =!= col("rep0")).as("chg"))
         val next = rounds.commit(shortcut)
-        changed = next.alias("n")
-          .join(labels.alias("o"), col("n.id") === col("o.id"))
-          .where(col("n.rep") =!= col("o.rep")).count()
-        rounds.dropPrevious() // the compare above was the last read of r-1
+        changed = next.where(col("chg")).count()
+        rounds.dropPrevious() // the count above was the last read of r-1
         labels = next
         i += 1
       }

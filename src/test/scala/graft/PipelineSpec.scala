@@ -296,24 +296,32 @@ class PipelineSpec extends AnyFunSuite {
 
   test("kmeansFit scales to hundreds of centroids (distributed Lloyd rounds)") {
     import spark.implicits._
-    // 4096 vectors, k=128: the regime where a driver-side Lloyd loop starts
-    // to hurt — the distributed rounds must return k sorted, unit-norm
-    // centroids that actually partition the data
+    // 4096 x 64-dim vectors, k=256, iters=4: 2.7e8 total flops — ABOVE
+    // Ann.SmallFitFlops, so this exercises the DISTRIBUTED Lloyd regime
+    // (the k~1000 production shape); it must return k sorted, unit-norm
+    // centroids that actually partition the data, identically under any
+    // parallelism (exact decimal sums)
+    assert(4096L * 256 * 64 * 4 > Ann.SmallFitFlops, "test no longer hits the distributed regime")
     val rng = new java.util.Random(11L)
-    val vecs = (0 until 4096).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
-    val cents = Ann.kmeansFit(vecs.toDF("vec_id", "embedding"), k = 128, iters = 3)
-    assert(cents.length == 128)
-    assert(cents.map(_._1).toSeq == (0L until 128L))
+    val vecs = (0 until 4096).map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+    val cents = Ann.kmeansFit(vecs.toDF("vec_id", "embedding").repartition(3),
+      k = 256, iters = 4)
+    assert(cents.length == 256)
+    assert(cents.map(_._1).toSeq == (0L until 256L))
     for ((_, c) <- cents) {
       val norm = math.sqrt(c.map(x => x * x).sum)
       assert(math.abs(norm - 1.0) < 1e-9, s"centroid not unit-norm: $norm")
     }
     // every centroid distinct (no farthest-point duplicate collapse)
-    assert(cents.map(_._2.toSeq).distinct.length == 128)
+    assert(cents.map(_._2.toSeq).distinct.length == 256)
+    // distributed-regime determinism: different input partitioning, same bits
+    val cents2 = Ann.kmeansFit(vecs.toDF("vec_id", "embedding").repartition(7),
+      k = 256, iters = 4)
+    assert(cents.map(_._2.toSeq).toSeq == cents2.map(_._2.toSeq).toSeq)
     // the assignment kernel spreads the corpus over many lists
     val assigned = Ann.assignCids(vecs.toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")), cents)
-    assert(assigned.select("cid").distinct().count() > 64)
+    assert(assigned.select("cid").distinct().count() > 128)
   }
 
   test("kmeansFit is deterministic and parallelism-invariant") {
