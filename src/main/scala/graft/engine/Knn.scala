@@ -83,6 +83,12 @@ object Knn {
     // adaptive loop.
     Durable.ensureCheckpointDir(spark)
     def durable(df: DataFrame): DataFrame = Durable.durable(df)
+    // superseded `unresolved` snapshots are deleted as soon as the next
+    // round commits (Durable.Rounds) — without this a long-lived session
+    // retains every round of every knn call. The per-round `parts`
+    // checkpoints stay until JVM exit by design: they BACK the returned
+    // result (bounded: <= maxRounds + 1 small query-side sets per call).
+    val rounds = new Durable.Rounds(spark, "knn")
     val pts = points
       .select(col("pid"), col("lat").as("p_lat"), col("lon").as("p_lon"))
       .withColumn("cell", cf("st_cell", col("p_lat"), col("p_lon"), lit(level)))
@@ -132,7 +138,9 @@ object Knn {
       // checkpoint: without this the unresolved plan references itself twice
       // per round (directly and via resolvedQ), re-executing every earlier
       // round's disk join on each isEmpty/join/crossJoin
-      unresolved = durable(unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti"))
+      unresolved = rounds.commit(
+        unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti"))
+      rounds.dropPrevious() // this round's parts snapshot is already on disk
       round += 1
     }
     // Exact completion for the residual: queries still unresolved after
