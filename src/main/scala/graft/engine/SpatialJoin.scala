@@ -54,16 +54,27 @@ object SpatialJoin {
     * Each polygon is covered at the finest level <= `level` that stays under
     * MaxCellsPerPolygon; the geohash prefix encodes its own level.
     *
-    * `compact` (default ON) pipes the covering through `st_compact_cells`
-    * (H3 compactCells analogue): complete 32-sibling sets collapse into
-    * their parent, shrinking the broadcast/shuffle payload the covering
-    * becomes — coverage is EXACTLY preserved and the compacted cells stay
-    * pairwise disjoint, so join results are bit-identical (gated by
-    * q31/q56). Measured on the hotspot layer: see BASELINE.md compaction
-    * A/B. Turn off only to pin a single covering level per polygon. */
+    * `compact` pipes the covering through `st_compact_cells` (H3
+    * compactCells analogue): complete 32-sibling sets collapse into their
+    * parent, shrinking the broadcast/shuffle payload the covering becomes
+    * (-41% rows on the hotspot layer) — coverage is EXACTLY preserved and
+    * the compacted cells stay pairwise disjoint, so join results are
+    * bit-identical (gated by q31/q56). Default OFF here on purpose: the
+    * per-level EXPLODE join ([[joinWithIndex]]) multiplies the FACT-side
+    * probe stream by the number of distinct covering levels, and
+    * compacting a single-level adaptive covering introduces coarser levels
+    * — measured ~25% slower end-to-end on the explode path at sf0.1
+    * (BASELINE.md compaction A/B) and strictly worse at 100 TB, where the
+    * probe stream is the dominant cost. Turn it ON when the covering
+    * itself is the bottleneck: [[joinRangeWithIndex]] (one probe row per
+    * point regardless of levels), memory-constrained broadcasts, or very
+    * large layers on the non-broadcast path. [[joinMulti]] compacts
+    * unconditionally — its covering is already multi-level and flows
+    * through dimension-side shuffles the compaction shrinks (measured
+    * parity-to-better there). */
   def polygonCells(polys: DataFrame, level: Int = DefaultLevel,
                    maxCells: Int = MaxCellsPerPolygon,
-                   compact: Boolean = true): DataFrame = {
+                   compact: Boolean = false): DataFrame = {
     val cover = call_function("st_cover_cells_adaptive",
       col("ring"), lit(level), lit(maxCells))
     polys.select(col("poly_id"), col("ring"),
@@ -93,7 +104,7 @@ object SpatialJoin {
 
   def buildIndex(polys: DataFrame, level: Int = DefaultLevel,
                  maxCells: Int = MaxCellsPerPolygon,
-                 cache: Boolean = false, compact: Boolean = true): PolygonIndex = {
+                 cache: Boolean = false, compact: Boolean = false): PolygonIndex = {
     val pc = polygonCells(polys, level, maxCells, compact)
     val pcc = if (cache) pc.cache() else pc
     val levels = pcc.select(length(col("cell")).as("l"))
