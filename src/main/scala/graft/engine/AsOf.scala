@@ -37,7 +37,8 @@ object AsOf {
     * (null when no right row precedes). EVERY left row is returned: a left
     * row with a NULL timestamp matches nothing (`v.ts <= c.ts` is never true
     * for null — the SQL semantics) and comes back with null asof_id/asof_ts;
-    * null-ts RIGHT rows carry no position on the time axis and are ignored.
+    * RIGHT rows with a null timestamp (no position on the time axis) or a
+    * null id (no referencable identity to match) are ignored.
     *
     * `bucketFn` (optional): a MONOTONE NON-DECREASING coarse time-bucket id
     * over the ts column (e.g. [[timeBuckets]]) enables the two-pass skewed
@@ -55,7 +56,11 @@ object AsOf {
     val idType = right.schema(idCol).dataType
     val tsType = right.schema(tsCol).dataType
     // a null-ts RIGHT row would sort FIRST in the window (nulls-first) and
-    // become a spurious carry-forward match with asof_ts = null; drop those.
+    // become a spurious carry-forward match with asof_ts = null; a null-ID
+    // right row carries no referencable identity (the match IS its id) and
+    // would split the (asof_id, asof_ts) pair across two rows in the
+    // ignoreNulls carry — drop both kinds, on every code path, so the
+    // one-pass and bucketed variants can never diverge on them.
     // Null-ts LEFT rows stay IN: they sort nulls-first too, so their frame
     // holds only other null-ts left rows (every right row with a real ts is
     // after them, and null-ts right rows are gone), making their
@@ -64,7 +69,7 @@ object AsOf {
     val l = left
       .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("lid"))
       .withColumn("side", lit(1)).withColumn("rid", lit(null).cast(idType))
-    val r = right.where(col(tsCol).isNotNull)
+    val r = right.where(col(tsCol).isNotNull && col(idCol).isNotNull)
       .select(col(keyCol).as("k"), col(tsCol).as("t"), col(idCol).as("rid"))
       .withColumn("side", lit(0)).withColumn("lid", lit(null).cast(idType))
     val u = l.unionByName(r)

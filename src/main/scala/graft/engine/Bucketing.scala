@@ -73,8 +73,17 @@ object Bucketing {
         case rx(pidS, startS) =>
           (pidS.toLongOption, startS.toLongOption) match {
             case (Some(pid), Some(start)) =>
+              // dead = no live process with that pid, OR a live one whose
+              // start instant is KNOWN and differs (recycled pid). An
+              // unreadable start instant (other-user process, restricted
+              // /proc) must count as LIVE — treating unknown as recycled
+              // would let a concurrent sweep drop a running JVM's tables,
+              // the exact scenario the scoped names protect against.
               val dead = pid != self && java.lang.ProcessHandle.of(pid)
-                .map[java.lang.Boolean](h => !(h.isAlive && startSeconds(h) == start))
+                .map[java.lang.Boolean] { h =>
+                  val s = startSeconds(h)
+                  !(h.isAlive && (s == -1L || s == start))
+                }
                 .orElse(true)
               if (dead) drop(tbl.name)
             case _ => ()

@@ -158,6 +158,11 @@ object Knn {
         .select("qid", "pid", "dist", "rank")
       parts += durable(rest)
     }
+    // the residual pass above was the last reader of the unresolved set —
+    // every surviving result row lives in the separately-durable `parts`
+    // snapshots, so the final unresolved checkpoint is reclaimable NOW
+    // rather than at JVM exit (one stale snapshot per call otherwise)
+    rounds.close()
     pts.unpersist()
     // union of per-round checkpointed pieces: each piece was written exactly
     // once; the union itself is lineage-cheap (reads the checkpoint files).

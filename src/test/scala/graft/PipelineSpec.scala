@@ -372,20 +372,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(12L) == (None, None)) // user 2 has no views
   }
 
-  test("as-of join keeps null-ts left rows (null match) and ignores null-ts right rows") {
+  test("as-of join keeps null-ts left rows (null match) and ignores null-ts/null-id right rows") {
     import spark.implicits._
-    val clicks = Seq((1L, Some(100L), 10L), (1L, None, 11L), (2L, None, 12L))
+    val clicks = Seq((1L, Some(100L), Some(10L)), (1L, None, Some(11L)), (2L, None, Some(12L)))
       .toDF("user_id", "ts", "event_id")
-    val views = Seq((1L, Some(60L), 20L), (1L, None, 21L), (2L, None, 22L))
+    // the null-ID view at ts=80 has no referencable identity: it must not
+    // become the match NOR donate its ts to another row's asof_ts (the
+    // pair must come from ONE row — and both code paths must agree)
+    val views = Seq((1L, Some(60L), Some(20L)), (1L, Some(80L), None),
+      (1L, None, Some(21L)), (2L, None, Some(22L)))
       .toDF("user_id", "ts", "event_id")
-    val got = engine.AsOf.joinAsOf(clicks, views).collect()
-      .map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)))).toMap
-    // every left row comes back, null-ts ones with a null match; a null-ts
-    // right row must never be carried forward as a spurious match
-    assert(got.keySet == Set(10L, 11L, 12L))
-    assert(got(10L) == (Some(20L), Some(60L)))
-    assert(got(11L) == (None, None))
-    assert(got(12L) == (None, None))
+    for (bf <- Seq(None, Some((t: org.apache.spark.sql.Column) =>
+      floor(t / lit(50L)).cast("long")))) {
+      val got = engine.AsOf.joinAsOf(clicks, views, bucketFn = bf).collect()
+        .map(r => r.getLong(1) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+      assert(got.keySet == Set(10L, 11L, 12L))
+      assert(got(10L) == (Some(20L), Some(60L)), s"bucketFn=$bf")
+      assert(got(11L) == (None, None))
+      assert(got(12L) == (None, None))
+    }
   }
 
   test("as-of join: time-bucketed two-pass equals one-pass and splits a hot key") {
