@@ -68,13 +68,15 @@ object Ann {
     *    order — a uniform pseudo-random draw that is identical under any
     *    partitioning/parallelism, collected once (bounded driver memory:
     *    sampleCap x dims doubles, e.g. 64k x 128 = 64 MB at the cap);
-    *  - init: greedy k-means++ style farthest-point seeding over the sample
-    *    (deterministic — no RNG: first point is sample(0), each next seed is
-    *    the sample point with MINIMUM max-cosine to the chosen set). One-time
-    *    driver cost O(sampleCap * k * dims) — the flops of a SINGLE Lloyd
-    *    round (~seconds at k = 1024); for k >~ 10^4 lists, swap in k-means||
-    *    seeding over the sample (published norm) — everything downstream is
-    *    unchanged;
+    *  - init: below [[ParallelSeedK]] lists, greedy farthest-point seeding
+    *    over the sample (deterministic — no RNG: first point is sample(0),
+    *    each next seed is the sample point with MINIMUM max-cosine to the
+    *    chosen set; one-time driver cost O(sampleCap * k * dims) — the
+    *    flops of a single Lloyd round). At k >= ParallelSeedK,
+    *    DETERMINISTIC k-means|| ([[seedParallel]]): the k sequential
+    *    driver passes become `SeedRounds` distributed cost jobs, so
+    *    seeding stays bounded to the k ~ sqrt(N) ~ 10^4 lists a
+    *    10^9-vector corpus wants;
     *  - `iters` Lloyd rounds, each a DISTRIBUTED job over the parallelized
     *    sample: assignment is the same single-literal `st_ivf_assign` kernel
     *    the production index build uses (map-only, ties -> lowest cid), and
@@ -116,21 +118,26 @@ object Ann {
       while (i < dim) { s += a(i) * b(i); i += 1 }
       s
     }
-    // farthest-point seeding (deterministic k-means++ analogue)
-    val seeds = scala.collection.mutable.ArrayBuffer(pts(0))
-    val bestSim = Array.fill(pts.length)(Double.NegativeInfinity)
-    while (seeds.length < k) {
-      val last = seeds.last
-      var worstIdx = -1
-      var worstSim = Double.PositiveInfinity
-      var i = 0
-      while (i < pts.length) {
-        val s = dot(pts(i), last)
-        if (s > bestSim(i)) bestSim(i) = s
-        if (bestSim(i) < worstSim) { worstSim = bestSim(i); worstIdx = i }
-        i += 1
+    // farthest-point seeding (deterministic k-means++ analogue): one driver
+    // pass over the sample per seed — O(sample * k * dim) one-time, fine to
+    // k ~ 10^3; [[seedParallel]] (k-means||) takes over above ParallelSeedK
+    def farthestPointSeeds(): Array[Array[Double]] = {
+      val seeds = scala.collection.mutable.ArrayBuffer(pts(0))
+      val bestSim = Array.fill(pts.length)(Double.NegativeInfinity)
+      while (seeds.length < k) {
+        val last = seeds.last
+        var worstIdx = -1
+        var worstSim = Double.PositiveInfinity
+        var i = 0
+        while (i < pts.length) {
+          val s = dot(pts(i), last)
+          if (s > bestSim(i)) bestSim(i) = s
+          if (bestSim(i) < worstSim) { worstSim = bestSim(i); worstIdx = i }
+          i += 1
+        }
+        seeds += pts(worstIdx)
       }
-      seeds += pts(worstIdx)
+      seeds.toArray
     }
     // Lloyd rounds: the assignment rule in BOTH regimes is the st_ivf_assign
     // law (sim = dot / max(|a||b|, 1e-12), strict-> ties to the lowest cid).
@@ -157,7 +164,7 @@ object Ann {
         math.sqrt(n)
       }
       val ptNorm = pts.map(selfNorm)
-      var cents = seeds.toArray
+      var cents = farthestPointSeeds()
       var it = 0
       while (it < iters) {
         val centNorm = cents.map(selfNorm)
@@ -189,15 +196,21 @@ object Ann {
       return cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
     }
     // distributed regime: parallelize the (already normalized) sample once
-    // for the Lloyd jobs; the driver copy was needed for seeding anyway, so
-    // this ships it back out exactly once (bounded: sampleCap x dims doubles)
+    // for the seeding + Lloyd jobs; the driver copy was needed for the
+    // deterministic hash-order draw anyway, so this ships it back out
+    // exactly once (bounded: sampleCap x dims doubles). `sid` is the
+    // sample's deterministic hash-order position — the row identity the
+    // k-means|| threshold draw and candidate ordering key on.
     import spark.implicits._
     val sampleDist = spark.sparkContext
-      .parallelize(pts.map(_.toSeq).toSeq, spark.sparkContext.defaultParallelism)
-      .toDF("emb")
+      .parallelize(pts.zipWithIndex.map { case (p, i) => (i.toLong, p.toSeq) }.toSeq,
+        spark.sparkContext.defaultParallelism)
+      .toDF("sid", "emb")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var cents = seeds.toArray
+      var cents =
+        if (k >= ParallelSeedK) seedParallel(sampleDist, k, dim)
+        else farthestPointSeeds()
       var it = 0
       while (it < iters) {
         val flat = cents.flatMap(_.toSeq).toSeq
@@ -232,6 +245,131 @@ object Ann {
     * gate (2048 x 16 x dims x 5) sits below; a k=1024 production fit sits
     * far above. */
   val SmallFitFlops: Long = 200000000L
+
+  /** List count above which the distributed regime seeds with k-means||
+    * instead of driver farthest-point: farthest-point is O(sample * k *
+    * dim) serial driver flops (a few seconds at k = 1024, ~minutes at the
+    * k ~ sqrt(N) ~ 3*10^4 a 10^9-vector corpus wants) — k-means|| replaces
+    * the k sequential driver passes with `SeedRounds` distributed cost
+    * jobs whose total work is ~(SeedRounds^2/2) * sample * l * dim spread
+    * across the cluster. With l = k oversampling the crossover on this
+    * 32-thread sandbox sits near k ~ 2048; on a real cluster it moves
+    * lower still. */
+  val ParallelSeedK: Int = 2048
+  private val SeedRounds = 5
+
+  /** Sample rows used for candidate WEIGHTS (reduction quality heuristic):
+    * weights steer the weighted farthest-point reduction, they do not
+    * affect correctness — a bounded deterministic prefix keeps the
+    * assignment job O(WeightSample * |cands| * dim) instead of scaling
+    * with the full sample. */
+  private val WeightSample = 16384L
+
+  /** DETERMINISTIC k-means|| seeding (Bahmani et al., VLDB 2012) over the
+    * parallelized sample (sid, emb — emb normalized):
+    *
+    *  - c0 = the hash-order-first sample vector (sid 0);
+    *  - `SeedRounds` rounds: every point's cost = 1 - maxsim to the current
+    *    candidate set (the `st_ivf_maxsim` kernel — one map-only job with
+    *    the candidates as a single flat literal, the same plan shape as
+    *    assignment); phi = DECIMAL sum of costs (exact, order-independent);
+    *    a point joins the candidate set iff u(sid, round) * phi <
+    *    2k * cost, where u is an xxhash64-derived uniform in [0, 1) — the
+    *    Bahmani l = 2k oversampling with the RNG replaced by a per-row
+    *    hash, so the draw is identical under any partitioning (Bahmani
+    *    oversampling l = k — measured on this host, l = 2k doubled every
+    *    cost job for no reduction-quality gain);
+    *  - candidate weights = per-candidate assignment counts over the first
+    *    [[WeightSample]] sample rows (st_ivf_assign + groupBy count — a
+    *    deterministic bounded prefix; weights only steer the reduction);
+    *  - reduction to k: deterministic WEIGHTED farthest-point over the
+    *    ~2k * rounds candidates (start at the max-weight candidate, then
+    *    argmax weight * (1 - best-sim-so-far), ties to the lowest
+    *    candidate index) — O(|cands| * k * dim) driver flops over the
+    *    CANDIDATE set only, independent of the sample size.
+    *
+    * Short draws (adversarially concentrated cost) are padded with the
+    * first not-yet-chosen sids — deterministic, and only reachable when
+    * nearly every sample point is already a candidate. */
+  private def seedParallel(sampleDist: DataFrame, k: Int, dim: Int): Array[Array[Double]] = {
+    val first = sampleDist.where(col("sid") === 0)
+      .select(col("emb")).head.getSeq[Double](0).toArray
+    val cands = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]((0L, first))
+    val chosen = scala.collection.mutable.HashSet(0L)
+    var r = 1
+    var done = false
+    while (r <= SeedRounds && !done && cands.length < 16 * k) {
+      val flat = typedLit(cands.flatMap(_._2.toSeq).toSeq)
+      val withCost = sampleDist.withColumn("cost",
+        greatest(lit(0.0), lit(1.0) -
+          call_function("st_ivf_maxsim", col("emb"), flat, lit(dim))))
+      val phi = withCost
+        .agg(sum(col("cost").cast("decimal(38,18)")).as("p")).head.getDecimal(0)
+      if (phi == null || phi.signum() == 0) done = true // every point is a center
+      else {
+        val phiD = phi.doubleValue()
+        val u = shiftrightunsigned(xxhash64(col("sid"), lit(r)), 11).cast("double") /
+          lit((1L << 53).toDouble)
+        val sel = withCost.where(u * lit(phiD) < lit(1.0 * k) * col("cost"))
+          .select(col("sid"), col("emb")).orderBy(col("sid")).collect()
+        sel.foreach { row =>
+          val sid = row.getLong(0)
+          if (!chosen(sid)) {
+            chosen += sid
+            cands += ((sid, row.getSeq[Double](1).toArray))
+          }
+        }
+        r += 1
+      }
+    }
+    if (cands.length < k) {
+      // pad deterministically with the first unchosen sids
+      val need = k - cands.length
+      val extra = sampleDist.where(!col("sid").isInCollection(chosen.toSeq))
+        .orderBy(col("sid")).limit(need).select(col("sid"), col("emb")).collect()
+      extra.foreach(row => cands += ((row.getLong(0), row.getSeq[Double](1).toArray)))
+      require(cands.length >= k,
+        s"k-means|| produced only ${cands.length} candidates for k=$k")
+    }
+    // candidate weights from one assignment job over a bounded prefix
+    val flatAll = typedLit(cands.flatMap(_._2.toSeq).toSeq)
+    val cidAll = typedLit(cands.indices.map(_.toLong))
+    val weights = new Array[Long](cands.length)
+    sampleDist.where(col("sid") < WeightSample)
+      .withColumn("cid", call_function("st_ivf_assign",
+        col("emb"), flatAll, cidAll, lit(dim)))
+      .groupBy(col("cid")).count().collect()
+      .foreach(row => weights(row.getLong(0).toInt) = row.getLong(1))
+    // weighted farthest-point reduction to k (deterministic ties)
+    val m = cands.length
+    val vecs = cands.map(_._2).toArray
+    val taken = new Array[Boolean](m)
+    val bestSim = Array.fill(m)(Double.NegativeInfinity)
+    var startIdx = 0
+    var i = 1
+    while (i < m) { if (weights(i) > weights(startIdx)) startIdx = i; i += 1 }
+    val seeds = scala.collection.mutable.ArrayBuffer(vecs(startIdx))
+    taken(startIdx) = true
+    while (seeds.length < k) {
+      val last = seeds.last
+      var nextIdx = -1
+      var nextScore = Double.NegativeInfinity
+      var j = 0
+      while (j < m) {
+        if (!taken(j)) {
+          var dt = 0.0; var d0 = 0
+          while (d0 < dim) { dt += vecs(j)(d0) * last(d0); d0 += 1 }
+          if (dt > bestSim(j)) bestSim(j) = dt
+          val score = weights(j).toDouble * (1.0 - bestSim(j))
+          if (score > nextScore) { nextScore = score; nextIdx = j }
+        }
+        j += 1
+      }
+      seeds += vecs(nextIdx)
+      taken(nextIdx) = true
+    }
+    seeds.toArray
+  }
 
   /** Map-only centroid assignment: one `st_ivf_assign` kernel call per row
     * with the centroid matrix shipped as a SINGLE flat array literal (plus a

@@ -348,6 +348,10 @@ object GraftFunctions {
       si(LongType, "ivfAssign",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)),
           Cast(a(2), ArrayType(LongType)), int(a(3))))),
+    "st_ivf_maxsim" -> ((a: Seq[Expression]) =>
+      si(DoubleType, "ivfMaxSim",
+        Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)),
+          int(a(2))))),
     "st_lsh_keys" -> ((a: Seq[Expression]) =>
       si(ArrayType(LongType), "lshKeys64",
         Seq(Cast(a(0), ArrayType(DoubleType)), int(a(1)), int(a(2)), int(a(3))))),

@@ -1117,6 +1117,47 @@ object K {
     java.lang.Long.valueOf(bestId)
   }
 
+  /** st_ivf_maxsim(emb, centsFlat, dim): the MAXIMUM cosine similarity of
+    * `emb` against the row-major flattened centroid matrix — the cost
+    * kernel for k-means|| seeding (cost(x) = 1 - maxsim). Identical
+    * accumulation law and null discipline as [[ivfAssign]] (which returns
+    * the argmax id instead of the max value). */
+  def ivfMaxSim(emb: ArrayData, centsFlat: ArrayData, dim: Int): java.lang.Double = {
+    if (emb == null || centsFlat == null) return null
+    if (dim <= 0 || emb.numElements() != dim) return null
+    var nc0 = 0
+    while (nc0 < dim) {
+      if (emb.isNullAt(nc0)) return null
+      nc0 += 1
+    }
+    val e = emb.toDoubleArray()
+    val cm = centsFlat.toDoubleArray()
+    if (cm.length == 0 || cm.length % dim != 0) return null
+    val n = cm.length / dim
+    var na = 0.0
+    var i = 0
+    while (i < dim) { na += e(i) * e(i); i += 1 }
+    val sqna = math.sqrt(na)
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < n) {
+      val off = c * dim
+      var dot = 0.0
+      var nb = 0.0
+      var j = 0
+      while (j < dim) {
+        val y = cm(off + j)
+        dot += e(j) * y
+        nb += y * y
+        j += 1
+      }
+      val sim = dot / math.max(sqna * math.sqrt(nb), 1e-12)
+      if (sim > best) best = sim
+      c += 1
+    }
+    java.lang.Double.valueOf(best)
+  }
+
   def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
     if (a == null || b == null) return null
     // ragged input -> NULL (matching the zip_with formulation's null

@@ -324,6 +324,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(assigned.select("cid").distinct().count() > 128)
   }
 
+  test("kmeansFit at k >= ParallelSeedK: k-means|| seeding, deterministic and distinct") {
+    import spark.implicits._
+    // k = 2048 over 4096 x 32-dim vectors with iters=1 crosses BOTH
+    // thresholds (SmallFitFlops and ParallelSeedK), so this exercises the
+    // full scale path: k-means|| candidate rounds -> weighted reduction ->
+    // one distributed Lloyd round. Must be repartition-invariant (hash
+    // draws + decimal sums are partitioning-free) and yield k distinct
+    // unit-norm centroids.
+    assert(2048 >= Ann.ParallelSeedK)
+    assert(4096L * 2048 * 32 * 1 > Ann.SmallFitFlops)
+    val rng = new java.util.Random(23L)
+    val vecs = (0 until 4096).map(i => (i.toLong, Seq.fill(32)(rng.nextGaussian())))
+    val a = Ann.kmeansFit(vecs.toDF("vec_id", "embedding").repartition(3), k = 2048, iters = 1)
+    val b = Ann.kmeansFit(vecs.toDF("vec_id", "embedding").repartition(8), k = 2048, iters = 1)
+    assert(a.length == 2048 && a.map(_._1).toSeq == (0L until 2048L))
+    assert(a.map(_._2.toSeq).toSeq == b.map(_._2.toSeq).toSeq,
+      "k-means|| fit not partitioning-invariant")
+    assert(a.map(_._2.toSeq).distinct.length == 2048, "duplicate centroids")
+    for ((_, c) <- a.take(50)) {
+      val norm = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9)
+    }
+  }
+
   test("kmeansFit is deterministic and parallelism-invariant") {
     import spark.implicits._
     val rng = new java.util.Random(9L)
