@@ -209,7 +209,7 @@ object Ann {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       var cents =
-        if (k >= ParallelSeedK) seedParallel(sampleDist, k, dim)
+        if (k >= ParallelSeedK) seedParallel(sampleDist, pts(0), k, dim)
         else farthestPointSeeds()
       var it = 0
       while (it < iters) {
@@ -274,53 +274,60 @@ object Ann {
     *    the candidates as a single flat literal, the same plan shape as
     *    assignment); phi = DECIMAL sum of costs (exact, order-independent);
     *    a point joins the candidate set iff u(sid, round) * phi <
-    *    2k * cost, where u is an xxhash64-derived uniform in [0, 1) — the
-    *    Bahmani l = 2k oversampling with the RNG replaced by a per-row
-    *    hash, so the draw is identical under any partitioning (Bahmani
-    *    oversampling l = k — measured on this host, l = 2k doubled every
-    *    cost job for no reduction-quality gain);
+    *    k * cost, where u is an xxhash64-derived uniform in [0, 1) — the
+    *    Bahmani draw with the RNG replaced by a per-row hash, so it is
+    *    identical under any partitioning, at oversampling l = k (l = 2k
+    *    doubled every cost job for no reduction-quality gain on this
+    *    host);
     *  - candidate weights = per-candidate assignment counts over the first
     *    [[WeightSample]] sample rows (st_ivf_assign + groupBy count — a
     *    deterministic bounded prefix; weights only steer the reduction);
     *  - reduction to k: deterministic WEIGHTED farthest-point over the
-    *    ~2k * rounds candidates (start at the max-weight candidate, then
-    *    argmax weight * (1 - best-sim-so-far), ties to the lowest
-    *    candidate index) — O(|cands| * k * dim) driver flops over the
-    *    CANDIDATE set only, independent of the sample size.
+    *    ~k * rounds candidates (start at the max-weight candidate, then
+    *    argmax (weight + 1) * (1 - best-sim-so-far) — the +1 keeps the
+    *    distance criterion alive for candidates outside the weight
+    *    prefix, which would otherwise all score an indistinguishable 0 —
+    *    ties to the lowest candidate index); O(|cands| * k * dim) driver
+    *    flops over the CANDIDATE set only, independent of sample size.
     *
     * Short draws (adversarially concentrated cost) are padded with the
     * first not-yet-chosen sids — deterministic, and only reachable when
     * nearly every sample point is already a candidate. */
-  private def seedParallel(sampleDist: DataFrame, k: Int, dim: Int): Array[Array[Double]] = {
-    val first = sampleDist.where(col("sid") === 0)
-      .select(col("emb")).head.getSeq[Double](0).toArray
+  private def seedParallel(sampleDist: DataFrame, first: Array[Double],
+                           k: Int, dim: Int): Array[Array[Double]] = {
     val cands = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]((0L, first))
     val chosen = scala.collection.mutable.HashSet(0L)
     var r = 1
     var done = false
     while (r <= SeedRounds && !done && cands.length < 16 * k) {
       val flat = typedLit(cands.flatMap(_._2.toSeq).toSeq)
+      // persist: the phi aggregation and the threshold selection are two
+      // actions over the same cost projection — without the cache each
+      // round's dominant maxsim scan would run TWICE
       val withCost = sampleDist.withColumn("cost",
         greatest(lit(0.0), lit(1.0) -
           call_function("st_ivf_maxsim", col("emb"), flat, lit(dim))))
-      val phi = withCost
-        .agg(sum(col("cost").cast("decimal(38,18)")).as("p")).head.getDecimal(0)
-      if (phi == null || phi.signum() == 0) done = true // every point is a center
-      else {
-        val phiD = phi.doubleValue()
-        val u = shiftrightunsigned(xxhash64(col("sid"), lit(r)), 11).cast("double") /
-          lit((1L << 53).toDouble)
-        val sel = withCost.where(u * lit(phiD) < lit(1.0 * k) * col("cost"))
-          .select(col("sid"), col("emb")).orderBy(col("sid")).collect()
-        sel.foreach { row =>
-          val sid = row.getLong(0)
-          if (!chosen(sid)) {
-            chosen += sid
-            cands += ((sid, row.getSeq[Double](1).toArray))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val phi = withCost
+          .agg(sum(col("cost").cast("decimal(38,18)")).as("p")).head.getDecimal(0)
+        if (phi == null || phi.signum() == 0) done = true // every point is a center
+        else {
+          val phiD = phi.doubleValue()
+          val u = shiftrightunsigned(xxhash64(col("sid"), lit(r)), 11).cast("double") /
+            lit((1L << 53).toDouble)
+          val sel = withCost.where(u * lit(phiD) < lit(1.0 * k) * col("cost"))
+            .select(col("sid"), col("emb")).orderBy(col("sid")).collect()
+          sel.foreach { row =>
+            val sid = row.getLong(0)
+            if (!chosen(sid)) {
+              chosen += sid
+              cands += ((sid, row.getSeq[Double](1).toArray))
+            }
           }
+          r += 1
         }
-        r += 1
-      }
+      } finally withCost.unpersist()
     }
     if (cands.length < k) {
       // pad deterministically with the first unchosen sids
@@ -360,7 +367,9 @@ object Ann {
           var dt = 0.0; var d0 = 0
           while (d0 < dim) { dt += vecs(j)(d0) * last(d0); d0 += 1 }
           if (dt > bestSim(j)) bestSim(j) = dt
-          val score = weights(j).toDouble * (1.0 - bestSim(j))
+          // +1: a zero-weight candidate (outside the WeightSample prefix)
+          // must still be ordered by distance, not collapse to score 0
+          val score = (weights(j) + 1).toDouble * (1.0 - bestSim(j))
           if (score > nextScore) { nextScore = score; nextIdx = j }
         }
         j += 1
