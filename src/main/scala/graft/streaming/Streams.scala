@@ -107,26 +107,36 @@ object Streams {
                     checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val pts = batch
-          .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
-          .where(col("span.kind") === "text")
-          .select(col("doc_id"),
-            call_function("st_parse_point", col("span.text")).as("pt"))
-          .where(col("pt").isNotNull)
-          .select(col("doc_id"), col("pt.lat").as("lat"), col("pt.lon").as("lon"))
-        graft.engine.Tiler.assign(pts, maxZoom)
-          .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
-          .write.mode("overwrite").parquet(s"$workDir/base_deltas/b$batchId")
-        val base = spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$workDir/base_deltas")
-          .groupBy(col("tile_id")).agg(sum(col("n_points")).as("n_points"))
-        graft.engine.Tiler.pyramidFromBase(base, minZoom, maxZoom)
-          .write.mode("overwrite").parquet(s"$workDir/pyramid")
-        ()
+        pyramidTick(spark, batch, workDir, minZoom, maxZoom, batchId)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+
+  /** One ingest tick of [[pyramidStream]]: commit `batch`'s base-zoom tile
+    * delta under its batchId-keyed path and rebuild the pyramid from the
+    * merged base. IDEMPOTENT per batchId — replaying a batch (foreachBatch
+    * re-delivery after a crash) overwrites its own delta and converges to
+    * the same final state, never double-counting (gated by the
+    * StreamingSpec replay test). */
+  def pyramidTick(spark: SparkSession, batch: DataFrame, workDir: String,
+                  minZoom: Int, maxZoom: Int, batchId: Long): Unit = {
+    val pts = batch
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
+      .where(col("span.kind") === "text")
+      .select(col("doc_id"),
+        call_function("st_parse_point", col("span.text")).as("pt"))
+      .where(col("pt").isNotNull)
+      .select(col("doc_id"), col("pt.lat").as("lat"), col("pt.lon").as("lon"))
+    graft.engine.Tiler.assign(pts, maxZoom)
+      .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+      .write.mode("overwrite").parquet(s"$workDir/base_deltas/b$batchId")
+    val base = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"$workDir/base_deltas")
+      .groupBy(col("tile_id")).agg(sum(col("n_points")).as("n_points"))
+    graft.engine.Tiler.pyramidFromBase(base, minZoom, maxZoom)
+      .write.mode("overwrite").parquet(s"$workDir/pyramid")
+  }
 
   final case class SessionState(count: Long, lastUs: Long, sessions: Long)
   final case class SessionUpdate(user_id: Long, sessions: Long, events: Long)

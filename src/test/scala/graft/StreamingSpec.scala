@@ -84,6 +84,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(deltaDirs.size >= 2, s"expected >= 2 ingest ticks, saw $deltaDirs")
   }
 
+  test("pyramid tick is idempotent per batchId (crash-replay never double-counts)") {
+    val work = tmp()
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val b0 = docs.where(crc32(col("doc_id")) % 2 === 0)
+    val b1 = docs.where(crc32(col("doc_id")) % 2 =!= 0)
+    Streams.pyramidTick(spark, b0, work, 4, 7, batchId = 0L)
+    Streams.pyramidTick(spark, b1, work, 4, 7, batchId = 1L)
+    val once = spark.read.parquet(s"$work/pyramid")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // a crash between the sink commit and the source-offset commit makes
+    // Structured Streaming REPLAY the batch: the batchId-keyed overwrite
+    // must absorb it, not add the rows a second time
+    Streams.pyramidTick(spark, b1, work, 4, 7, batchId = 1L)
+    val replayed = spark.read.parquet(s"$work/pyramid")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(replayed == once, "replaying a batch changed the pyramid")
+    val want = graft.engine.Tiler.pyramid(SpatialJoin.extractPoints(docs), 4, 7)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(replayed == want)
+  }
+
   test("stream-static spatial join equals batch join") {
     val dir = tmp()
     Corpus.documentsDf(spark, 300, partitions = 3).write.mode("overwrite").parquet(dir)
