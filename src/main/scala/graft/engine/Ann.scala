@@ -80,13 +80,14 @@ object Ann {
     *  - `iters` Lloyd rounds, each a DISTRIBUTED job over the parallelized
     *    sample: assignment is the same single-literal `st_ivf_assign` kernel
     *    the production index build uses (map-only, ties -> lowest cid), and
-    *    the centroid update is a (cid, dim-position) groupBy whose per-element
-    *    sums run in DECIMAL(38,18) — decimal addition is exact, so the sums
-    *    are identical under ANY partitioning/task order, which is what keeps
-    *    the whole fit bit-deterministic (a double sum would vary with
-    *    reduction order). Per round the driver only collects k x dims
-    *    (cid, pos, sum, count) rows and renormalizes — O(k * dims), not
-    *    O(sampleCap); an emptied cluster keeps its centroid.
+    *    the centroid update is a per-cid [[graft.expr.VectorSumQ40]]
+    *    aggregate — EXACT Q40 fixed-point long sums (associative, so
+    *    identical under ANY partitioning/task order — a double sum would
+    *    vary with reduction order), one buffer per (task, cid) with
+    *    map-side combine instead of a sample x dims exploded shuffle. Per
+    *    round the driver only collects k (cid, sums, count) rows and
+    *    renormalizes — O(k * dims), not O(sampleCap); an emptied cluster
+    *    keeps its centroid.
     *
     * Returns (cid 0..k-1, centroid) sorted by cid. At 10^9+ vectors this fit
     * stays bounded: the distributed cost is one sample scan plus `iters`
@@ -215,20 +216,28 @@ object Ann {
       while (it < iters) {
         val flat = cents.flatMap(_.toSeq).toSeq
         val cids = (0L until k.toLong).toSeq
+        // centroid update via the exact Q40 fixed-point vector-sum
+        // AGGREGATE: one buffer per (task, cid) with map-side combine —
+        // the shuffle carries O(tasks x k) arrays instead of the
+        // O(sample x dim) rows the earlier posexplode + DECIMAL sum
+        // shuffled (that explode dominated the round at k ~ 10^3); long
+        // addition is associative-exact, so the fit stays bit-identical
+        // under any partitioning
         val stats = sampleDist
           .withColumn("cid", call_function("st_ivf_assign",
             col("emb"), typedLit(flat), typedLit(cids), lit(dim)))
-          .select(col("cid"), posexplode(col("emb")).as(Seq("pos", "v")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(sum(col("v").cast("decimal(38,18)")).as("s"),
+          .groupBy(col("cid"))
+          .agg(call_function("st_vecsum_q40", col("emb"), lit(dim)).as("s"),
             count(lit(1)).as("c"))
           .collect()
         val sums = Array.fill(k)(new Array[Double](dim))
         val counts = new Array[Long](k)
         stats.foreach { r =>
           val c = r.getLong(0).toInt
-          sums(c)(r.getInt(1)) = r.getDecimal(2).doubleValue()
-          counts(c) = r.getLong(3)
+          val sArr = r.getSeq[Long](1)
+          var i = 0
+          while (i < dim) { sums(c)(i) = sArr(i).toDouble / graft.expr.VectorSumQ40.Q; i += 1 }
+          counts(c) = r.getLong(2)
         }
         cents = Array.tabulate(k) { c =>
           if (counts(c) == 0) cents(c) else normalized(sums(c))

@@ -352,6 +352,14 @@ object GraftFunctions {
       si(DoubleType, "ivfMaxSim",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)),
           int(a(2))))),
+    // AGGREGATE (TypedImperativeAggregate — the analyzer wraps it into an
+    // AggregateExpression on resolution); dim must be a foldable int
+    "st_vecsum_q40" -> ((a: Seq[Expression]) => {
+      require(a.length == 2 && a(1).foldable,
+        "st_vecsum_q40(vec, dim): dim must be a literal")
+      VectorSumQ40(Cast(a(0), ArrayType(DoubleType)),
+        a(1).eval().asInstanceOf[Number].intValue())
+    }),
     "st_lsh_keys" -> ((a: Seq[Expression]) =>
       si(ArrayType(LongType), "lshKeys64",
         Seq(Cast(a(0), ArrayType(DoubleType)), int(a(1)), int(a(2)), int(a(3))))),

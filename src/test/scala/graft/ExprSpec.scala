@@ -24,6 +24,32 @@ class ExprSpec extends AnyFunSuite {
     s
   }
 
+  test("st_vecsum_q40: exact, partitioning-invariant, null/ragged skip law") {
+    import spark.implicits._
+    val rows = (0 until 1000).map { i =>
+      (i % 7, Seq(math.sin(i * 0.37), math.cos(i * 1.13), (i % 5) * 0.1 - 0.2))
+    }
+    def sums(parts: Int): Map[Int, Seq[Long]] =
+      rows.toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(call_function("st_vecsum_q40", col("v"), lit(3)).as("s"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val a = sums(2)
+    val b = sums(13)
+    assert(a == b, "vecsum not partitioning-invariant")
+    // exactness vs a driver-side fixed-point reference
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> (0 until 3).map(d =>
+        rs.map(r => math.round(r._2(d) * graft.expr.VectorSumQ40.Q)).sum)
+    }
+    assert(a == want, "vecsum diverged from the driver fixed-point reference")
+    // ragged rows contribute nothing; a wrong-arity call fails loudly
+    val ragged = Seq((1, Seq(1.0, 2.0))).toDF("g", "v")
+      .groupBy("g").agg(call_function("st_vecsum_q40", col("v"), lit(3)).as("s"))
+      .head.getSeq[Long](1)
+    assert(ragged == Seq(0L, 0L, 0L))
+    intercept[Exception] { spark.sql("SELECT st_vecsum_q40(array(1.0d))").collect() }
+  }
+
   test("st_winnow / st_langid iterate CODEPOINTS: non-BMP parity with the SQL-oracle pipeline") {
     // the q67 oracle hashes unicode(substr(t, i, 1)) — CODEPOINTS. A
     // UTF-16-unit kernel loop would hash each surrogate half separately and
