@@ -1072,6 +1072,26 @@ object K {
     * (O(n*dim) plan bytes, constant codegen size), which is what lets
     * nCentroids reach the 10^3-10^4 a large corpus needs without blowing
     * the codegen method limit. Null on ragged input. */
+  /** Per-thread single-slot IDENTITY memo for the centroid-matrix and cid
+    * literals: a Literal's ArrayData is ONE shared instance across every
+    * row a task evaluates, but `toDoubleArray` COPIES it per call — at
+    * nCentroids x dims = 4096 x 64 that was a 2 MB memcpy per ROW (~1.4 TB
+    * over a 64k-sample 10-round fit), dominating the assignment kernel.
+    * Identity-keyed, so a non-literal argument (different instance per
+    * row) simply misses and pays the copy it always paid. */
+  private val lastMatrix = new ThreadLocal[(ArrayData, Array[Double])]()
+  private def matrixOf(a: ArrayData): Array[Double] = {
+    val m = lastMatrix.get()
+    if (m != null && (m._1 eq a)) m._2
+    else { val arr = a.toDoubleArray(); lastMatrix.set((a, arr)); arr }
+  }
+  private val lastCids = new ThreadLocal[(ArrayData, Array[Long])]()
+  private def cidsOf(a: ArrayData): Array[Long] = {
+    val m = lastCids.get()
+    if (m != null && (m._1 eq a)) m._2
+    else { val arr = a.toLongArray(); lastCids.set((a, arr)); arr }
+  }
+
   def ivfAssign(emb: ArrayData, centsFlat: ArrayData, cids: ArrayData,
                 dim: Int): java.lang.Long = {
     if (emb == null || centsFlat == null || cids == null) return null
@@ -1086,8 +1106,8 @@ object K {
       nc += 1
     }
     val e = emb.toDoubleArray()
-    val cm = centsFlat.toDoubleArray()
-    val ids = cids.toLongArray()
+    val cm = matrixOf(centsFlat)
+    val ids = cidsOf(cids)
     val n = ids.length
     if (n == 0 || cm.length != n * dim) return null
     // emb self-norm once; per-centroid dot/norm accumulate element-ordered,
@@ -1131,7 +1151,7 @@ object K {
       nc0 += 1
     }
     val e = emb.toDoubleArray()
-    val cm = centsFlat.toDoubleArray()
+    val cm = matrixOf(centsFlat)
     if (cm.length == 0 || cm.length % dim != 0) return null
     val n = cm.length / dim
     var na = 0.0
