@@ -146,11 +146,12 @@ object Ann {
     // whole fit is microseconds-to-milliseconds of arithmetic and per-round
     // Spark jobs would be pure scheduling overhead (measured 4x on the q75
     // bench row); above it, each round is a distributed job over the
-    // parallelized sample with DECIMAL centroid sums (exact, so the result
-    // is identical under any partitioning). The regime choice is a
-    // deterministic function of (sample, k, dims, iters), so the fit stays
-    // reproducible; the two regimes may differ in final-centroid ulps
-    // (double vs decimal summation), which nothing downstream pins.
+    // parallelized sample with exact Q40 fixed-point centroid sums
+    // (VectorSumQ40 — associative, so the result is identical under any
+    // partitioning). The regime choice is a deterministic function of
+    // (sample, k, dims, iters), so the fit stays reproducible; the two
+    // regimes may differ in final-centroid ulps (double vs Q40 fixed-point
+    // summation), which nothing downstream pins.
     val smallFit =
       sample.length.toLong * k * dim * math.max(iters, 1) <= SmallFitFlops
     if (smallFit) {
@@ -233,11 +234,16 @@ object Ann {
         val sums = Array.fill(k)(new Array[Double](dim))
         val counts = new Array[Long](k)
         stats.foreach { r =>
-          val c = r.getLong(0).toInt
-          val sArr = r.getSeq[Long](1)
-          var i = 0
-          while (i < dim) { sums(c)(i) = sArr(i).toDouble / graft.expr.VectorSumQ40.Q; i += 1 }
-          counts(c) = r.getLong(2)
+          // a null cid groups rows the kernel could not assign (ragged
+          // input that slipped past normalization) — skip it, exactly as
+          // the previous explode pipeline dropped null arrays
+          if (!r.isNullAt(0)) {
+            val c = r.getLong(0).toInt
+            val sArr = r.getSeq[Long](1)
+            var i = 0
+            while (i < dim) { sums(c)(i) = sArr(i).toDouble / graft.expr.VectorSumQ40.Q; i += 1 }
+            counts(c) = r.getLong(2)
+          }
         }
         cents = Array.tabulate(k) { c =>
           if (counts(c) == 0) cents(c) else normalized(sums(c))

@@ -357,8 +357,12 @@ object GraftFunctions {
     "st_vecsum_q40" -> ((a: Seq[Expression]) => {
       require(a.length == 2 && a(1).foldable,
         "st_vecsum_q40(vec, dim): dim must be a literal")
+      val d = a(1).eval()
+      require(d != null && (d.isInstanceOf[Int] || d.isInstanceOf[Long] ||
+          d.isInstanceOf[Short] || d.isInstanceOf[Byte]),
+        s"st_vecsum_q40(vec, dim): dim must be a non-null integral literal, got $d")
       VectorSumQ40(Cast(a(0), ArrayType(DoubleType)),
-        a(1).eval().asInstanceOf[Number].intValue())
+        d.asInstanceOf[Number].intValue())
     }),
     "st_lsh_keys" -> ((a: Seq[Expression]) =>
       si(ArrayType(LongType), "lshKeys64",

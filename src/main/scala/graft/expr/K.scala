@@ -1061,6 +1061,42 @@ object K {
     java.lang.Double.valueOf(dot / math.max(math.sqrt(na) * math.sqrt(nb), 1e-12))
   }
 
+  // Per-thread IDENTITY memo for the centroid-matrix / cid LITERALS of the
+  // IVF kernels: a Literal's ArrayData is ONE shared instance across every
+  // row a task evaluates, but toDoubleArray COPIES it per call — at
+  // nCentroids x dims = 4096 x 64 that was a 2 MB memcpy per ROW (~1.4 TB
+  // over a 64k-sample 10-round fit), dominating the assignment kernel.
+  // Four round-robin slots (matrix + cids for st_ivf_assign plus a
+  // st_ivf_maxsim matrix can coexist on one thread without eviction
+  // thrash) behind SoftReferences (the GC reclaims a retired fit's matrix
+  // instead of it pinning executor-thread memory forever). Identity-keyed,
+  // so a non-literal argument (different instance per row) simply misses
+  // and pays the copy it always paid.
+  private final class ArgMemo {
+    val slots = new Array[java.lang.ref.SoftReference[(ArrayData, AnyRef)]](4)
+    var next = 0
+  }
+  private val argMemo: ThreadLocal[ArgMemo] =
+    ThreadLocal.withInitial(() => new ArgMemo)
+  private def memoized[T <: AnyRef](a: ArrayData, decode: ArrayData => T): T = {
+    val m = argMemo.get()
+    var i = 0
+    while (i < m.slots.length) {
+      val ref = m.slots(i)
+      if (ref != null) {
+        val v = ref.get()
+        if (v != null && (v._1 eq a)) return v._2.asInstanceOf[T]
+      }
+      i += 1
+    }
+    val arr = decode(a)
+    m.slots(m.next) = new java.lang.ref.SoftReference((a, arr: AnyRef))
+    m.next = (m.next + 1) % m.slots.length
+    arr
+  }
+  private def matrixOf(a: ArrayData): Array[Double] = memoized(a, _.toDoubleArray())
+  private def cidsOf(a: ArrayData): Array[Long] = memoized(a, _.toLongArray())
+
   /** st_ivf_assign(emb, centsFlat, cids, dim): id of the max-cosine centroid
     * for `emb`, where `centsFlat` is the row-major flattened
     * nCentroids x dim centroid matrix and `cids[c]` is centroid c's id.
@@ -1072,26 +1108,6 @@ object K {
     * (O(n*dim) plan bytes, constant codegen size), which is what lets
     * nCentroids reach the 10^3-10^4 a large corpus needs without blowing
     * the codegen method limit. Null on ragged input. */
-  /** Per-thread single-slot IDENTITY memo for the centroid-matrix and cid
-    * literals: a Literal's ArrayData is ONE shared instance across every
-    * row a task evaluates, but `toDoubleArray` COPIES it per call — at
-    * nCentroids x dims = 4096 x 64 that was a 2 MB memcpy per ROW (~1.4 TB
-    * over a 64k-sample 10-round fit), dominating the assignment kernel.
-    * Identity-keyed, so a non-literal argument (different instance per
-    * row) simply misses and pays the copy it always paid. */
-  private val lastMatrix = new ThreadLocal[(ArrayData, Array[Double])]()
-  private def matrixOf(a: ArrayData): Array[Double] = {
-    val m = lastMatrix.get()
-    if (m != null && (m._1 eq a)) m._2
-    else { val arr = a.toDoubleArray(); lastMatrix.set((a, arr)); arr }
-  }
-  private val lastCids = new ThreadLocal[(ArrayData, Array[Long])]()
-  private def cidsOf(a: ArrayData): Array[Long] = {
-    val m = lastCids.get()
-    if (m != null && (m._1 eq a)) m._2
-    else { val arr = a.toLongArray(); lastCids.set((a, arr)); arr }
-  }
-
   def ivfAssign(emb: ArrayData, centsFlat: ArrayData, cids: ArrayData,
                 dim: Int): java.lang.Long = {
     if (emb == null || centsFlat == null || cids == null) return null

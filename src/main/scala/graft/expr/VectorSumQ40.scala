@@ -22,7 +22,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * far below any clustering-relevant signal; accumulator headroom
   * 2^63 / 2^40 = 2^23 rows per group at |v| = 1 (the 64k sample cap uses
   * 2^16). Null/ragged inputs contribute nothing (the skip law of a SQL
-  * sum over exploded elements). Output: array<long> of the raw Q40 sums —
+  * sum over exploded elements). The DOMAIN IS ENFORCED, not just
+  * documented: an element with |v| > 2^22 (or NaN), or an accumulator
+  * exceeding Long range, THROWS ArithmeticException — never a silently
+  * saturated/wrapped sum (the raise-on-overflow discipline of the DECIMAL
+  * sum this replaces). Output: array<long> of the raw Q40 sums —
   * consumers divide by 2^40 (or not: renormalization is scale-invariant).
   */
 case class VectorSumQ40(child: Expression, dim: Int,
@@ -42,8 +46,16 @@ case class VectorSumQ40(child: Expression, dim: Int,
     if (arr != null && arr.numElements() == dim) {
       var i = 0
       while (i < dim) {
-        if (!arr.isNullAt(i))
-          buf(i) += java.lang.Math.round(arr.getDouble(i) * VectorSumQ40.Q)
+        if (!arr.isNullAt(i)) {
+          val v = arr.getDouble(i)
+          // range gate BEFORE scaling: Math.round saturates silently at
+          // Long range, and NaN fails both comparisons -> rejected too
+          if (!(v >= -VectorSumQ40.MaxAbs && v <= VectorSumQ40.MaxAbs))
+            throw new ArithmeticException(
+              s"st_vecsum_q40: element $v outside the Q40 domain (|v| <= 2^22, non-NaN)")
+          buf(i) = java.lang.Math.addExact(buf(i),
+            java.lang.Math.round(v * VectorSumQ40.Q))
+        }
         i += 1
       }
     }
@@ -52,7 +64,7 @@ case class VectorSumQ40(child: Expression, dim: Int,
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var i = 0
-    while (i < dim) { a(i) += b(i); i += 1 }
+    while (i < dim) { a(i) = java.lang.Math.addExact(a(i), b(i)); i += 1 }
     a
   }
 
@@ -86,4 +98,8 @@ case class VectorSumQ40(child: Expression, dim: Int,
 object VectorSumQ40 {
   /** Q40 scale: 2^40. */
   val Q: Double = 1099511627776.0
+
+  /** Domain bound per element: |v| <= 2^22 keeps round(v * 2^40) exactly
+    * inside Long (2^62) with headroom for accumulation. */
+  val MaxAbs: Double = 4194304.0
 }

@@ -48,6 +48,21 @@ class ExprSpec extends AnyFunSuite {
       .head.getSeq[Long](1)
     assert(ragged == Seq(0L, 0L, 0L))
     intercept[Exception] { spark.sql("SELECT st_vecsum_q40(array(1.0d))").collect() }
+    // domain is ENFORCED: out-of-range / NaN elements throw rather than
+    // silently saturating the fixed-point accumulator; bad dim literals are
+    // rejected at analysis
+    intercept[Exception] {
+      spark.sql("SELECT st_vecsum_q40(array(1e10d), 1)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT st_vecsum_q40(array(CAST('NaN' AS DOUBLE)), 1)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT st_vecsum_q40(array(1.0d), 3.7)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT st_vecsum_q40(array(1.0d), CAST(NULL AS INT))").collect()
+    }
   }
 
   test("st_winnow / st_langid iterate CODEPOINTS: non-BMP parity with the SQL-oracle pipeline") {
