@@ -285,15 +285,19 @@ object Ann {
     *
     *  - c0 = the hash-order-first sample vector (sid 0);
     *  - `SeedRounds` rounds: every point's cost = 1 - maxsim to the current
-    *    candidate set (the `st_ivf_maxsim` kernel — one map-only job with
-    *    the candidates as a single flat literal, the same plan shape as
-    *    assignment); phi = DECIMAL sum of costs (exact, order-independent);
-    *    a point joins the candidate set iff u(sid, round) * phi <
-    *    k * cost, where u is an xxhash64-derived uniform in [0, 1) — the
-    *    Bahmani draw with the RNG replaced by a per-row hash, so it is
-    *    identical under any partitioning, at oversampling l = k (l = 2k
-    *    doubled every cost job for no reduction-quality gain on this
-    *    host);
+    *    candidate set, maintained INCREMENTALLY — a persisted per-row
+    *    running best-sim column is folded with `st_ivf_maxsim` against only
+    *    the candidates ADDED last round (max over a union = max(prev, new):
+    *    comparisons, not accumulation, so the value is bit-identical to a
+    *    full rescan while the per-round literal and flops shrink from the
+    *    whole candidate set to the ~l new ones — O(rounds * l) total
+    *    candidate-scans instead of O(rounds^2 * l / 2)); phi = DECIMAL sum
+    *    of costs (exact, order-independent); a point joins the candidate
+    *    set iff u(sid, round) * phi < k * cost, where u is an
+    *    xxhash64-derived uniform in [0, 1) — the Bahmani draw with the RNG
+    *    replaced by a per-row hash, so it is identical under any
+    *    partitioning, at oversampling l = k (l = 2k doubled every cost job
+    *    for no reduction-quality gain on this host);
     *  - candidate weights = per-candidate assignment counts over the first
     *    [[WeightSample]] sample rows (st_ivf_assign + groupBy count — a
     *    deterministic bounded prefix; weights only steer the reduction);
@@ -312,38 +316,54 @@ object Ann {
                            k: Int, dim: Int): Array[Array[Double]] = {
     val cands = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])]((0L, first))
     val chosen = scala.collection.mutable.HashSet(0L)
+    // per-row cost off the persisted running best-sim column (cheap
+    // arithmetic over the cache — the maxsim scan itself is never repeated)
+    val cost = greatest(lit(0.0), lit(1.0) - col("bsim"))
+    // candidates appended since the last cost fold; round 1 folds c0 itself
+    val newVecs = scala.collection.mutable.ArrayBuffer(first)
+    var best: DataFrame = null
+    var phi: java.math.BigDecimal = null
     var r = 1
     var done = false
-    while (r <= SeedRounds && !done && cands.length < 16 * k) {
-      val flat = typedLit(cands.flatMap(_._2.toSeq).toSeq)
-      // persist: the phi aggregation and the threshold selection are two
-      // actions over the same cost projection — without the cache each
-      // round's dominant maxsim scan would run TWICE
-      val withCost = sampleDist.withColumn("cost",
-        greatest(lit(0.0), lit(1.0) -
-          call_function("st_ivf_maxsim", col("emb"), flat, lit(dim))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val phi = withCost
-          .agg(sum(col("cost").cast("decimal(38,18)")).as("p")).head.getDecimal(0)
+    try {
+      while (r <= SeedRounds && !done && cands.length < 16 * k) {
+        if (newVecs.nonEmpty) {
+          // fold ONLY the new candidates into the running best-sim — max
+          // over the union = max(prev best, max over new): comparisons, not
+          // accumulation, so bit-identical to a full rescan at a fraction
+          // of the flops and literal bytes. phi refreshes with the fold; an
+          // empty draw changes neither, so both are reused as-is then.
+          val flatNew = typedLit(newVecs.flatMap(_.toSeq).toSeq)
+          val ms = call_function("st_ivf_maxsim", col("emb"), flatNew, lit(dim))
+          val upd = (if (best == null) sampleDist.withColumn("bsim", ms)
+                     else best.withColumn("bsim", greatest(col("bsim"), ms)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          phi = upd.agg(sum(cost.cast("decimal(38,18)")).as("p")).head.getDecimal(0)
+          // the phi action materialized upd — the superseded cache can go
+          if (best != null) best.unpersist()
+          best = upd
+          newVecs.clear()
+        }
         if (phi == null || phi.signum() == 0) done = true // every point is a center
         else {
           val phiD = phi.doubleValue()
           val u = shiftrightunsigned(xxhash64(col("sid"), lit(r)), 11).cast("double") /
             lit((1L << 53).toDouble)
-          val sel = withCost.where(u * lit(phiD) < lit(1.0 * k) * col("cost"))
+          val sel = best.where(u * lit(phiD) < lit(1.0 * k) * cost)
             .select(col("sid"), col("emb")).orderBy(col("sid")).collect()
           sel.foreach { row =>
             val sid = row.getLong(0)
             if (!chosen(sid)) {
               chosen += sid
-              cands += ((sid, row.getSeq[Double](1).toArray))
+              val v = row.getSeq[Double](1).toArray
+              cands += ((sid, v))
+              newVecs += v
             }
           }
           r += 1
         }
-      } finally withCost.unpersist()
-    }
+      }
+    } finally if (best != null) best.unpersist()
     if (cands.length < k) {
       // pad deterministically with the first unchosen sids
       val need = k - cands.length
@@ -357,7 +377,13 @@ object Ann {
     val flatAll = typedLit(cands.flatMap(_._2.toSeq).toSeq)
     val cidAll = typedLit(cands.indices.map(_.toLong))
     val weights = new Array[Long](cands.length)
+    // repartition: sids are contiguous per parallelize slice, so the
+    // prefix filter would land every surviving row on the first
+    // WeightSample/sampleCap fraction of partitions and run the assignment
+    // kernel that many times narrower (measured 4x at the 16k/64k default);
+    // the shuffle moves only WeightSample rows
     sampleDist.where(col("sid") < WeightSample)
+      .repartition(sampleDist.sparkSession.sparkContext.defaultParallelism)
       .withColumn("cid", call_function("st_ivf_assign",
         col("emb"), flatAll, cidAll, lit(dim)))
       .groupBy(col("cid")).count().collect()

@@ -1094,8 +1094,40 @@ object K {
     m.next = (m.next + 1) % m.slots.length
     arr
   }
-  private def matrixOf(a: ArrayData): Array[Double] = memoized(a, _.toDoubleArray())
   private def cidsOf(a: ArrayData): Array[Long] = memoized(a, _.toLongArray())
+
+  /** Memoized centroid matrix PLUS its per-centroid self-norms: norm(c) is
+    * the sqrt of the SAME element-ordered y*y accumulation the kernels'
+    * interleaved loop used to recompute per row, so every sim that divides
+    * by a cached norm is bit-identical to the inline form — but the norm
+    * work (half the inner-loop flops plus a sqrt per centroid per row,
+    * all row-invariant) is paid once per literal per thread instead of
+    * per row. Norms are computed lazily for the requested `dim` (a literal
+    * only ever sees one dim; a change recomputes). */
+  private final class CentMat(val cm: Array[Double]) {
+    private var normDim: Int = -1
+    private var norms: Array[Double] = null
+    def normsFor(d: Int): Array[Double] = {
+      if (normDim != d) {
+        val n = cm.length / d
+        val ns = new Array[Double](n)
+        var c = 0
+        while (c < n) {
+          val off = c * d
+          var nb = 0.0
+          var j = 0
+          while (j < d) { val y = cm(off + j); nb += y * y; j += 1 }
+          ns(c) = math.sqrt(nb)
+          c += 1
+        }
+        norms = ns
+        normDim = d
+      }
+      norms
+    }
+  }
+  private def centMatOf(a: ArrayData): CentMat =
+    memoized(a, ad => new CentMat(ad.toDoubleArray()))
 
   /** st_ivf_assign(emb, centsFlat, cids, dim): id of the max-cosine centroid
     * for `emb`, where `centsFlat` is the row-major flattened
@@ -1122,12 +1154,16 @@ object K {
       nc += 1
     }
     val e = emb.toDoubleArray()
-    val cm = matrixOf(centsFlat)
+    val mat = centMatOf(centsFlat)
+    val cm = mat.cm
     val ids = cidsOf(cids)
     val n = ids.length
     if (n == 0 || cm.length != n * dim) return null
-    // emb self-norm once; per-centroid dot/norm accumulate element-ordered,
-    // exactly as cosineSim's single interleaved loop (independent chains)
+    // emb self-norm once; per-centroid dots accumulate element-ordered and
+    // the cached self-norms are the same element-ordered accumulation the
+    // inline interleaved loop computed, so every sim is bit-identical to
+    // cosineSim(emb, cent) — see [[CentMat]]
+    val cn = mat.normsFor(dim)
     var na = 0.0
     var i = 0
     while (i < dim) { na += e(i) * e(i); i += 1 }
@@ -1138,15 +1174,12 @@ object K {
     while (c < n) {
       val off = c * dim
       var dot = 0.0
-      var nb = 0.0
       var j = 0
       while (j < dim) {
-        val y = cm(off + j)
-        dot += e(j) * y
-        nb += y * y
+        dot += e(j) * cm(off + j)
         j += 1
       }
-      val sim = dot / math.max(sqna * math.sqrt(nb), 1e-12)
+      val sim = dot / math.max(sqna * cn(c), 1e-12)
       if (sim > best) { best = sim; bestId = ids(c) }
       c += 1
     }
@@ -1167,9 +1200,11 @@ object K {
       nc0 += 1
     }
     val e = emb.toDoubleArray()
-    val cm = matrixOf(centsFlat)
+    val mat = centMatOf(centsFlat)
+    val cm = mat.cm
     if (cm.length == 0 || cm.length % dim != 0) return null
     val n = cm.length / dim
+    val cn = mat.normsFor(dim)
     var na = 0.0
     var i = 0
     while (i < dim) { na += e(i) * e(i); i += 1 }
@@ -1179,15 +1214,12 @@ object K {
     while (c < n) {
       val off = c * dim
       var dot = 0.0
-      var nb = 0.0
       var j = 0
       while (j < dim) {
-        val y = cm(off + j)
-        dot += e(j) * y
-        nb += y * y
+        dot += e(j) * cm(off + j)
         j += 1
       }
-      val sim = dot / math.max(sqna * math.sqrt(nb), 1e-12)
+      val sim = dot / math.max(sqna * cn(c), 1e-12)
       if (sim > best) best = sim
       c += 1
     }
