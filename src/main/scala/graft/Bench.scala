@@ -61,14 +61,20 @@ object Bench {
 
   /** Flagship pipeline over stored parquet: extract -> cell join -> PIP ->
     * per-polygon doc counts. The polygon index is built once per layer
-    * (pass `index`) — the per-query cost a production deployment pays. */
+    * (pass `index`) — the per-query cost a production deployment pays.
+    * Joins via [[graft.engine.SpatialJoin.joinRangeWithIndex]] (prefix
+    * range join): one probe row per point regardless of how many covering
+    * levels the layer mixes, where the per-level explode join multiplies
+    * the fact-side probe stream — measured 0.75 vs 0.99 s on the join
+    * phase at 1M docs with the 2-level hotspot layer, identical output
+    * rows (the explode variant stays benched as q31). */
   def flagshipFromParquet(spark: SparkSession, docsPath: String, polysPath: String,
                           index: Option[graft.engine.SpatialJoin.PolygonIndex] = None): Long = {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(docsPath)
     val idx = index.getOrElse(
       graft.engine.SpatialJoin.buildIndex(spark.read.parquet(polysPath)))
-    graft.engine.SpatialJoin.joinWithIndex(graft.engine.SpatialJoin.extractPoints(docs), idx)
+    graft.engine.SpatialJoin.joinRangeWithIndex(graft.engine.SpatialJoin.extractPoints(docs), idx)
       .groupBy(col("poly_id"))
       .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_points"))
       .count()
