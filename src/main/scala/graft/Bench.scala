@@ -14,10 +14,10 @@ object Bench {
     * additions (q73/q75-q83/q85), and in round 5 with the remaining cheap
     * batch rows (q58, q62-q65) plus the new q86 — every non-streaming gate
     * query is now benched, so a regression anywhere on the scalar or
-    * pipeline surface shows up in BENCH_r*.json. The six streaming rows
-    * (q57/q59/q60/q72/q84/q87) are excluded on purpose: their wall time is
-    * dominated by sink/checkpoint staging I/O, not operator cost (stated in
-    * BASELINE.md). */
+    * pipeline surface shows up in BENCH_r*.json. The seven streaming rows
+    * (q57/q59/q60/q72/q84/q87/q88) are excluded on purpose: their wall time
+    * is dominated by sink/checkpoint staging I/O, not operator cost (stated
+    * in BASELINE.md). */
   val HeadlineQueries: Seq[String] = Seq(
     "q31_spatial_join", "q33_tile_histogram", "q32_spatial_join_salted",
     "q01_pricing_agg", "q02_join_nation_revenue", "q08_tile_agg",

@@ -1431,6 +1431,12 @@ object OracleSql {
     "q84_stream_stream_join" -> q84,
     "q74_quirk_compat" -> q74,
     "q75_ann_ivf_trained" -> q43,
+    // streaming IVF ingest at full probe == exact brute force (slicing-
+    // invariant union index), so q43's oracle applies verbatim
+    "q88_stream_ivf_ingest" -> q43,
+    // hierarchical quantizer at full probe == exact brute force (every row
+    // in exactly one list, all lists probed), q43's oracle again
+    "q89_ann_ivf_hier" -> q43,
     "q77_ann_q8" -> q77,
     "q78_ann_ivf_q8" -> q77,
     "q66_langid_ngram" -> q66,

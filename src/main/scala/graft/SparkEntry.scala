@@ -1440,6 +1440,66 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(s"$outBase/pyramid").orderBy(col("tile_id"))
     }),
+    // q89: HIERARCHICAL (two-level) IVF — kmeansFitHier trains k1=4 top
+    // clusters with k2=4 sub-lists each (one mapGroups job for all
+    // sub-fits), st_ivf_assign2 assigns with k1+k2 dot products per row,
+    // and a FULL-probe search over the persisted index must equal exact
+    // brute force REGARDLESS of the two-level quantizer's approximation —
+    // q43's oracle verbatim (the same argument as q75: full probe covers
+    // every list, and every row lives in exactly one list). Partial-probe
+    // recall and the padding tie-break are PipelineSpec's job.
+    "q89_ann_ivf_hier" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val corpus = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.where(col("vec_id") < 8)
+        .select(concat(lit("q"), col("vec_id")).as("qid"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val hier = Ann.kmeansFitHier(corpus, k1 = 4, k2 = 4, iters = 5,
+        sampleCap = 2048, subSampleCap = 512)
+      val idxPath = scratchDir("q89idx", dir)
+      Ann.writeIvfIndexHier(corpus, hier, idxPath)
+      Ann.searchIvfIndex(s, idxPath, queries, hier.flat, k = 10, nprobe = 16)
+        .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
+    // q88: STREAMING IVF ingest — micro-batches of vectors (3 staged source
+    // files, maxFilesPerTrigger=1) are assigned to a FIXED centroid set and
+    // committed as batchId-keyed partition dirs (dynamic overwrite per
+    // batch = exactly-once); the accumulated index holds exactly the union
+    // of the ticks regardless of batch slicing, so a FULL-probe search over
+    // it must equal exact brute force — q43's oracle verbatim. Partial
+    // probing and crash-replay idempotency are StreamingSpec's job.
+    "q88_stream_ivf_ingest" -> ((spark, dir) => {
+      implicit val s: SparkSession = prep(spark)
+      val e = t(dir, "embeddings")
+      val corpus = e.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.where(col("vec_id") < 8)
+        .select(concat(lit("q"), col("vec_id")).as("qid"),
+          col("embedding").cast("array<double>").as("q_emb"))
+      val cents = Ann.firstNCentroids(corpus, 16)
+      val srcDir = new java.io.File(scratchDir("q88src", dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(srcDir)
+      srcDir.mkdirs()
+      val baseMs = 1704067200000L
+      for (i <- 0 until 3)
+        stageSingleParquet(corpus.where(col("vec_id") % 3 === i), srcDir,
+          s"p$i", baseMs + i * 1000L)
+      val idxPath = scratchDir("q88idx", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxPath))
+      val ckpt = scratchDir("q88ckpt", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      val q = graft.streaming.Streams.ivfIngest(s,
+        s.readStream.schema(corpus.schema).option("maxFilesPerTrigger", 1)
+          .parquet(srcDir.getPath),
+        cents, idxPath, ckpt)
+      q.awaitTermination()
+      Ann.searchIvfIndex(s, idxPath, queries, cents, k = 10, nprobe = 16)
+        .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
+        .orderBy(col("qid"), col("rank"))
+    }),
     // q86: registry datum-shift ROUND TRIP — st_datum_shift_inv is the
     // WGS84->datum direction from the SAME p7 registry row with all seven
     // parameters negated (EPSG-style approximate reversal; quirk Q6: the

@@ -78,8 +78,10 @@ object Ann {
     *    seeding stays bounded to the k ~ sqrt(N) ~ 10^4 lists a
     *    10^9-vector corpus wants;
     *  - `iters` Lloyd rounds, each a DISTRIBUTED job over the parallelized
-    *    sample: assignment is the same single-literal `st_ivf_assign` kernel
-    *    the production index build uses (map-only, ties -> lowest cid), and
+    *    sample: assignment is the `st_ivf_assign` law (map-only, ties ->
+    *    lowest cid) — shipped as a single plan literal below
+    *    [[BroadcastMatrixBytesConf]] matrix bytes and as a per-round
+    *    TorrentBroadcast above it (same scalar core, bit-identical) — and
     *    the centroid update is a per-cid [[graft.expr.VectorSumQ40]]
     *    aggregate — EXACT Q40 fixed-point long sums (associative, so
     *    identical under ANY partitioning/task order — a double sum would
@@ -106,40 +108,8 @@ object Ann {
       .map(_.getSeq[Double](1).toArray)
     require(sample.length >= k, s"sample (${sample.length}) smaller than k ($k)")
     val dim = sample(0).length
-    def normalized(v: Array[Double]): Array[Double] = {
-      var n = 0.0; var i = 0
-      while (i < dim) { n += v(i) * v(i); i += 1 }
-      val s = math.sqrt(n)
-      if (s < 1e-12) v.clone()
-      else { val o = new Array[Double](dim); i = 0; while (i < dim) { o(i) = v(i) / s; i += 1 }; o }
-    }
-    val pts = sample.map(normalized)
-    def dot(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < dim) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    // farthest-point seeding (deterministic k-means++ analogue): one driver
-    // pass over the sample per seed — O(sample * k * dim) one-time, fine to
-    // k ~ 10^3; [[seedParallel]] (k-means||) takes over above ParallelSeedK
-    def farthestPointSeeds(): Array[Array[Double]] = {
-      val seeds = scala.collection.mutable.ArrayBuffer(pts(0))
-      val bestSim = Array.fill(pts.length)(Double.NegativeInfinity)
-      while (seeds.length < k) {
-        val last = seeds.last
-        var worstIdx = -1
-        var worstSim = Double.PositiveInfinity
-        var i = 0
-        while (i < pts.length) {
-          val s = dot(pts(i), last)
-          if (s > bestSim(i)) bestSim(i) = s
-          if (bestSim(i) < worstSim) { worstSim = bestSim(i); worstIdx = i }
-          i += 1
-        }
-        seeds += pts(worstIdx)
-      }
-      seeds.toArray
-    }
+    val pts = sample.map(normalize)
+    def farthestPointSeeds(): Array[Array[Double]] = Ann.farthestPointSeeds(pts, k)
     // Lloyd rounds: the assignment rule in BOTH regimes is the st_ivf_assign
     // law (sim = dot / max(|a||b|, 1e-12), strict-> ties to the lowest cid).
     // Below SmallFitFlops total flops the loop runs ON THE DRIVER — the
@@ -154,49 +124,9 @@ object Ann {
     // summation), which nothing downstream pins.
     val smallFit =
       sample.length.toLong * k * dim * math.max(iters, 1) <= SmallFitFlops
-    if (smallFit) {
-      // kernel-law similarity: dt / max(|p| * |c|, 1e-12), exactly
-      // st_ivf_assign's arithmetic. Norms are loop-invariant, so they are
-      // hoisted — each is the SAME element-ordered accumulation the inline
-      // form would compute, so every double is bit-identical, at ~2x fewer
-      // hot-loop flops (this loop is the quantity SmallFitFlops budgets)
-      def selfNorm(v: Array[Double]): Double = {
-        var n = 0.0; var i = 0
-        while (i < dim) { n += v(i) * v(i); i += 1 }
-        math.sqrt(n)
-      }
-      val ptNorm = pts.map(selfNorm)
-      var cents = farthestPointSeeds()
-      var it = 0
-      while (it < iters) {
-        val centNorm = cents.map(selfNorm)
-        val sums = Array.fill(k)(new Array[Double](dim))
-        val counts = new Array[Long](k)
-        var i = 0
-        while (i < pts.length) {
-          val sqna = ptNorm(i)
-          var best = 0; var bs = Double.NegativeInfinity
-          var c = 0
-          while (c < k) {
-            var dt = 0.0
-            var j = 0
-            while (j < dim) { dt += pts(i)(j) * cents(c)(j); j += 1 }
-            val s = dt / math.max(sqna * centNorm(c), 1e-12)
-            if (s > bs) { bs = s; best = c }
-            c += 1
-          }
-          var d1 = 0
-          while (d1 < dim) { sums(best)(d1) += pts(i)(d1); d1 += 1 }
-          counts(best) += 1
-          i += 1
-        }
-        cents = Array.tabulate(k) { c =>
-          if (counts(c) == 0) cents(c) else normalized(sums(c))
-        }
-        it += 1
-      }
-      return cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
-    }
+    if (smallFit)
+      return localLloydRounds(pts, farthestPointSeeds(), iters)
+        .zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
     // distributed regime: parallelize the (already normalized) sample once
     // for the seeding + Lloyd jobs; the driver copy was needed for the
     // deterministic hash-order draw anyway, so this ships it back out
@@ -213,10 +143,22 @@ object Ann {
       var cents =
         if (k >= ParallelSeedK) seedParallel(sampleDist, pts(0), k, dim)
         else farthestPointSeeds()
+      // Transport choice for the per-round centroid matrix: below the
+      // conf'd byte threshold it ships as ONE plan literal through the
+      // st_ivf_assign kernel (codegen'd, zero extra machinery); above it,
+      // a TorrentBroadcast + mapPartitions assignment — at the k ~ sqrt(N)
+      // ~ 3*10^4 lists a 10^9-vector corpus wants, the matrix is ~30 MB
+      // and a per-round literal would be re-serialized into every round's
+      // task binaries, while a broadcast ships once per round via the
+      // BitTorrent protocol and is fetched at most once per executor.
+      // BOTH transports run the SAME scalar law (K.ivfAssignCore — the
+      // kernel delegates to it) and feed the same exact Q40 aggregate, so
+      // the fit is bit-identical either way; the choice is pure transport.
+      val bcThreshold = spark.conf
+        .get(BroadcastMatrixBytesConf, BroadcastMatrixBytesDefault.toString).toLong
+      val useBroadcastMat = k.toLong * dim * 8 > bcThreshold
       var it = 0
       while (it < iters) {
-        val flat = cents.flatMap(_.toSeq).toSeq
-        val cids = (0L until k.toLong).toSeq
         // centroid update via the exact Q40 fixed-point vector-sum
         // AGGREGATE: one buffer per (task, cid) with map-side combine —
         // the shuffle carries O(tasks x k) arrays instead of the
@@ -224,13 +166,49 @@ object Ann {
         // shuffled (that explode dominated the round at k ~ 10^3); long
         // addition is associative-exact, so the fit stays bit-identical
         // under any partitioning
-        val stats = sampleDist
-          .withColumn("cid", call_function("st_ivf_assign",
-            col("emb"), typedLit(flat), typedLit(cids), lit(dim)))
-          .groupBy(col("cid"))
-          .agg(call_function("st_vecsum_q40", col("emb"), lit(dim)).as("s"),
-            count(lit(1)).as("c"))
-          .collect()
+        var roundBc: org.apache.spark.broadcast.Broadcast[
+          (Array[Double], Array[Double], Array[Long])] = null
+        val assigned =
+          if (!useBroadcastMat) {
+            val flat = cents.flatMap(_.toSeq).toSeq
+            val cids = (0L until k.toLong).toSeq
+            sampleDist.withColumn("cid", call_function("st_ivf_assign",
+              col("emb"), typedLit(flat), typedLit(cids), lit(dim)))
+          } else {
+            val cm = new Array[Double](k * dim)
+            var ci = 0
+            while (ci < k) {
+              System.arraycopy(cents(ci), 0, cm, ci * dim, dim); ci += 1
+            }
+            val cn = graft.expr.K.centroidNorms(cm, dim)
+            val ids = Array.tabulate(k)(_.toLong)
+            roundBc = spark.sparkContext.broadcast((cm, cn, ids))
+            val bc = roundBc
+            val d = dim
+            sampleDist.select(col("emb")).as[Seq[Double]]
+              .mapPartitions { rows =>
+                val (cmv, cnv, idsv) = bc.value
+                rows.map { emb =>
+                  // sample vectors are driver-normalized to exactly `d`
+                  // elements (ragged input throws before parallelize), so
+                  // no per-element null/length guard is needed here
+                  (graft.expr.K.ivfAssignCore(emb.toArray, cmv, cnv, idsv, d),
+                    emb)
+                }
+              }
+              .toDF("cid", "emb")
+          }
+        val stats =
+          try assigned
+            .groupBy(col("cid"))
+            .agg(call_function("st_vecsum_q40", col("emb"), lit(dim)).as("s"),
+              count(lit(1)).as("c"))
+            .collect()
+          // the round's broadcast is dead the moment its stats landed on the
+          // driver — destroy it now so `iters` rounds hold at most ONE
+          // matrix-sized broadcast instead of accumulating all of them until
+          // context shutdown
+          finally if (roundBc != null) roundBc.destroy()
         val sums = Array.fill(k)(new Array[Double](dim))
         val counts = new Array[Long](k)
         stats.foreach { r =>
@@ -246,12 +224,107 @@ object Ann {
           }
         }
         cents = Array.tabulate(k) { c =>
-          if (counts(c) == 0) cents(c) else normalized(sums(c))
+          if (counts(c) == 0) cents(c) else normalize(sums(c))
         }
         it += 1
       }
       cents.zipWithIndex.map { case (ce, i) => (i.toLong, ce) }
     } finally sampleDist.unpersist()
+  }
+
+  // ---- local (driver or per-executor-group) fit primitives -----------------
+  // Extracted VERBATIM from the small-fit regime so the hierarchical
+  // per-cluster sub-fits ([[kmeansFitHier]]'s mapGroups) run the identical
+  // deterministic arithmetic on executors: same loop orders, same
+  // accumulation, bit-for-bit the pre-extraction inline code.
+
+  /** Unit-normalize (copy); degenerate near-zero vectors pass through. */
+  private[engine] def normalize(v: Array[Double]): Array[Double] = {
+    val dim = v.length
+    var n = 0.0; var i = 0
+    while (i < dim) { n += v(i) * v(i); i += 1 }
+    val s = math.sqrt(n)
+    if (s < 1e-12) v.clone()
+    else { val o = new Array[Double](dim); i = 0; while (i < dim) { o(i) = v(i) / s; i += 1 }; o }
+  }
+
+  /** Deterministic farthest-point seeding (k-means++ analogue, no RNG) over
+    * an already-normalized point set: first seed is pts(0), each next seed
+    * the point with MINIMUM max-cosine to the chosen set; O(|pts| * k * dim)
+    * serial flops — the local regime's cost. */
+  private[engine] def farthestPointSeeds(pts: Array[Array[Double]], k: Int): Array[Array[Double]] = {
+    val dim = pts(0).length
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val seeds = scala.collection.mutable.ArrayBuffer(pts(0))
+    val bestSim = Array.fill(pts.length)(Double.NegativeInfinity)
+    while (seeds.length < k) {
+      val last = seeds.last
+      var worstIdx = -1
+      var worstSim = Double.PositiveInfinity
+      var i = 0
+      while (i < pts.length) {
+        val s = dot(pts(i), last)
+        if (s > bestSim(i)) bestSim(i) = s
+        if (bestSim(i) < worstSim) { worstSim = bestSim(i); worstIdx = i }
+        i += 1
+      }
+      seeds += pts(worstIdx)
+    }
+    seeds.toArray
+  }
+
+  /** `iters` local Lloyd rounds under the st_ivf_assign law (kernel-law
+    * similarity dt / max(|p| * |c|, 1e-12), strict > ties to the lowest
+    * index). Norms are loop-invariant and hoisted — each is the SAME
+    * element-ordered accumulation the inline form would compute, so every
+    * double is bit-identical, at ~2x fewer hot-loop flops (this loop is
+    * the quantity [[SmallFitFlops]] budgets). Emptied clusters keep their
+    * centroid. */
+  private[engine] def localLloydRounds(pts: Array[Array[Double]],
+                                       seeds: Array[Array[Double]],
+                                       iters: Int): Array[Array[Double]] = {
+    val dim = pts(0).length
+    val k = seeds.length
+    def selfNorm(v: Array[Double]): Double = {
+      var n = 0.0; var i = 0
+      while (i < dim) { n += v(i) * v(i); i += 1 }
+      math.sqrt(n)
+    }
+    val ptNorm = pts.map(selfNorm)
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      val centNorm = cents.map(selfNorm)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      var i = 0
+      while (i < pts.length) {
+        val sqna = ptNorm(i)
+        var best = 0; var bs = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dt = 0.0
+          var j = 0
+          while (j < dim) { dt += pts(i)(j) * cents(c)(j); j += 1 }
+          val s = dt / math.max(sqna * centNorm(c), 1e-12)
+          if (s > bs) { bs = s; best = c }
+          c += 1
+        }
+        var d1 = 0
+        while (d1 < dim) { sums(best)(d1) += pts(i)(d1); d1 += 1 }
+        counts(best) += 1
+        i += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c) else normalize(sums(c))
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Driver-vs-distributed Lloyd regime threshold (total flops for the whole
@@ -260,6 +333,23 @@ object Ann {
     * gate (2048 x 16 x dims x 5) sits below; a k=1024 production fit sits
     * far above. */
   val SmallFitFlops: Long = 200000000L
+
+  /** Runtime conf key: centroid-matrix byte size above which the distributed
+    * Lloyd rounds ship the matrix as a TorrentBroadcast (mapPartitions over
+    * the shared [[graft.expr.K.ivfAssignCore]] law) instead of a per-round
+    * plan literal through `st_ivf_assign`. Pure transport — the fit result
+    * is bit-identical either way (same scalar law, exact Q40 sums), so the
+    * knob cannot change any gated hash. */
+  val BroadcastMatrixBytesConf = "graft.ann.fit.broadcastMatrixBytes"
+
+  /** Default broadcast threshold: 8 MiB. A k=4096 x dims=64 fit (2 MB
+    * matrix) stays on the literal kernel — codegen'd, no extra machinery,
+    * measured fine at that size — while the k ~ sqrt(10^9) ~ 3*10^4 x 128
+    * matrix (~30 MB) a 10^9-vector corpus wants would be re-serialized into
+    * EVERY round's task binaries as a literal; the broadcast ships it once
+    * per round (torrent-fanout, fetched once per executor) and is destroyed
+    * as soon as the round's stats land. */
+  val BroadcastMatrixBytesDefault: Long = 8L << 20
 
   /** List count above which the distributed regime seeds with k-means||
     * instead of driver farthest-point: farthest-point is O(sample * k *
@@ -421,6 +511,137 @@ object Ann {
     seeds.toArray
   }
 
+  /** Two-level quantizer: `top` = the k1 top-level centroids, `flat` = the
+    * full rectangular k1*k2 flat list (cid = c1*k2 + c2, sorted) including
+    * any padding duplicates, `k2` = sub-lists per top cluster. `flat` is
+    * what [[searchIvfIndex]] consumes (probe sets, validation); `top` +
+    * the flat matrix are what [[assignCids2]] ships to the kernel. */
+  final case class HierCentroids(top: Array[(Long, Array[Double])],
+                                 flat: Array[(Long, Array[Double])], k2: Int)
+
+  /** Hierarchical (two-level) spherical k-means — the inverted-multi-index
+    * style coarse quantizer for list counts beyond any flat fit's reach:
+    *
+    *  - fit k1 top-level centroids with [[kmeansFit]] (all its regimes and
+    *    determinism guarantees apply);
+    *  - assign the deterministic sample to them (one distributed job, the
+    *    k1 x dim literal is small by construction);
+    *  - fit k2 sub-centroids INSIDE each top cluster — all k1 sub-fits run
+    *    in ONE `mapGroups` job, each over a bounded deterministic subset
+    *    (the `subSampleCap` smallest sample positions of the cluster,
+    *    selected via a bounded heap then sorted, so the fit is identical
+    *    regardless of shuffle arrival order) using the extracted
+    *    [[farthestPointSeeds]] + [[localLloydRounds]] primitives — the
+    *    EXACT small-fit arithmetic, just running per-executor-group.
+    *
+    * Why this exists: at the k ~ sqrt(N) ~ 3*10^4 lists a 10^9-vector
+    * corpus wants, every flat-fit stage that is O(k) per row or per
+    * candidate becomes the bottleneck — the k-means|| reduction alone is
+    * O(cands * k * dim) ~ 10^14 serial driver flops. Here NO stage exceeds
+    * O(k1 + k2) per row: seeding, fitting and ([[assignCids2]]) assignment
+    * all scan k1 + k2 ~ 2*sqrt(k) centroids. The price is the standard IMI
+    * approximation: two-level assignment is not a flat argmax over all
+    * k1*k2 centroids. Full-probe search over the resulting index remains
+    * EXACT regardless (the q89 gate); partial-probe recall is gated on
+    * clustered data like the flat trained path's.
+    *
+    * Degenerate clusters: a top cluster with fewer sample rows than k2
+    * pads its block by repeating its first sub-centroid, and one with NO
+    * sample rows uses k2 copies of the (normalized) top centroid — ties
+    * break to the LOWEST cid at both levels, so padding duplicates can
+    * never win an assignment; their lists just stay empty. */
+  def kmeansFitHier(corpus: DataFrame, k1: Int, k2: Int, iters: Int = 10,
+                    sampleCap: Int = 65536,
+                    subSampleCap: Int = 8192): HierCentroids = {
+    require(k1 >= 2 && k2 >= 2, s"need k1, k2 >= 2, got ($k1, $k2)")
+    val spark = corpus.sparkSession
+    val top = kmeansFit(corpus, k1, iters, sampleCap)
+    // same deterministic draw law as kmeansFit: identical under any
+    // partitioning/parallelism (the second corpus scan is the price of
+    // reusing kmeansFit unchanged for the top level; both scans are
+    // sample-bounded)
+    val sample = corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(sampleCap)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val dim = sample(0).length
+    val pts = sample.map(normalize)
+    import spark.implicits._
+    val topFlat = top.flatMap(_._2).toSeq
+    val topIds = top.map(_._1).toSeq
+    val subCap = subSampleCap
+    val itersL = iters
+    val k2L = k2
+    val subBlocks = spark.sparkContext
+      .parallelize(pts.zipWithIndex.map { case (p, i) => (i.toLong, p.toSeq) }.toSeq,
+        spark.sparkContext.defaultParallelism)
+      .toDF("sid", "emb")
+      .withColumn("cid1", call_function("st_ivf_assign",
+        col("emb"), typedLit(topFlat), typedLit(topIds), lit(dim)))
+      // a null cid1 is a ragged sample vector the kernel refused — skip it,
+      // exactly as the flat fit's stats fold skips its null-cid group
+      .where(col("cid1").isNotNull)
+      .select(col("cid1"), col("sid"), col("emb"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cid1, rows) =>
+        // bounded deterministic subset: the subCap smallest sids (the
+        // sample is a uniform hash draw, so a sid prefix is uniform within
+        // the cluster too); bounded max-heap then ascending sort — fit
+        // bits are independent of iterator arrival order
+        val heap = new scala.collection.mutable.PriorityQueue[(Long, Seq[Double])]()(
+          Ordering.by[(Long, Seq[Double]), Long](_._1))
+        rows.foreach { case (_, sid, emb) =>
+          if (heap.size < subCap) heap.enqueue((sid, emb))
+          else if (sid < heap.head._1) { heap.dequeue(); heap.enqueue((sid, emb)) }
+        }
+        val grp = heap.toArray.sortBy((t: (Long, Seq[Double])) => t._1)
+          .map(_._2.toArray)
+        val cents =
+          if (grp.length < 2) Array(grp(0))
+          else localLloydRounds(grp,
+            farthestPointSeeds(grp, math.min(k2L, grp.length)), itersL)
+        val padded = Array.tabulate(k2L)(i =>
+          if (i < cents.length) cents(i) else cents(0))
+        (cid1, padded.map(_.toSeq).toSeq)
+      }
+      .collect()
+      .toMap
+    val flat = (0 until k1).flatMap { c1 =>
+      val block = subBlocks.getOrElse(c1.toLong,
+        Seq.fill(k2)(normalize(top(c1)._2).toSeq))
+      block.zipWithIndex.map { case (ce, c2) =>
+        (c1.toLong * k2 + c2, ce.toArray)
+      }
+    }.toArray.sortBy(_._1)
+    HierCentroids(top, flat, k2)
+  }
+
+  /** Map-only TWO-LEVEL centroid assignment (`st_ivf_assign2`): k1 + k2 dot
+    * products per row instead of [[assignCids]]'s k1*k2 — same single-
+    * literal plan shape (two matrix literals), no shuffle, no join. */
+  def assignCids2(corpus: DataFrame, hier: HierCentroids): DataFrame = {
+    validateCentroids(hier.flat)
+    require(hier.top.nonEmpty && hier.flat.length == hier.top.length * hier.k2,
+      "flat list must be rectangular k1 * k2")
+    val dim = hier.top(0)._2.length
+    val topFlat = hier.top.flatMap(_._2).toSeq
+    val subFlat = hier.flat.flatMap(_._2).toSeq
+    corpus
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .withColumn("cid", call_function("st_ivf_assign2",
+        col("embedding"), typedLit(topFlat), typedLit(subFlat), lit(dim)))
+  }
+
+  /** Persist a hierarchical IVF index: two-level assignment, same cid
+    * partition-directory layout as [[writeIvfIndex]] — [[searchIvfIndex]]
+    * reads it unchanged with `hier.flat` as the centroid table. */
+  def writeIvfIndexHier(corpus: DataFrame, hier: HierCentroids,
+                        path: String): Unit =
+    assignCids2(corpus, hier).write.partitionBy("cid").mode("overwrite").parquet(path)
+
   /** Map-only centroid assignment: one `st_ivf_assign` kernel call per row
     * with the centroid matrix shipped as a SINGLE flat array literal (plus a
     * cid array) — plan size O(nCentroids * dims) DATA bytes in one literal
@@ -520,6 +741,30 @@ object Ann {
   def writeIvfIndex(corpus: DataFrame, cents: Array[(Long, Array[Double])],
                     path: String): Unit =
     assignCids(corpus, cents).write.partitionBy("cid").mode("overwrite").parquet(path)
+
+  /** One ingest tick of an INCREMENTALLY-built IVF index (the vector-side
+    * analogue of the tile-pyramid tick): assign the delta against the FIXED
+    * centroid set and commit it under batchId-keyed partition directories
+    * (layout `batch=<id>/cid=<list>/...`), overwriting ONLY this batch's
+    * partitions (dynamic partition overwrite) — replaying a batch after a
+    * crash rewrites its own files instead of appending duplicates:
+    * exactly-once without a transactional sink. O(delta) work per tick,
+    * earlier batches' files untouched; [[searchIvfIndex]] reads the
+    * accumulated index unchanged (`cid` stays a partition column, so probes
+    * still prune list directories — `batch` rides along as an extra
+    * partition level the search ignores). The accumulated index holds
+    * exactly the union of all ticks' rows regardless of batch slicing
+    * (assignment is per-row deterministic against frozen centroids).
+    * Centroid RE-TRAINING is deliberately a rebuild via [[writeIvfIndex]]:
+    * the cid space must stay frozen across ticks (the FAISS discipline —
+    * train once on a sample, add forever, retrain = new index). */
+  def ivfIngestTick(delta: DataFrame, cents: Array[(Long, Array[Double])],
+                    path: String, batchId: Long): Unit =
+    assignCids(delta, cents)
+      .withColumn("batch", lit(batchId))
+      .write.partitionBy("batch", "cid")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
 
   /** Search a persisted IVF index: probes are computed per query, their
     * DISTINCT cid set (dimension-sized — at most nCentroids values) is

@@ -348,6 +348,10 @@ object GraftFunctions {
       si(LongType, "ivfAssign",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)),
           Cast(a(2), ArrayType(LongType)), int(a(3))))),
+    "st_ivf_assign2" -> ((a: Seq[Expression]) =>
+      si(LongType, "ivfAssign2",
+        Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)),
+          Cast(a(2), ArrayType(DoubleType)), int(a(3))))),
     "st_ivf_maxsim" -> ((a: Seq[Expression]) =>
       si(DoubleType, "ivfMaxSim",
         Seq(Cast(a(0), ArrayType(DoubleType)), Cast(a(1), ArrayType(DoubleType)),

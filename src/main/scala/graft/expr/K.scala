@@ -1109,22 +1109,32 @@ object K {
     private var norms: Array[Double] = null
     def normsFor(d: Int): Array[Double] = {
       if (normDim != d) {
-        val n = cm.length / d
-        val ns = new Array[Double](n)
-        var c = 0
-        while (c < n) {
-          val off = c * d
-          var nb = 0.0
-          var j = 0
-          while (j < d) { val y = cm(off + j); nb += y * y; j += 1 }
-          ns(c) = math.sqrt(nb)
-          c += 1
-        }
-        norms = ns
+        norms = centroidNorms(cm, d)
         normDim = d
       }
       norms
     }
+  }
+
+  /** Per-centroid self-norms of a row-major flattened n x d matrix — the
+    * SAME element-ordered y*y accumulation the kernels' inline loop used,
+    * so any sim dividing by these is bit-identical to the interleaved form.
+    * Public (and the single definition [[CentMat]] delegates to) so the
+    * broadcast-transport fit path (Ann.kmeansFit) derives identical norms
+    * to the literal-kernel transport. */
+  def centroidNorms(cm: Array[Double], d: Int): Array[Double] = {
+    val n = cm.length / d
+    val ns = new Array[Double](n)
+    var c = 0
+    while (c < n) {
+      val off = c * d
+      var nb = 0.0
+      var j = 0
+      while (j < d) { val y = cm(off + j); nb += y * y; j += 1 }
+      ns(c) = math.sqrt(nb)
+      c += 1
+    }
+    ns
   }
   private def centMatOf(a: ArrayData): CentMat =
     memoized(a, ad => new CentMat(ad.toDoubleArray()))
@@ -1163,7 +1173,18 @@ object K {
     // the cached self-norms are the same element-ordered accumulation the
     // inline interleaved loop computed, so every sim is bit-identical to
     // cosineSim(emb, cent) — see [[CentMat]]
-    val cn = mat.normsFor(dim)
+    java.lang.Long.valueOf(ivfAssignCore(e, cm, mat.normsFor(dim), ids, dim))
+  }
+
+  /** Shared scalar argmax core of [[ivfAssign]] over already-decoded arrays
+    * (e.length == dim, cm row-major with norms cn = [[centroidNorms]](cm,
+    * dim), ids(c) = row c's cid, ascending — ties to the FIRST max). Public
+    * and the single definition the ArrayData kernel delegates to, so the
+    * broadcast-variable transport of the distributed k-means fit
+    * (Ann.kmeansFit) computes bit-identical cids to the literal-kernel
+    * transport by construction. */
+  def ivfAssignCore(e: Array[Double], cm: Array[Double], cn: Array[Double],
+                    ids: Array[Long], dim: Int): Long = {
     var na = 0.0
     var i = 0
     while (i < dim) { na += e(i) * e(i); i += 1 }
@@ -1171,6 +1192,7 @@ object K {
     var best = Double.NegativeInfinity
     var bestId = ids(0)
     var c = 0
+    val n = ids.length
     while (c < n) {
       val off = c * dim
       var dot = 0.0
@@ -1183,7 +1205,71 @@ object K {
       if (sim > best) { best = sim; bestId = ids(c) }
       c += 1
     }
-    java.lang.Long.valueOf(bestId)
+    bestId
+  }
+
+  /** st_ivf_assign2(emb, topFlat, subFlat, dim): TWO-LEVEL (inverted-multi-
+    * index style) assignment — argmax cosine over the k1 top-level rows of
+    * `topFlat`, then argmax over the winning cluster's k2 rows inside the
+    * rectangular (k1*k2) x dim `subFlat` (block c1 occupies rows
+    * c1*k2 .. c1*k2+k2-1); returns cid = c1 * k2 + c2. Same accumulation
+    * law, strict-> lowest-index tie-break and null discipline as
+    * [[ivfAssign]] at each level. k1 + k2 dot products per row instead of
+    * the flat kernel's k1*k2 — the per-row flops lever that lets list
+    * counts reach the k ~ sqrt(N) ~ 3*10^4 a 10^9-vector corpus wants.
+    * DELIBERATELY not identical to a flat argmax over all k1*k2 centroids
+    * (the standard IMI approximation — recall is gated on clustered data;
+    * full-probe search stays exact regardless of assignment quality). */
+  def ivfAssign2(emb: ArrayData, topFlat: ArrayData, subFlat: ArrayData,
+                 dim: Int): java.lang.Long = {
+    if (emb == null || topFlat == null || subFlat == null) return null
+    if (dim <= 0 || emb.numElements() != dim) return null
+    var nc = 0
+    while (nc < dim) {
+      if (emb.isNullAt(nc)) return null
+      nc += 1
+    }
+    val e = emb.toDoubleArray()
+    val topM = centMatOf(topFlat)
+    val subM = centMatOf(subFlat)
+    val tcm = topM.cm
+    val scm = subM.cm
+    if (tcm.length == 0 || tcm.length % dim != 0) return null
+    val k1 = tcm.length / dim
+    if (scm.length == 0 || scm.length % (k1.toLong * dim) != 0) return null
+    val k2 = scm.length / dim / k1
+    val cnT = topM.normsFor(dim)
+    val cnS = subM.normsFor(dim)
+    var na = 0.0
+    var i = 0
+    while (i < dim) { na += e(i) * e(i); i += 1 }
+    val sqna = math.sqrt(na)
+    var best = Double.NegativeInfinity
+    var b1 = 0
+    var c = 0
+    while (c < k1) {
+      val off = c * dim
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += e(j) * tcm(off + j); j += 1 }
+      val sim = dot / math.max(sqna * cnT(c), 1e-12)
+      if (sim > best) { best = sim; b1 = c }
+      c += 1
+    }
+    best = Double.NegativeInfinity
+    var b2 = 0
+    c = 0
+    while (c < k2) {
+      val row = b1 * k2 + c
+      val off = row * dim
+      var dot = 0.0
+      var j = 0
+      while (j < dim) { dot += e(j) * scm(off + j); j += 1 }
+      val sim = dot / math.max(sqna * cnS(row), 1e-12)
+      if (sim > best) { best = sim; b2 = c }
+      c += 1
+    }
+    java.lang.Long.valueOf(b1.toLong * k2 + b2)
   }
 
   /** st_ivf_maxsim(emb, centsFlat, dim): the MAXIMUM cosine similarity of

@@ -138,6 +138,26 @@ object Streams {
       .write.mode("overwrite").parquet(s"$workDir/pyramid")
   }
 
+  /** Streaming IVF-index ingest — the vector-side analogue of
+    * [[pyramidStream]]: each micro-batch of (vec_id, embedding) rows is
+    * assigned to a FIXED centroid set and committed under its batchId-keyed
+    * partition directories ([[graft.engine.Ann.ivfIngestTick]]: dynamic
+    * overwrite per batch = exactly-once on crash replay). The accumulated
+    * index equals the batch-built one over the unioned corpus regardless of
+    * batch slicing, and is searchable mid-stream with
+    * [[graft.engine.Ann.searchIvfIndex]] (probes prune the cid partition
+    * dirs exactly as for a batch-built index). */
+  def ivfIngest(spark: SparkSession, vectors: DataFrame,
+                cents: Array[(Long, Array[Double])], path: String,
+                checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.engine.Ann.ivfIngestTick(batch, cents, path, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   final case class SessionState(count: Long, lastUs: Long, sessions: Long)
   final case class SessionUpdate(user_id: Long, sessions: Long, events: Long)
 

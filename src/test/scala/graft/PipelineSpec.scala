@@ -201,6 +201,65 @@ class PipelineSpec extends AnyFunSuite {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
 
+  test("hierarchical IVF: deterministic fit, full probe exact, high partial-probe recall on clusters") {
+    import spark.implicits._
+    // 16 well-separated clusters in 16-dim -> k1=4 top clusters with k2=4
+    // sub-lists each; the two-level quantizer must align with the clusters
+    val rng = new java.util.Random(77L)
+    val centers = Array.fill(16)(Array.fill(16)(rng.nextGaussian() * 5.0))
+    val vecs = (0 until 800).map { i =>
+      val c = centers(i % 16)
+      (i.toLong, c.toSeq.map(_ + rng.nextGaussian() * 0.3))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val h = Ann.kmeansFitHier(corpus.repartition(3), k1 = 4, k2 = 4, iters = 6,
+      sampleCap = 600, subSampleCap = 256)
+    assert(h.top.length == 4 && h.k2 == 4)
+    assert(h.flat.length == 16 && h.flat.map(_._1).toSeq == (0L until 16L))
+    // partitioning-invariance: the sample draw, top fit, per-cluster subset
+    // selection and sub-fits are all deterministic under any parallelism
+    val h2 = Ann.kmeansFitHier(corpus.repartition(7), k1 = 4, k2 = 4, iters = 6,
+      sampleCap = 600, subSampleCap = 256)
+    assert(h.flat.map(_._2.toSeq).toSeq == h2.flat.map(_._2.toSeq).toSeq,
+      "hierarchical fit not partitioning-invariant")
+    val queries = vecs.take(6).map { case (id, v) => (s"q$id", v) }.toDF("qid", "q_emb")
+    val idx = java.nio.file.Files.createTempDirectory("graft_hieridx").toString
+    try {
+      Ann.writeIvfIndexHier(corpus, h, idx)
+      // every corpus row lands in exactly one list -> full probe is exact
+      // brute force regardless of the two-level approximation
+      assert(spark.read.parquet(idx).count() == 800)
+      val brute = Ann.bruteForceTopK(corpus, queries, k = 5).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      val full = Ann.searchIvfIndex(spark, idx, queries, h.flat, k = 5, nprobe = 16)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      assert(full == brute, s"full-probe hier != brute: ${full.diff(brute)}")
+      // partial probe (4 of 16 lists) on clustered data: near-exact
+      val part = Ann.searchIvfIndex(spark, idx, queries, h.flat, k = 5, nprobe = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val recall = brute.map(t => (t._1, t._2)).intersect(part).size.toDouble / brute.size
+      assert(recall >= 0.9, s"hier partial-probe recall $recall too low")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+  }
+
+  test("st_ivf_assign2: lowest-cid ties at both levels — padding duplicates never win") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)), (3L, Seq(-1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    // top: +x / -x; block 0 repeats its first row at rows 1 and 3 (the
+    // padding shape), block 1 is ALL duplicates (the empty-cluster shape)
+    val top = Seq(1.0, 0.0, -1.0, 0.0)
+    val sub = Seq(1.0, 0.0, 1.0, 0.0, 0.0, 1.0, 1.0, 0.0,
+      -1.0, 0.0, -1.0, 0.0, -1.0, 0.0, -1.0, 0.0)
+    val got = df.withColumn("cid", call_function("st_ivf_assign2",
+        col("embedding").cast("array<double>"), typedLit(top), typedLit(sub), lit(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    // (1,0): top 0, block-0 rows 0/1/3 tie -> lowest -> cid 0
+    // (0,1): top sims tie at 0 -> top 0; block-0 row 2 wins -> cid 2
+    // (-1,0): top 1; block-1 all tie -> first row -> cid 4
+    assert(got == Map(1L -> 0L, 2L -> 2L, 3L -> 4L), s"got $got")
+  }
+
   test("IVF assignment plans and runs at 1024 centroids (single-literal kernel)") {
     // the pre-r4 greatest()-over-per-centroid-structs argmax built a
     // multi-megabyte expression tree that blew whole-stage codegen past
@@ -322,6 +381,67 @@ class PipelineSpec extends AnyFunSuite {
     val assigned = Ann.assignCids(vecs.toDF("vec_id", "embedding")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")), cents)
     assert(assigned.select("cid").distinct().count() > 128)
+  }
+
+  test("ivf ingest ticks: exactly-once on replay, equals the one-shot index, probes still prune") {
+    import spark.implicits._
+    val rng = new java.util.Random(41L)
+    val vecs = (0 until 300).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    val corpus = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = Ann.firstNCentroids(corpus, 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_ticks").toString
+    val oneShot = java.nio.file.Files.createTempDirectory("graft_ivf_oneshot").toString
+    try {
+      Ann.ivfIngestTick(corpus.where(col("vec_id") % 2 === 0), cents, idx, 0L)
+      Ann.ivfIngestTick(corpus.where(col("vec_id") % 2 === 1), cents, idx, 1L)
+      // crash between sink commit and offset commit -> the batch REPLAYS;
+      // the batchId-keyed dynamic overwrite must absorb it, not duplicate
+      Ann.ivfIngestTick(corpus.where(col("vec_id") % 2 === 1), cents, idx, 1L)
+      val got = spark.read.parquet(idx)
+      assert(got.count() == 300, "replayed tick duplicated rows")
+      Ann.writeIvfIndex(corpus, cents, oneShot)
+      val a = got.select(col("vec_id"), col("cid").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val b = spark.read.parquet(oneShot).select(col("vec_id"), col("cid").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(a == b, "tick-accumulated index differs from the one-shot index")
+      // searches over the two layouts agree at PARTIAL probe, and the
+      // two-level (batch, cid) layout still prunes on cid
+      val queries = corpus.where(col("vec_id") < 4)
+        .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+      val sTicks = Ann.searchIvfIndex(spark, idx, queries, cents, k = 5, nprobe = 3)
+      val sOnce = Ann.searchIvfIndex(spark, oneShot, queries, cents, k = 5, nprobe = 3)
+      assert(sTicks.collect().map(_.toSeq).toSeq == sOnce.collect().map(_.toSeq).toSeq)
+      val rx = "PartitionFilters: \\[[^\\]]*cid".r
+      val plan = sTicks.queryExecution.executedPlan.toString
+      assert(rx.findFirstIn(plan).isDefined,
+        s"tick index scan not partition-pruned on cid:\n${plan.take(2500)}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(oneShot))
+    }
+  }
+
+  test("kmeansFit broadcast matrix transport is bit-identical to the literal kernel") {
+    import spark.implicits._
+    // same distributed-regime shape as above; forcing the threshold to 0
+    // routes every Lloyd round through the TorrentBroadcast + mapPartitions
+    // transport (K.ivfAssignCore), which must produce the EXACT bits of the
+    // plan-literal st_ivf_assign transport — the conf is transport-only
+    val rng = new java.util.Random(11L)
+    val vecs = (0 until 4096).map(i => (i.toLong, Seq.fill(64)(rng.nextGaussian())))
+    val df = vecs.toDF("vec_id", "embedding")
+    val viaLiteral = Ann.kmeansFit(df.repartition(3), k = 256, iters = 3)
+    spark.conf.set(Ann.BroadcastMatrixBytesConf, "0")
+    try {
+      val viaBroadcast = Ann.kmeansFit(df.repartition(3), k = 256, iters = 3)
+      assert(viaLiteral.map(_._2.toSeq).toSeq == viaBroadcast.map(_._2.toSeq).toSeq,
+        "broadcast transport changed fit bits")
+      // and the broadcast transport is itself partitioning-invariant
+      val viaBroadcast7 = Ann.kmeansFit(df.repartition(7), k = 256, iters = 3)
+      assert(viaBroadcast.map(_._2.toSeq).toSeq == viaBroadcast7.map(_._2.toSeq).toSeq)
+    } finally spark.conf.unset(Ann.BroadcastMatrixBytesConf)
   }
 
   test("kmeansFit at k >= ParallelSeedK: k-means|| seeding, deterministic and distinct") {
