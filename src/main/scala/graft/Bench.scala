@@ -12,7 +12,8 @@ object Bench {
     * (the round-1..3 set), widened in round 4 with the inverse/parse surface
     * (q49-q55), the text/media operators (q66/q67/q70/q71) and the round-4
     * additions (q73/q75-q83/q85), and in round 5 with the remaining cheap
-    * batch rows (q58, q62-q65) plus the new q86 — every non-streaming gate
+    * batch rows (q58, q62-q65) plus the new q86 and q89 — every
+    * non-streaming gate
     * query is now benched, so a regression anywhere on the scalar or
     * pipeline surface shows up in BENCH_r*.json. The seven streaming rows
     * (q57/q59/q60/q72/q84/q87/q88) are excluded on purpose: their wall time
@@ -33,7 +34,8 @@ object Bench {
     "q77_ann_q8", "q78_ann_ivf_q8", "q79_tile_pyramid", "q80_dedup_components",
     "q81_ring_metrics", "q82_asof_join", "q83_compact_cover", "q85_distance_join",
     "q58_ngram_jaccard", "q62_cell_surface", "q63_utm_registry_surface",
-    "q64_olc_parse_matmul", "q65_cover_cells", "q86_datum_shift_inverse")
+    "q64_olc_parse_matmul", "q65_cover_cells", "q86_datum_shift_inverse",
+    "q89_ann_ivf_hier")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

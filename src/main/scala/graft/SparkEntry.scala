@@ -1460,7 +1460,11 @@ object SparkEntry {
         sampleCap = 2048, subSampleCap = 512)
       val idxPath = scratchDir("q89idx", dir)
       Ann.writeIvfIndexHier(corpus, hier, idxPath)
-      Ann.searchIvfIndex(s, idxPath, queries, hier.flat, k = 10, nprobe = 16)
+      // two-level probing at nprobe1 = k1 ranks the identical probe set as
+      // the flat path, so full probe stays exact — the gate covers the
+      // hier probe machinery end-to-end
+      Ann.searchIvfIndexHier(s, idxPath, queries, hier, k = 10,
+        nprobe1 = 4, nprobe = 16)
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),

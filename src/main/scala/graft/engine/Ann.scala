@@ -799,6 +799,57 @@ object Ann {
     topKOverCandidates(index, probes, k)
   }
 
+  /** TWO-LEVEL probe set for a hierarchical index: rank the k1 top
+    * centroids per query, keep `nprobe1` clusters, rank only THOSE
+    * clusters' sub-centroids, keep `nprobe` lists overall — O(k1 +
+    * nprobe1 * k2) dots per query instead of [[probeSet]]'s O(k1 * k2),
+    * and the broadcast dimension is k1 + nprobe1-filtered rows instead of
+    * the full flat table (the per-query probing analogue of what
+    * `st_ivf_assign2` does per corpus row). With nprobe1 = k1 the ranking
+    * degenerates to the flat [[probeSet]] EXACTLY (same cosine law, same
+    * (csim desc, cid) tie-break over the same sub-centroid set). */
+  private def probeSetHier(queries: DataFrame, hier: HierCentroids,
+                           nprobe1: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val topDf = spark.createDataFrame(hier.top.map { case (c1, ce) => (c1, ce) })
+      .toDF("c1", "cemb")
+    val subDf = spark.createDataFrame(hier.flat.map { case (cid, ce) =>
+      (cid / hier.k2, cid, ce)
+    }).toDF("c1", "cid", "semb")
+    val w1 = Window.partitionBy("qid").orderBy(col("tsim").desc, col("c1"))
+    val picked = queries.select(col("qid"), col("q_emb"))
+      .crossJoin(broadcast(topDf))
+      .withColumn("tsim", cosine(col("q_emb"), col("cemb")))
+      .withColumn("trn", row_number().over(w1))
+      .where(col("trn") <= nprobe1)
+      .select("qid", "q_emb", "c1")
+    val w2 = Window.partitionBy("qid").orderBy(col("csim").desc, col("cid"))
+    picked.join(broadcast(subDf), Seq("c1"))
+      .withColumn("csim", cosine(col("q_emb"), col("semb")))
+      .withColumn("crn", row_number().over(w2))
+      .where(col("crn") <= nprobe)
+      .select("qid", "q_emb", "cid")
+  }
+
+  /** Search a persisted hierarchical index with two-level probing — same
+    * collected-probe static partition pruning as [[searchIvfIndex]], but
+    * the probe ranking never scans all k1*k2 centroids per query. At
+    * nprobe1 = k1 the probe set equals the flat one exactly, so full
+    * probe (nprobe = k1*k2) remains exact brute force (the q89 gate). */
+  def searchIvfIndexHier(spark: SparkSession, path: String, queries: DataFrame,
+                         hier: HierCentroids, k: Int,
+                         nprobe1: Int, nprobe: Int): DataFrame = {
+    validateCentroids(hier.flat)
+    val probesDf = probeSetHier(queries, hier, nprobe1, nprobe)
+    val rows = probesDf.collect()
+    val probes = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probesDf.schema))
+    val probedCids = rows.map(_.getLong(2)).distinct
+    val index = spark.read.parquet(path)
+      .where(col("cid").isin(probedCids.map(_.asInstanceOf[Any]): _*))
+    topKOverCandidates(index, probes, k)
+  }
+
   // ---- int8 scalar quantization -------------------------------------------
 
   /** Persist an int8-quantized embedding index: (vec_id, minv, scale,

@@ -239,6 +239,20 @@ class PipelineSpec extends AnyFunSuite {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSet
       val recall = brute.map(t => (t._1, t._2)).intersect(part).size.toDouble / brute.size
       assert(recall >= 0.9, s"hier partial-probe recall $recall too low")
+      // two-level probing at nprobe1 = k1 ranks the IDENTICAL probe set as
+      // the flat path (same law, same tie-break) -> row-identical results
+      // at any nprobe; at a REDUCED nprobe1 it is the cheap path (k1 +
+      // nprobe1*k2 dots per query) and must keep recall on clustered data
+      val flatP = Ann.searchIvfIndex(spark, idx, queries, h.flat, k = 5, nprobe = 6)
+        .collect().map(_.toSeq).toSeq
+      val hierP = Ann.searchIvfIndexHier(spark, idx, queries, h, k = 5,
+        nprobe1 = 4, nprobe = 6).collect().map(_.toSeq).toSeq
+      assert(flatP == hierP, "hier probing at nprobe1=k1 diverged from flat probing")
+      val hierPart = Ann.searchIvfIndexHier(spark, idx, queries, h, k = 5,
+          nprobe1 = 2, nprobe = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val recall2 = brute.map(t => (t._1, t._2)).intersect(hierPart).size.toDouble / brute.size
+      assert(recall2 >= 0.9, s"two-level-probe recall $recall2 too low")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
   }
 
