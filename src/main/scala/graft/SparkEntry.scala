@@ -1500,7 +1500,9 @@ object SparkEntry {
           .parquet(srcDir.getPath),
         cents, idxPath, ckpt)
       q.awaitTermination()
-      Ann.searchIvfIndex(s, idxPath, queries, cents, k = 10, nprobe = 16)
+      // the manifest-aware tick reader (identical live set while no
+      // compaction has run) — gates readIvfTicks end-to-end
+      Ann.searchIvfTicks(s, idxPath, queries, cents, k = 10, nprobe = 16)
         .select(col("qid"), col("vec_id"), (round(col("sim"), 6) + 0.0).as("sim"), col("rank"))
         .orderBy(col("qid"), col("rank"))
     }),

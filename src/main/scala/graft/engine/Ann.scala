@@ -619,6 +619,130 @@ object Ann {
     HierCentroids(top, flat, k2)
   }
 
+  // ---- tick-index compaction (small-file maintenance) ----------------------
+
+  /** Compaction manifest for a tick-built index ([[ivfIngestTick]] layout):
+    * `gen` = the live compacted generation (its rows live under
+    * `batch=-gen`; 0 = none yet), `upTo` = the compaction WATERMARK — every
+    * streaming batch id < upTo is folded into the compacted generation and
+    * is DEAD as a directory. The manifest is the single atomic commit
+    * point (tmp + atomic move, the [[Checkpoint]] discipline), which is
+    * what makes compaction crash-safe without a transactional store:
+    * a crash BEFORE the move leaves the old manifest naming the old live
+    * set (the half-written new generation is invisible garbage, swept by
+    * the next attempt); a crash AFTER it leaves superseded dirs as
+    * garbage (swept by the next attempt) that [[readIvfTicks]] already
+    * ignores. Plain directory rewrites instead would have a window where
+    * a reader double-counts or loses rows — there is none here. */
+  private def compactionManifestPath(path: String) =
+    new org.apache.hadoop.fs.Path(path, "_graft_ivf_compaction.json")
+
+  private def readCompactionManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: String): (Long, Long) = {
+    val p = compactionManifestPath(path)
+    if (!fs.exists(p)) return (0L, 0L)
+    val in = fs.open(p)
+    val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val gen = """"gen":(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    val upTo = """"up_to":(-?\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+    (gen.getOrElse(0L), upTo.getOrElse(0L))
+  }
+
+  private def writeCompactionManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                      path: String, gen: Long, upTo: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path, "_graft_ivf_compaction.json.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"gen":$gen,"up_to":$upTo}""".getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, compactionManifestPath(path))) {
+      fs.delete(compactionManifestPath(path), false)
+      require(fs.rename(tmp, compactionManifestPath(path)),
+        s"cannot commit compaction manifest under $path")
+    }
+  }
+
+  private def batchDirs(fs: org.apache.hadoop.fs.FileSystem,
+                        path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap { st =>
+        scala.util.Try(st.getPath.getName.stripPrefix("batch=").toLong)
+          .toOption.map(id => (id, st.getPath))
+      }
+  }
+
+  /** The LIVE row set of a tick-built index: the compacted generation (if
+    * any) plus every streaming batch at or above the compaction watermark.
+    * Superseded batch dirs, stale generations from crashed compactions,
+    * and — crucially — any batch a source REPLAYED below the watermark
+    * after its rows were compacted (a contract violation that would
+    * double-count under a naive read) are all invisible. Partition columns
+    * (batch, cid) are preserved via basePath, so probe-driven cid
+    * partition pruning works exactly as on an uncompacted index. */
+  def readIvfTicks(spark: SparkSession, path: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, upTo) = readCompactionManifest(fs, path)
+    val live = batchDirs(fs, path).collect {
+      case (id, p) if (gen > 0 && id == -gen) || id >= upTo => p.toString
+    }
+    require(live.nonEmpty, s"no live batch directories under $path")
+    spark.read.option("basePath", path).parquet(live: _*)
+  }
+
+  /** Fold the compacted generation plus every batch in [watermark,
+    * upToBatch) into ONE new generation (one file set per cid instead of
+    * one per (tick, cid) — the small-file maintenance a long-running
+    * ingest needs), then atomically advance the manifest and sweep the
+    * superseded dirs.
+    *
+    * CALLER CONTRACT: `upToBatch` must not exceed the source checkpoint's
+    * highest COMMITTED batch id + 1 — Structured Streaming only ever
+    * replays the batch after the last committed one, so compacted batches
+    * can never legitimately replay. Even if one does, the watermark makes
+    * the recreated dir invisible (see [[readIvfTicks]]) — the failure
+    * degrades to dead bytes on disk, never to duplicate rows. Safe to run
+    * concurrently with ongoing ticks (they write ids >= upToBatch). */
+  def compactIvfTicks(spark: SparkSession, path: String, upToBatch: Long): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (gen, oldUpTo) = readCompactionManifest(fs, path)
+    // sweep garbage first: stale generations (a crashed attempt's
+    // half-written dir) and batches already below the committed watermark
+    batchDirs(fs, path).foreach { case (id, p) =>
+      if ((id < 0 && id != -gen) || (id >= 0 && id < oldUpTo))
+        fs.delete(p, true)
+    }
+    if (upToBatch <= oldUpTo) return // nothing new to fold
+    val src = batchDirs(fs, path).collect {
+      case (id, p) if (gen > 0 && id == -gen) || (id >= oldUpTo && id < upToBatch) => p
+    }
+    if (src.isEmpty) return
+    val newGen = gen + 1
+    val dest = s"$path/batch=-$newGen"
+    spark.read.option("basePath", path).parquet(src.map(_.toString): _*)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+      .write.partitionBy("cid").mode("overwrite").parquet(dest)
+    // the atomic commit point: readers switch to the new generation +
+    // watermark in one rename
+    writeCompactionManifest(fs, path, newGen, upToBatch)
+    src.foreach(p => fs.delete(p, true))
+  }
+
+  /** Search a tick-built index through the manifest-aware live set —
+    * [[searchIvfIndex]]'s exact ranking over [[readIvfTicks]]. */
+  def searchIvfTicks(spark: SparkSession, path: String, queries: DataFrame,
+                     cents: Array[(Long, Array[Double])], k: Int,
+                     nprobe: Int): DataFrame = {
+    validateCentroids(cents)
+    val (probes, probedCids) = collectedProbes(spark, queries, cents, nprobe)
+    val index = readIvfTicks(spark, path)
+      .where(col("cid").isin(probedCids.map(_.asInstanceOf[Any]): _*))
+    topKOverCandidates(index, probes, k)
+  }
+
   /** Map-only TWO-LEVEL centroid assignment (`st_ivf_assign2`): k1 + k2 dot
     * products per row instead of [[assignCids]]'s k1*k2 — same single-
     * literal plan shape (two matrix literals), no shuffle, no join. */
@@ -757,7 +881,11 @@ object Ann {
     * (assignment is per-row deterministic against frozen centroids).
     * Centroid RE-TRAINING is deliberately a rebuild via [[writeIvfIndex]]:
     * the cid space must stay frozen across ticks (the FAISS discipline —
-    * train once on a sample, add forever, retrain = new index). */
+    * train once on a sample, add forever, retrain = new index). Long-
+    * running ingests compact their accumulated per-tick file sets with
+    * [[compactIvfTicks]] and read/search through [[readIvfTicks]] /
+    * [[searchIvfTicks]] (manifest-aware; identical to a plain read while
+    * no compaction has run). */
   def ivfIngestTick(delta: DataFrame, cents: Array[(Long, Array[Double])],
                     path: String, batchId: Long): Unit =
     assignCids(delta, cents)

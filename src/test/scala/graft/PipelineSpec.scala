@@ -437,6 +437,52 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf tick compaction: crash-safe manifest, watermark hides replays, search unchanged") {
+    import spark.implicits._
+    val rng = new java.util.Random(43L)
+    val vecs = (0 until 300).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian())))
+    val corpus = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = Ann.firstNCentroids(corpus, 8)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    try {
+      val b = Array.tabulate(3)(i => corpus.where(col("vec_id") % 3 === i))
+      for (i <- 0 until 3) Ann.ivfIngestTick(b(i), cents, idx, i.toLong)
+      val queries = corpus.where(col("vec_id") < 4)
+        .select(concat(lit("q"), col("vec_id")).as("qid"), col("embedding").as("q_emb"))
+      val before = Ann.searchIvfTicks(spark, idx, queries, cents, k = 5, nprobe = 3)
+        .collect().map(_.toSeq).toSeq
+      // a CRASHED compaction attempt: a stale generation dir exists but the
+      // manifest was never committed — readers must not see it
+      corpus.limit(5).write.mode("overwrite").parquet(s"$idx/batch=-1/cid=0")
+      assert(Ann.readIvfTicks(spark, idx).count() == 300,
+        "stale uncommitted generation leaked into the live set")
+      // real compaction folding batches 0 and 1 (gen 1 swept the stray dir)
+      Ann.compactIvfTicks(spark, idx, upToBatch = 2L)
+      val liveDirs = new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(liveDirs == Set("batch=-1", "batch=2"), s"unexpected dirs: $liveDirs")
+      assert(Ann.readIvfTicks(spark, idx).count() == 300)
+      val after = Ann.searchIvfTicks(spark, idx, queries, cents, k = 5, nprobe = 3)
+        .collect().map(_.toSeq).toSeq
+      assert(after == before, "compaction changed search results")
+      // contract-violating replay of a COMPACTED batch: the watermark makes
+      // the recreated dir invisible — no double counting, search unchanged
+      Ann.ivfIngestTick(b(0), cents, idx, 0L)
+      assert(Ann.readIvfTicks(spark, idx).count() == 300,
+        "replayed compacted batch double-counted")
+      // second compaction folds gen 1 + batch 2 into gen 2 and sweeps the
+      // replayed dead dir
+      Ann.compactIvfTicks(spark, idx, upToBatch = 3L)
+      val live2 = new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+      assert(live2 == Set("batch=-2"), s"unexpected dirs after gen 2: $live2")
+      assert(Ann.readIvfTicks(spark, idx).count() == 300)
+      assert(Ann.searchIvfTicks(spark, idx, queries, cents, k = 5, nprobe = 3)
+        .collect().map(_.toSeq).toSeq == before)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+  }
+
   test("kmeansFit broadcast matrix transport is bit-identical to the literal kernel") {
     import spark.implicits._
     // same distributed-regime shape as above; forcing the threshold to 0
