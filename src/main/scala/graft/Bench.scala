@@ -35,7 +35,7 @@ object Bench {
     "q81_ring_metrics", "q82_asof_join", "q83_compact_cover", "q85_distance_join",
     "q58_ngram_jaccard", "q62_cell_surface", "q63_utm_registry_surface",
     "q64_olc_parse_matmul", "q65_cover_cells", "q86_datum_shift_inverse",
-    "q89_ann_ivf_hier")
+    "q89_ann_ivf_hier", "q90_dbscan")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —
@@ -128,7 +128,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""failed":$failedJson,"inner_n":3,""" +
-        s""""caps":{"q34_knn_docs":${SparkEntry.KnnDocCap},"q37_media_docs":${SparkEntry.MediaDocCap}},""" +
+        s""""caps":{"q34_knn_docs":${SparkEntry.KnnDocCap},"q37_media_docs":${SparkEntry.MediaDocCap},"q90_dbscan_docs":${SparkEntry.DbscanDocCap}},""" +
         s""""flagship_docs_per_sec":$docsPerSec,"n_docs":$nDocs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -281,6 +281,50 @@ object OracleSql {
     ORDER BY qid, pid"""
   }
 
+  /** q90: DBSCAN vs first principles — brute-force O(n²) haversine
+    * neighbors, core = degree+1 >= minPts, core clusters by recursive-CTE
+    * reachability (min reachable core pid — the engine's CC label), border
+    * = minimum core-neighbor label, noise NULL. The engine's cell-disk
+    * candidate set provably contains every true eps-pair, so equi-join +
+    * refine equals this. Same boundary envelope as q85: a flip needs a
+    * pair within ~1e-9 m of exactly eps. */
+  def q90(nDocs: Long): String = {
+    val eps = "3000.0"
+    s"""WITH RECURSIVE ${parsedCte(docsGlob(nDocs), capDoc = Some(f"doc-${SparkEntry.DbscanDocCap}%09d"))},
+    p AS (
+      SELECT doc_id || ':' || CAST("offset" AS VARCHAR) AS pid, lat, lon FROM parsed
+    ), nb AS MATERIALIZED (
+      SELECT a.pid AS pa, b.pid AS pb
+      FROM p a JOIN p b ON a.pid <> b.pid
+        AND ${haversineSql("a.lat", "a.lon", "b.lat", "b.lon")} <= $eps
+    ), deg AS (
+      SELECT pa AS pid, count(*) + 1 AS n FROM nb GROUP BY 1
+    ), core AS (
+      SELECT p.pid FROM p LEFT JOIN deg ON p.pid = deg.pid
+      WHERE COALESCE(deg.n, 1) >= 10
+    ), ce AS (
+      SELECT pa AS src, pb AS dst FROM nb
+      WHERE pa IN (SELECT pid FROM core) AND pb IN (SELECT pid FROM core)
+    ), reach AS (
+      SELECT pid AS id, pid AS r FROM core
+      UNION
+      SELECT ce.dst AS id, reach.r AS r FROM reach JOIN ce ON ce.src = reach.id
+    ), lbl AS (
+      SELECT id AS pid, min(r) AS cluster FROM reach GROUP BY 1
+    ), border AS (
+      SELECT nb.pa AS pid, min(lbl.cluster) AS cluster
+      FROM nb JOIN lbl ON nb.pb = lbl.pid
+      WHERE nb.pa NOT IN (SELECT pid FROM core)
+      GROUP BY 1
+    ), asg AS (
+      SELECT pid, cluster FROM lbl UNION ALL SELECT pid, cluster FROM border
+    )
+    SELECT p.pid, asg.cluster, (c.pid IS NOT NULL) AS is_core
+    FROM p LEFT JOIN asg ON p.pid = asg.pid
+      LEFT JOIN core c ON p.pid = c.pid
+    ORDER BY p.pid"""
+  }
+
   /** q79: tile pyramid — every zoom computed DIRECTLY from the points
     * (the engine derives coarser zooms from the finer level's tiles; slippy
     * nesting makes the two equal exactly). */
@@ -1951,6 +1995,7 @@ object OracleSql {
     "q87_stream_pyramid" -> q79(nDocs),
     "q81_ring_metrics" -> q81(nDocs),
     "q85_distance_join" -> q85(nDocs),
+    "q90_dbscan" -> q90(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

@@ -36,6 +36,7 @@ object SparkEntry {
     * Bench emits both caps in its JSON so the bound is never silent. */
   val KnnDocCap = 20000L
   val MediaDocCap = 10000L
+  val DbscanDocCap = 2000L
 
   /** q55 flattening delta: International 1924 (1/297) minus WGS84 —
     * computed once so the oracle SQL embeds the identical double. */
@@ -1314,6 +1315,24 @@ object SparkEntry {
       SpatialJoin.withinDistance(hubSites(s), pts, radiusM = 25000.0)
         .select(col("qid"), col("pid"), (round(col("dist"), 3) + 0.0).as("dist"))
         .orderBy(col("qid"), col("pid"))
+    }),
+    // q90: grid DBSCAN over corpus points — distributed fixed-radius
+    // neighbor SELF-join (fact x fact, nothing broadcast or collected),
+    // degree count, core components through the log-round CC, deterministic
+    // min-label border assignment. The doc cap bounds the ORACLE (brute
+    // force O(n^2) pairs + recursive-CTE reachability); the operator is
+    // uncapped. eps 3 km against the 5.5 km hotspot sigma and minPts 10
+    // make all three roles appear: cores at hub centers, borders at the
+    // density edge, the uniform 20% mostly noise.
+    "q90_dbscan" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+        .where(col("doc_id") < lit(f"doc-${DbscanDocCap}%09d"))
+      val pts = SpatialJoin.extractPoints(docs)
+        .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
+          col("lat"), col("lon"), col("cell"))
+      Cluster.dbscan(pts, epsM = 3000.0, minPts = 10)
+        .orderBy(col("pid"))
     }),
     // q84: stream-STREAM interval join under Trigger.AvailableNow — the
     // last Structured Streaming operator class (joins between two streams
