@@ -325,6 +325,30 @@ object OracleSql {
     ORDER BY p.pid"""
   }
 
+  /** q91: binomial focal smoothing vs first principles — tile counts at
+    * z=6, then the 3×3 weighted neighbor sum with integer weights
+    * (1,2,1)⊗(1,2,1), x wrapping mod 2^z and y clamped. All-integer
+    * arithmetic end to end, so the compare is exact. */
+  def q91(nDocs: Long): String = {
+    val z = 6
+    val n = 1L << z
+    s"""WITH ${parsedCte(docsGlob(nDocs))},
+    t AS (
+      SELECT ${tileXExpr("lon", z)} AS x, ${tileYExpr("lat", z)} AS y,
+        count(*) AS v
+      FROM parsed GROUP BY 1, 2
+    ), o(dx, dy, w) AS (VALUES
+      (-1,-1,1),(-1,0,2),(-1,1,1),(0,-1,2),(0,0,4),(0,1,2),(1,-1,1),(1,0,2),(1,1,1)
+    ), s AS (
+      SELECT (x + dx + $n) % $n AS nx, y + dy AS ny, v * w AS c
+      FROM t CROSS JOIN o
+      WHERE y + dy BETWEEN 0 AND ${n - 1}
+    )
+    SELECT ${z.toLong << 58} + nx * ${1L << 29} + ny AS tile_id, $z AS z,
+      CAST(sum(c) AS BIGINT) AS sm
+    FROM s GROUP BY 1, 2 ORDER BY tile_id"""
+  }
+
   /** q79: tile pyramid — every zoom computed DIRECTLY from the points
     * (the engine derives coarser zooms from the finer level's tiles; slippy
     * nesting makes the two equal exactly). */
@@ -1996,6 +2020,7 @@ object OracleSql {
     "q81_ring_metrics" -> q81(nDocs),
     "q85_distance_join" -> q85(nDocs),
     "q90_dbscan" -> q90(nDocs),
+    "q91_focal_smooth" -> q91(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

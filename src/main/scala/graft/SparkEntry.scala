@@ -1334,6 +1334,18 @@ object SparkEntry {
       Cluster.dbscan(pts, epsM = 3000.0, minPts = 10)
         .orderBy(col("pid"))
     }),
+    // q91: binomial focal smoothing (raster focal statistics / heatmap
+    // blur) of the z=6 tile histogram — all-integer kernel weights, exact
+    // long sums, x wrap / y clamp edge semantics. One bounded explode of
+    // the ALREADY-AGGREGATED tile table + one shuffle.
+    "q91_focal_smooth" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val pts = SpatialJoin.extractPoints(docs)
+      val base = Tiler.assign(pts, 6)
+        .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+      Tiler.focalSmooth(base, r = 1).orderBy(col("tile_id"))
+    }),
     // q84: stream-STREAM interval join under Trigger.AvailableNow — the
     // last Structured Streaming operator class (joins between two streams
     // with watermark-bounded state). Each side is staged as TWO

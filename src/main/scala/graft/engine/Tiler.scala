@@ -95,4 +95,49 @@ object Tiler {
   def polyfill(polys: DataFrame, zoom: Int): DataFrame =
     polys.select(col("poly_id"),
       explode(call_function("st_tile_polyfill", col("ring"), lit(zoom))).as("tile_id"))
+
+  private def choose(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - k + i) / i)
+
+  /** Binomial-kernel focal smoothing of a single-zoom tile raster — the
+    * classic raster "focal statistics" / heatmap-blur operator. Each output
+    * tile's value is the kernel-weighted sum over its (2r+1)² neighborhood
+    * with separable weights w(d) = C(2r, r+d) (the discrete binomial
+    * approximation of a Gaussian; weights are INTEGERS, so the sums are
+    * exact longs — order-independent, no float drift anywhere).
+    *
+    * Edge semantics: x wraps at the antimeridian (mod 2^z — longitude is
+    * periodic); y clamps (no polar wrap; contributions that fall off the
+    * top/bottom are dropped, the standard "ignore outside" focal policy).
+    * Output covers the input's dilation by r: every tile that receives at
+    * least one contribution appears, with (tile_id, z, sm).
+    *
+    * Scale shape: the input is an already-aggregated tile histogram (never
+    * the raw points), the kernel explode is a bounded (2r+1)² factor, and
+    * the single groupBy shuffles tile-sized data with map-side partial
+    * aggregation. Weights overflow-check: sum(n·w) <= total_points · C(2r,r)²
+    * — at r <= 8 that headroom is > 2^40 points. */
+  def focalSmooth(tiles: DataFrame, r: Int = 1,
+                  valueCol: String = "n_points"): DataFrame = {
+    require(r >= 1 && r <= 8, s"kernel radius out of range [1,8]: $r")
+    val w = (-r to r).map(d => choose(2 * r, r + d))
+    val offs = array((for (dx <- -r to r; dy <- -r to r) yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"),
+        lit(w(dx + r) * w(dy + r)).as("w"))): _*)
+    val z = shiftrightunsigned(col("tile_id"), 58)
+    val x = shiftrightunsigned(col("tile_id"), 29).bitwiseAND(lit((1L << 29) - 1))
+    val y = col("tile_id").bitwiseAND(lit((1L << 29) - 1))
+    tiles
+      .select(z.as("z"), x.as("x"), y.as("y"), col(valueCol).cast("long").as("v"),
+        explode(offs).as("o"))
+      .select(col("z"),
+        pmod(col("x") + col("o.dx"), expr("shiftleft(1L, cast(z as int))")).as("nx"),
+        (col("y") + col("o.dy")).as("ny"),
+        (col("v") * col("o.w")).as("c"))
+      .where(col("ny") >= 0 && col("ny") < expr("shiftleft(1L, cast(z as int))"))
+      .groupBy((shiftleft(col("z"), 58) + shiftleft(col("nx"), 29) + col("ny")).as("tile_id"))
+      .agg(sum(col("c")).as("sm"))
+      .withColumn("z", shiftrightunsigned(col("tile_id"), 58).cast("int"))
+      .select("tile_id", "z", "sm")
+  }
 }

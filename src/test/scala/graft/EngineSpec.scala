@@ -404,4 +404,36 @@ class EngineSpec extends AnyFunSuite {
       .count()
     assert(bad == 0)
   }
+
+  test("focalSmooth: exact binomial weights, antimeridian x wrap, y clamp, r=2") {
+    import spark.implicits._
+    def tid(z: Long, x: Long, y: Long) = (z << 58) + (x << 29) + y
+    val z = 3L; val n = 1L << z // 8x8 raster
+    // single occupied tile in the middle: smoothing spreads the 3x3 kernel
+    val one = Seq((tid(z, 4, 4), 10L)).toDF("tile_id", "n_points")
+    val got1 = Tiler.focalSmooth(one, r = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got1.size == 9)
+    assert(got1(tid(z, 4, 4)) == 40L) // center 4 * 10
+    assert(got1(tid(z, 3, 4)) == 20L && got1(tid(z, 4, 3)) == 20L)
+    assert(got1(tid(z, 3, 3)) == 10L && got1(tid(z, 5, 5)) == 10L)
+    // x wraps: a tile at x=0 contributes to x = n-1; y clamps: y=0 sends
+    // nothing above the top row (total mass drops by the clipped band)
+    val edge = Seq((tid(z, 0, 0), 7L)).toDF("tile_id", "n_points")
+    val got2 = Tiler.focalSmooth(edge, r = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got2.size == 6) // 3x3 minus the clipped y=-1 row
+    assert(got2(tid(z, n - 1, 0)) == 14L) // wrapped west neighbor, w=2*1
+    assert(got2(tid(z, n - 1, 1)) == 7L)
+    assert(got2(tid(z, 0, 0)) == 28L)
+    assert(!got2.contains(tid(z, 0, n - 1) + 1)) // nothing wrapped in y
+    // r=2: separable (1,4,6,4,1) weights, center = 36
+    val got3 = Tiler.focalSmooth(one, r = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got3.size == 25)
+    assert(got3(tid(z, 4, 4)) == 360L)
+    assert(got3(tid(z, 2, 2)) == 10L && got3(tid(z, 4, 2)) == 60L)
+    // mass conservation away from edges: kernel sums to 16 (r=1) / 256 (r=2)
+    assert(got1.values.sum == 160L && got3.values.sum == 2560L)
+  }
 }
