@@ -1535,7 +1535,12 @@ object OracleSql {
     * filtered by the exact cell/ring intersection test (corner-or-centre
     * PIP, vertex-in-box, Liang-Barsky edge clip), mirroring
     * Cells.cellIntersectsRing + tileBounds. */
-  def q36(nDocs: Long): String = {
+  def q36(nDocs: Long): String =
+    polyfillSelect(nDocs) + "\n    ORDER BY poly_id, tile_id"
+
+  /** The q36 body without its ORDER BY — shared verbatim by q92's zone
+    * definition so zonal stats and the polyfill gate can never drift. */
+  private def polyfillSelect(nDocs: Long): String = {
     val z = 9
     val nT = 1L << z
     def latOf(yy: String): String = { // toDegrees(atan(sinh(pi - 2*pi*yy/n)))
@@ -1594,8 +1599,27 @@ object OracleSql {
       FROM ce GROUP BY 1, 2, 3
     )
     SELECT poly_id, ${z.toLong << 58} + x * ${1L << 29} + y AS tile_id
-    FROM agg WHERE p1 OR p2 OR p3 OR p4 OR p5 OR vin OR ein
-    ORDER BY poly_id, tile_id"""
+    FROM agg WHERE p1 OR p2 OR p3 OR p4 OR p5 OR vin OR ein"""
+  }
+
+  /** q92: zonal statistics — per-polygon aggregates of the z=9 tile
+    * raster. Zone = the polyfill covering (q36's formulation, shared
+    * verbatim); values = per-tile point counts. All-integer output, so
+    * the compare is exact. */
+  def q92(nDocs: Long): String = {
+    val z = 9
+    s"""WITH pf AS (SELECT * FROM (${polyfillSelect(nDocs)})),
+    ${parsedCte(docsGlob(nDocs))},
+    tc AS (
+      SELECT ${z.toLong << 58} + ${tileXExpr("lon", z)} * ${1L << 29} + ${tileYExpr("lat", z)} AS tile_id,
+        count(*) AS v
+      FROM parsed GROUP BY 1
+    )
+    SELECT pf.poly_id, count(*) AS n_zone_tiles,
+      count(tc.tile_id) AS n_data_tiles,
+      CAST(COALESCE(sum(tc.v), 0) AS BIGINT) AS total
+    FROM pf LEFT JOIN tc ON pf.tile_id = tc.tile_id
+    GROUP BY 1 ORDER BY poly_id"""
   }
 
   // ---- q37: media metadata stub (md5-derived) ------------------------------
@@ -2021,6 +2045,7 @@ object OracleSql {
     "q85_distance_join" -> q85(nDocs),
     "q90_dbscan" -> q90(nDocs),
     "q91_focal_smooth" -> q91(nDocs),
+    "q92_zonal_stats" -> q92(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

@@ -1346,6 +1346,18 @@ object SparkEntry {
         .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
       Tiler.focalSmooth(base, r = 1).orderBy(col("tile_id"))
     }),
+    // q92: zonal statistics — per-polygon aggregates of the z=9 raster.
+    // The raster never shuffles (broadcast zone covering); zones with no
+    // data are completed from the dimension side. Zone definition shares
+    // q36's polyfill; values are exact integer sums.
+    "q92_zonal_stats" -> ((spark, dir) => {
+      val s = prep(spark)
+      val polys = Corpus.storedPolys(s, corpusDocs(dir))
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val tiles = Tiler.assign(SpatialJoin.extractPoints(docs), 9)
+        .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+      Tiler.zonalStats(polys, tiles, 9).orderBy(col("poly_id"))
+    }),
     // q84: stream-STREAM interval join under Trigger.AvailableNow — the
     // last Structured Streaming operator class (joins between two streams
     // with watermark-bounded state). Each side is staged as TWO

@@ -96,6 +96,36 @@ object Tiler {
     polys.select(col("poly_id"),
       explode(call_function("st_tile_polyfill", col("ring"), lit(zoom))).as("tile_id"))
 
+  /** Zonal statistics: per-polygon aggregates of a single-zoom tile
+    * raster. zones: (poly_id, ring); tiles: (tile_id, `valueCol`) at
+    * `zoom`. Output: (poly_id, n_zone_tiles, n_data_tiles, total) —
+    * covering size, covered tiles with data, and the value sum (exact
+    * long arithmetic).
+    *
+    * Scale shape: the raster is the fact side and NEVER shuffles — the
+    * dimension-sized zone covering is broadcast and the raster streams
+    * through the hash join; only matched rows reach the poly_id groupBy.
+    * Zones with no data come from a dimension-side-only aggregate, not an
+    * outer join against the raster (Spark cannot preserve a broadcast
+    * side, and outer-joining the raster would shuffle it).
+    * broadcastZones=false switches both joins to sort-merge for layers
+    * too large to broadcast. */
+  def zonalStats(polys: DataFrame, tiles: DataFrame, zoom: Int,
+                 valueCol: String = "n_points",
+                 broadcastZones: Boolean = true): DataFrame = {
+    val zones = polyfill(polys, zoom)
+    val zside = if (broadcastZones) broadcast(zones) else zones.hint("merge")
+    val hits = tiles.select(col("tile_id"), col(valueCol).cast("long").as("v"))
+      .join(zside, Seq("tile_id"))
+      .groupBy(col("poly_id"))
+      .agg(count(lit(1)).as("n_data_tiles"), sum(col("v")).as("total"))
+    zones.groupBy(col("poly_id")).agg(count(lit(1)).as("n_zone_tiles"))
+      .join(hits, Seq("poly_id"), "left_outer")
+      .select(col("poly_id"), col("n_zone_tiles"),
+        coalesce(col("n_data_tiles"), lit(0L)).as("n_data_tiles"),
+        coalesce(col("total"), lit(0L)).as("total"))
+  }
+
   private def choose(n: Int, k: Int): Long =
     (1 to k).foldLeft(1L)((acc, i) => acc * (n - k + i) / i)
 
