@@ -273,4 +273,72 @@ class PlanSpec extends AnyFunSuite {
       salt = 4, broadcastPolys = false))
     assert(plan.contains("salt"), s"salt missing from join keys:\n${plan.take(1500)}")
   }
+
+  test("neighborPairs: fact-x-fact cell join is a SHUFFLE join; only the band lookup broadcasts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nbp").toString
+    try {
+      spark.range(500).select(
+          concat(lit("p"), col("id")).as("pid"),
+          (col("id") % 90 - 45).cast("double").as("lat"),
+          (col("id") % 180 - 90).cast("double").as("lon"))
+        .write.parquet(s"$tmp/pts")
+      val pts = spark.read.parquet(s"$tmp/pts")
+      // kill size-based broadcast so the static plan shows the SCALE shape:
+      // any surviving BroadcastHashJoin was explicitly forced by the operator
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = try Cluster.neighborPairs(pts, 5000.0).queryExecution.executedPlan.toString
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"degenerate join in neighborPairs:\n${plan.take(2000)}")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cell self-join is not a shuffle join:\n${plan.take(2000)}")
+      // the per-band disk-radius lookup (<= 181 rows of pure math) is the
+      // ONLY thing the operator itself broadcasts
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      assert(bhj >= 1, s"band lookup not broadcast:\n${plan.take(2000)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("focalSmooth: exactly one shuffle, with map-side partial aggregation") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fs").toString
+    try {
+      spark.range(100).select(
+          (lit(6L << 58) + shiftleft(col("id") % 10, 29) + floor(col("id") / 10).cast("long")).as("tile_id"),
+          (col("id") + 1).as("n_points"))
+        .write.parquet(s"$tmp/tiles")
+      val df = Tiler.focalSmooth(spark.read.parquet(s"$tmp/tiles"), r = 1)
+      val plan = df.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 1, s"expected exactly 1 shuffle, found $shuffles:\n${plan.take(2000)}")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"no partial aggregation:\n${plan.take(2000)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("zonalStats: raster streams through a broadcast join and never shuffles pre-join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zs").toString
+    try {
+      val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+      Tiler.assign(SpatialJoin.extractPoints(docs), 9)
+        .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+        .write.parquet(s"$tmp/tiles")
+      val polys = Corpus.polygons(spark).toDF()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = try Tiler.zonalStats(polys, spark.read.parquet(s"$tmp/tiles"), 9)
+          .queryExecution.executedPlan.toString
+        finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      val bhj = plan.indexOf("BroadcastHashJoin")
+      assert(bhj >= 0, s"zone covering not broadcast:\n${plan.take(2000)}")
+      // raster side sits between the join and its broadcast build side:
+      // Scan -> (filter/project) -> join, no exchange
+      val buildCut = plan.indexOf("BroadcastExchange", bhj)
+      assert(buildCut > bhj, s"no broadcast build under the join:\n${plan.take(2000)}")
+      val factSide = plan.substring(bhj, buildCut)
+      assert(factSide.contains("Scan parquet") && !factSide.contains("Exchange"),
+        s"raster shuffles before the zone join:\n$factSide")
+      // bookkeeping shuffles: one per poly_id aggregate, nothing else
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles <= 3, s"unexpected extra shuffles ($shuffles):\n${plan.take(2500)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
