@@ -35,7 +35,9 @@ object Bench {
     "q81_ring_metrics", "q82_asof_join", "q83_compact_cover", "q85_distance_join",
     "q58_ngram_jaccard", "q62_cell_surface", "q63_utm_registry_surface",
     "q64_olc_parse_matmul", "q65_cover_cells", "q86_datum_shift_inverse",
-    "q89_ann_ivf_hier", "q90_dbscan", "q91_focal_smooth", "q92_zonal_stats")
+    "q89_ann_ivf_hier", "q90_dbscan", "q91_focal_smooth", "q92_zonal_stats",
+    "q93_track_stats", "q94_bearing_destination", "q95_geofence_transitions",
+    "q96_od_matrix", "q97_hotspot_gi", "q98_zorder_layout")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

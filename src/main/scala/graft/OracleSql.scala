@@ -2031,6 +2031,169 @@ object OracleSql {
     FROM ab ORDER BY c_custkey"""
   }
 
+  // ---- trajectory / spatial-statistics / layout oracles (q93-q98) ---------
+
+  /** Initial great-circle bearing mirroring K.bearing: degrees from
+    * atan2(sin dl * cos p2, cos p1 * sin p2 - sin p1 * cos p2 * cos dl),
+    * wrapped to [0, 360] with GeoMath.wrap360's pass-through-then-%%
+    * structure (DuckDB's % matches Java's). */
+  def bearingSql(lat1: String, lon1: String, lat2: String, lon2: String): String = {
+    val b = s"(atan2(sin(radians($lon2 - $lon1)) * cos(radians($lat2)), " +
+      s"cos(radians($lat1)) * sin(radians($lat2)) - " +
+      s"sin(radians($lat1)) * cos(radians($lat2)) * cos(radians($lon2 - $lon1))) " +
+      s"* 180.0 / pi())"
+    s"(CASE WHEN $b >= 0.0 AND $b <= 360.0 THEN $b ELSE ($b % 360.0 + 360.0) % 360.0 END)"
+  }
+
+  private def wrap180Sql(e: String): String =
+    s"(CASE WHEN $e >= -180.0 AND $e <= 180.0 THEN $e ELSE ($e % 360.0 + 540.0) % 360.0 - 180.0 END)"
+
+  /** Morton key mirroring K.zorder: quantize each axis to 2^bits cells
+    * (floor, clamped), interleave lon into even and lat into odd bits. */
+  def zorderSql(lat: String, lon: String, bits: Int): String = {
+    val n = 1L << bits
+    val x = s"LEAST(GREATEST(CAST(floor(($lon + 180.0) / 360.0 * ${n}.0) AS BIGINT), 0), ${n - 1})"
+    val y = s"LEAST(GREATEST(CAST(floor(($lat + 90.0) / 180.0 * ${n}.0) AS BIGINT), 0), ${n - 1})"
+    val terms = (0 until bits).flatMap(i => Seq(
+      s"((zx // ${1L << i}) % 2) * ${1L << (2 * i)}",
+      s"((zy // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"))
+    s"(SELECT ${terms.mkString(" + ")} FROM (SELECT $x AS zx, $y AS zy) zq)"
+  }
+
+  /** Per-track lag frame shared by q93/q94/q95: each parsed point with its
+    * predecessor on the same doc in offset order. */
+  private def legsCte(nDocs: Long): String =
+    s"""${parsedCte(docsGlob(nDocs))}, lg AS (
+      SELECT doc_id, "offset", lat, lon,
+        lag(lat) OVER (PARTITION BY doc_id ORDER BY "offset") AS p_lat,
+        lag(lon) OVER (PARTITION BY doc_id ORDER BY "offset") AS p_lon
+      FROM parsed
+    )"""
+
+  /** q93: per-track stats — Track.stats mirrored (leg-sum length, first->
+    * last net displacement via arg_min/arg_max, mm rounding before the
+    * sinuosity ratio). */
+  def q93(nDocs: Long): String =
+    s"""WITH ${legsCte(nDocs)}, agg AS (
+      SELECT doc_id, count(*) AS n_points,
+        COALESCE(SUM(CASE WHEN p_lat IS NOT NULL THEN
+          ${haversineSql("p_lat", "p_lon", "lat", "lon")} END), 0.0) AS len_raw,
+        arg_min(lat, "offset") AS alat, arg_min(lon, "offset") AS alon,
+        arg_max(lat, "offset") AS blat, arg_max(lon, "offset") AS blon
+      FROM lg GROUP BY doc_id
+    ), r AS (
+      SELECT doc_id, n_points, round(len_raw, 3) + 0.0 AS length_m,
+        round(${haversineSql("alat", "alon", "blat", "blon")}, 3) + 0.0 AS net_m
+      FROM agg
+    )
+    SELECT doc_id, n_points, length_m, net_m,
+      CASE WHEN net_m > 0.0 THEN round(length_m / net_m, 6) + 0.0 END AS sinuosity
+    FROM r ORDER BY doc_id"""
+
+  /** q94: per-leg bearing + spherical direct problem (to the great-circle
+    * leg MIDPOINT — the full replay lands exactly on the DMS grid's
+    * 6-decimal rounding half-ties), both formulas mirrored
+    * operation-for-operation (K.bearing / K.destination). */
+  def q94(nDocs: Long): String = {
+    val r = d(6371008.8)
+    s"""WITH ${legsCte(nDocs)}, br AS (
+      SELECT doc_id, "offset", p_lat, p_lon,
+        ${bearingSql("p_lat", "p_lon", "lat", "lon")} AS brg,
+        ${haversineSql("p_lat", "p_lon", "lat", "lon")} AS leg
+      FROM lg WHERE p_lat IS NOT NULL
+    ), dv AS (
+      SELECT doc_id, "offset", brg, leg,
+        sin(radians(p_lat)) AS sp1, cos(radians(p_lat)) AS cp1,
+        leg / 2.0 / $r AS dl, radians(brg) AS th, radians(p_lon) AS lm1
+      FROM br
+    ), dv2 AS (
+      SELECT doc_id, "offset", brg, leg, sp1, cp1, dl, th, lm1,
+        LEAST(1.0, GREATEST(-1.0, sp1 * cos(dl) + cp1 * sin(dl) * cos(th))) AS sp2
+      FROM dv
+    )
+    SELECT doc_id, "offset",
+      round(brg, 6) + 0.0 AS bearing_deg,
+      round(leg, 3) + 0.0 AS leg_m,
+      round(asin(sp2) * 180.0 / pi(), 6) + 0.0 AS mid_lat,
+      round(${wrap180Sql("((lm1 + atan2(sin(th) * sin(dl) * cp1, cos(dl) - sp1 * sp2)) * 180.0 / pi())")}, 6) + 0.0 AS mid_lon
+    FROM dv2 ORDER BY doc_id, "offset""""
+  }
+
+  /** q95: geofence transitions — inside = LEAST of the 20 hub haversines
+    * <= 25 km, flip detection on the lag frame. */
+  def q95(nDocs: Long): String = {
+    def insideExpr(la: String, lo: String): String = {
+      val ds = Corpus.Hotspots.map { case (hla, hlo) =>
+        haversineSql(d(hla), d(hlo), la, lo)
+      }
+      s"(LEAST(${ds.mkString(", ")}) <= 25000.0)"
+    }
+    s"""WITH ${legsCte(nDocs)}, f AS (
+      SELECT doc_id, "offset", lat, lon,
+        ${insideExpr("lat", "lon")} AS inside,
+        CASE WHEN p_lat IS NULL THEN NULL
+          ELSE ${insideExpr("p_lat", "p_lon")} END AS p_inside
+      FROM lg
+    )
+    SELECT doc_id, "offset", lat, lon,
+      CASE WHEN inside THEN 'enter' ELSE 'exit' END AS transition
+    FROM f WHERE p_inside IS NOT NULL AND p_inside <> inside
+    ORDER BY doc_id, "offset""""
+  }
+
+  /** q96: OD matrix — per-doc first/last z=5 tile via arg_min/arg_max. */
+  def q96(nDocs: Long): String = {
+    val z = 5
+    val tid = s"${z.toLong << 58} + ${tileXExpr("lon", z)} * ${1L << 29} + ${tileYExpr("lat", z)}"
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, tg AS (
+      SELECT doc_id, arg_min($tid, "offset") AS o_tile, arg_max($tid, "offset") AS d_tile
+      FROM parsed GROUP BY doc_id
+    )
+    SELECT o_tile, d_tile, count(*) AS n_tracks FROM tg
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+  }
+
+  /** q97: Getis-Ord Gi* over the z=6 raster — 3x3 observed-window sums via
+    * the q91-style neighbour scatter, globals from a 1-row aggregate;
+    * formula mirrored in Tiler.hotspotGi's association order. */
+  def q97(nDocs: Long): String = {
+    val z = 6
+    val n = 1L << z
+    val mean = "(sv / n)"
+    val s0 = s"sqrt(svv / n - $mean * $mean)"
+    val den = s"($s0 * sqrt((n * wn - wn * wn) / (n - 1.0)))"
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, t AS (
+      SELECT ${tileXExpr("lon", z)} AS x, ${tileYExpr("lat", z)} AS y,
+        CAST(count(*) AS DOUBLE) AS v
+      FROM parsed GROUP BY 1, 2
+    ), g AS (
+      SELECT count(*) AS n, SUM(v) AS sv, SUM(v * v) AS svv FROM t
+    ), o(dx, dy) AS (VALUES
+      (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+    ), sc AS (
+      SELECT (x + dx + $n) % $n AS nx, y + dy AS ny, v
+      FROM t CROSS JOIN o WHERE y + dy BETWEEN 0 AND ${n - 1}
+    ), ws AS (
+      SELECT nx, ny, SUM(v) AS wsum, count(*) AS wn FROM sc GROUP BY 1, 2
+    )
+    SELECT ${z.toLong << 58} + t.x * ${1L << 29} + t.y AS tile_id, ws.wn,
+      CAST(ws.wsum AS BIGINT) AS wsum,
+      CASE WHEN $den > 0.0 THEN round((wsum - $mean * wn) / $den, 6) + 0.0 END AS gi
+    FROM t JOIN ws ON t.x = ws.nx AND t.y = ws.ny CROSS JOIN g
+    ORDER BY tile_id"""
+  }
+
+  /** q98: the z-ordered-layout bbox read must equal a plain bbox filter
+    * over the corpus, with the stored Morton key re-derived independently. */
+  def q98(nDocs: Long): String =
+    s"""WITH ${parsedCte(docsGlob(nDocs))}
+    SELECT doc_id || ':' || CAST("offset" AS VARCHAR) AS pid,
+      ${zorderSql("lat", "lon", 16)} AS zkey, lat, lon
+    FROM parsed
+    WHERE lat >= ${d(40.2)} AND lat <= ${d(41.2)}
+      AND lon >= ${d(-74.6)} AND lon <= ${d(-73.4)}
+    ORDER BY pid"""
+
   /** All engine-layer oracles for the corpus size the verify run uses. */
   def engineOracles(nDocs: Long): Map[String, String] = Map(
     "q30_parse_extract" -> q30(nDocs),
@@ -2046,6 +2209,12 @@ object OracleSql {
     "q90_dbscan" -> q90(nDocs),
     "q91_focal_smooth" -> q91(nDocs),
     "q92_zonal_stats" -> q92(nDocs),
+    "q93_track_stats" -> q93(nDocs),
+    "q94_bearing_destination" -> q94(nDocs),
+    "q95_geofence_transitions" -> q95(nDocs),
+    "q96_od_matrix" -> q96(nDocs),
+    "q97_hotspot_gi" -> q97(nDocs),
+    "q98_zorder_layout" -> q98(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

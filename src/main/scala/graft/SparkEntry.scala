@@ -1358,6 +1358,85 @@ object SparkEntry {
         .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
       Tiler.zonalStats(polys, tiles, 9).orderBy(col("poly_id"))
     }),
+    // q93: per-track trajectory summary — a document's span points in
+    // offset order form its track; length / net displacement / sinuosity
+    // via ONE window + group shuffle on doc_id. Length and net are rounded
+    // to mm before the ratio (leg-sum reassociation stability).
+    "q93_track_stats" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      Track.stats(SpatialJoin.extractPoints(docs)).orderBy(col("doc_id"))
+    }),
+    // q94: per-leg initial bearing (spherical forward azimuth) + the direct
+    // geodesic problem — st_destination walks HALF the leg distance along
+    // the bearing (the great-circle leg midpoint); the oracle mirrors both
+    // formulas, so the kernels are gated end to end. Half, not full, on
+    // purpose: the full replay lands back on the corpus's DMS coordinate
+    // grid, whose points sit EXACTLY on 6-decimal rounding half-ties
+    // (sec/3600 multiples), where Spark's HALF_UP and DuckDB's
+    // scaled-double rounding flip opposite ways; the midpoint is off-grid.
+    "q94_bearing_destination" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      Track.legs(SpatialJoin.extractPoints(docs))
+        .where(col("p_lat").isNotNull)
+        .withColumn("dest", call_function("st_destination",
+          col("p_lat"), col("p_lon"), col("bearing_deg"), col("leg_m") / lit(2.0)))
+        .select(col("doc_id"), col("offset"),
+          (round(col("bearing_deg"), 6) + 0.0).as("bearing_deg"),
+          (round(col("leg_m"), 3) + 0.0).as("leg_m"),
+          (round(col("dest.lat"), 6) + 0.0).as("mid_lat"),
+          (round(col("dest.lon"), 6) + 0.0).as("mid_lon"))
+        .orderBy(col("doc_id"), col("offset"))
+    }),
+    // q95: geofence enter/exit detection — a track crosses the 25 km fence
+    // around any of the 20 hubs. The fence test is a codegen'd haversine
+    // chain (no join); the only shuffle is the track window; inside-ness is
+    // evaluated post-window on plain attributes so the span parse never
+    // duplicates into the 40-term fence expression.
+    "q95_geofence_transitions" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      Track.geofenceTransitions(SpatialJoin.extractPoints(docs),
+          Corpus.Hotspots.toSeq, radiusM = 25000.0)
+        .orderBy(col("doc_id"), col("offset"))
+    }),
+    // q96: origin-destination matrix at z=5 — each track contributes its
+    // (first-tile, last-tile) pair; two map-side-combined shuffles.
+    "q96_od_matrix" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      Track.odMatrix(SpatialJoin.extractPoints(docs), z = 5)
+        .orderBy(col("o_tile"), col("d_tile"))
+    }),
+    // q97: Getis-Ord Gi* hot/cold-spot z-scores over the z=6 tile raster —
+    // 3x3 observed-window sums via a bounded 9x scatter of the aggregated
+    // tile table, globals broadcast from a 1-row aggregate.
+    "q97_hotspot_gi" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val tiles = Tiler.assign(SpatialJoin.extractPoints(docs), 6)
+        .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+      Tiler.hotspotGi(tiles).orderBy(col("tile_id"))
+    }),
+    // q98: z-ordered layout + manifest bbox pruning — write the point table
+    // Morton-clustered with a per-file bbox manifest, then answer a bbox
+    // query reading ONLY manifest-selected files (Iceberg-style file
+    // skipping). The gate proves the pruned read loses no rows and the
+    // stored zkey matches the oracle's Morton arithmetic; TrackSpec gates
+    // that files are actually skipped.
+    "q98_zorder_layout" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val pts = SpatialJoin.extractPoints(docs)
+        .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
+          col("lat"), col("lon"))
+      val out = scratchDir("q98", dir)
+      Layout.writeZOrdered(pts, out, bits = 16, numFiles = 16)
+      Layout.readBBox(s, out, south = 40.2, west = -74.6, north = 41.2, east = -73.4)
+        .select(col("pid"), col("zkey"), col("lat"), col("lon"))
+        .orderBy(col("pid"))
+    }),
     // q84: stream-STREAM interval join under Trigger.AvailableNow — the
     // last Structured Streaming operator class (joins between two streams
     // with watermark-bounded state). Each side is staged as TWO

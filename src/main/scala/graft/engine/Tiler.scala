@@ -170,4 +170,47 @@ object Tiler {
       .withColumn("z", shiftrightunsigned(col("tile_id"), 58).cast("int"))
       .select("tile_id", "z", "sm")
   }
+
+  /** Getis-Ord Gi* hot/cold-spot z-scores over the (sparse) tile raster:
+    * for each OBSERVED tile, the weighted neighbourhood is the 3x3 window
+    * (binary weights, self included) intersected with the observed tile set,
+    * and
+    *   gi = (wsum - mean*wn) / (s * sqrt((n*wn - wn^2) / (n - 1)))
+    * with mean/s the global mean/population-std of the tile values and
+    * wn the number of observed window tiles. x wraps at the antimeridian,
+    * y clamps at the poles (same edge semantics as [[focalSmooth]]).
+    *
+    * Plan shape: one bounded 9x explode of the ALREADY-AGGREGATED tile
+    * table scattered to neighbour positions, one hash shuffle grouping by
+    * target tile, an equi-join back to the observed tiles (both sides
+    * already partitioned by tile_id), and a broadcast of the 1-row global
+    * aggregate — the raster itself is never re-shuffled, so the operator
+    * scales with tile count, not point count. Values must be integral
+    * counts (exact double sums); n >= 2 tiles required for a defined std.
+    */
+  def hotspotGi(tiles: DataFrame, valueCol: String = "n_points"): DataFrame = {
+    val t = tiles.select(col("tile_id"), col(valueCol).cast("double").as("v"))
+    val globals = t.agg(count(lit(1)).as("n"), sum("v").as("sv"),
+      sum(col("v") * col("v")).as("svv"))
+    val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val z = shiftrightunsigned(col("tile_id"), 58)
+    val x = shiftrightunsigned(col("tile_id"), 29).bitwiseAND(lit((1L << 29) - 1))
+    val y = col("tile_id").bitwiseAND(lit((1L << 29) - 1))
+    val window = t
+      .select(z.as("z"), x.as("x"), y.as("y"), col("v"), explode(offs).as("o"))
+      .select(col("z"),
+        pmod(col("x") + col("o.dx"), expr("shiftleft(1L, cast(z as int))")).as("nx"),
+        (col("y") + col("o.dy")).as("ny"), col("v"))
+      .where(col("ny") >= 0 && col("ny") < expr("shiftleft(1L, cast(z as int))"))
+      .groupBy((shiftleft(col("z"), 58) + shiftleft(col("nx"), 29) + col("ny")).as("tile_id"))
+      .agg(sum(col("v")).as("wsum"), count(lit(1)).as("wn"))
+    val mean = col("sv") / col("n")
+    val s = sqrt(col("svv") / col("n") - mean * mean)
+    val den = s * sqrt((col("n") * col("wn") - col("wn") * col("wn")) / (col("n") - 1.0))
+    t.join(window, "tile_id")
+      .crossJoin(broadcast(globals))
+      .select(col("tile_id"), col("wn"), col("wsum").cast("long").as("wsum"),
+        when(den > 0.0, round((col("wsum") - mean * col("wn")) / den, 6) + 0.0).as("gi"))
+  }
 }

@@ -243,6 +243,12 @@ object GraftFunctions {
     // distances / wraps
     "st_haversine" -> ((a: Seq[Expression]) =>
       si(DoubleType, "haversine", a.take(4).map(dbl), nullable = false)),
+    "st_bearing" -> ((a: Seq[Expression]) =>
+      si(DoubleType, "bearing", a.take(4).map(dbl), nullable = false)),
+    "st_destination" -> ((a: Seq[Expression]) =>
+      si(PointT, "destination", a.take(4).map(dbl))),
+    "st_zorder" -> ((a: Seq[Expression]) =>
+      si(LongType, "zorder", Seq(dbl(a(0)), dbl(a(1)), int(a(2))), nullable = false)),
     "st_vincenty" -> ((a: Seq[Expression]) => a.length match {
       case 4 => si(DoubleType, "vincenty", a.take(4).map(dbl) ++ Seq(litA, litF))
       case 6 => si(DoubleType, "vincenty", a.take(6).map(dbl))
@@ -452,6 +458,12 @@ object GraftFunctions {
     call_function("st_haversine", lat1, lon1, lat2, lon2)
   def st_vincenty(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
     call_function("st_vincenty", lat1, lon1, lat2, lon2)
+  def st_bearing(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    call_function("st_bearing", lat1, lon1, lat2, lon2)
+  def st_destination(lat: Column, lon: Column, bearingDeg: Column, distM: Column): Column =
+    call_function("st_destination", lat, lon, bearingDeg, distM)
+  def st_zorder(lat: Column, lon: Column, bits: Column): Column =
+    call_function("st_zorder", lat, lon, bits)
   def olc_encode(lat: Column, lon: Column, len: Column): Column =
     call_function("olc_encode", lat, lon, len)
   def olc_decode(code: Column): Column = call_function("olc_decode", code)

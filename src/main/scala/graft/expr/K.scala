@@ -622,6 +622,59 @@ object K {
     if (d.isNaN) null else java.lang.Double.valueOf(d)
   }
 
+  /** st_bearing(lat1, lon1, lat2, lon2): initial great-circle bearing from
+    * point 1 towards point 2, degrees in [0, 360). Standard spherical
+    * forward-azimuth formula: atan2(sin dl * cos p2,
+    * cos p1 * sin p2 - sin p1 * cos p2 * cos dl). */
+  def bearing(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+    val phi1 = GeoMath.toRadians(lat1); val phi2 = GeoMath.toRadians(lat2)
+    val dLam = GeoMath.toRadians(lon2 - lon1)
+    val y = math.sin(dLam) * math.cos(phi2)
+    val x = math.cos(phi1) * math.sin(phi2) -
+      math.sin(phi1) * math.cos(phi2) * math.cos(dLam)
+    GeoMath.wrap360(GeoMath.toDegrees(math.atan2(y, x)))
+  }
+
+  /** st_destination(lat, lon, bearing_deg, dist_m): spherical direct geodesic
+    * problem on the haversine sphere R = 6371008.8 m — the point reached by
+    * travelling `dist_m` metres from (lat, lon) along the initial bearing.
+    * The asin argument is clamped to [-1, 1] (long distances near the poles
+    * can overshoot by an ulp). Returns a (lat, lon) struct. */
+  def destination(lat: Double, lon: Double, bearingDeg: Double,
+                  distM: Double): InternalRow = {
+    val phi1 = GeoMath.toRadians(lat)
+    val theta = GeoMath.toRadians(bearingDeg)
+    val delta = distM / GeoMath.MeanEarthRadiusM
+    val sinPhi2 = math.sin(phi1) * math.cos(delta) +
+      math.cos(phi1) * math.sin(delta) * math.cos(theta)
+    val phi2 = math.asin(math.min(1.0, math.max(-1.0, sinPhi2)))
+    val y = math.sin(theta) * math.sin(delta) * math.cos(phi1)
+    val x = math.cos(delta) - math.sin(phi1) * sinPhi2
+    val lam2 = GeoMath.toRadians(lon) + math.atan2(y, x)
+    new GenericInternalRow(Array[Any](
+      GeoMath.toDegrees(phi2), GeoMath.wrap180(GeoMath.toDegrees(lam2))))
+  }
+
+  /** st_zorder(lat, lon, bits): Morton / Z-order key over the equirectangular
+    * grid with 2^bits cells per axis — lon quantized into the even bits, lat
+    * into the odd bits. Range-partitioning and sorting a point table by this
+    * key clusters spatially-near rows into the same files, which is what
+    * makes file-level bbox min/max pruning effective at scale (the Iceberg
+    * z-ordered-layout idea). bits in [1, 31]. */
+  def zorder(lat: Double, lon: Double, bits: Int): Long = {
+    val b = if (bits < 1) 1 else if (bits > 31) 31 else bits
+    val n = 1L << b
+    val x = math.min(n - 1, math.max(0L, math.floor((lon + 180.0) / 360.0 * n).toLong))
+    val y = math.min(n - 1, math.max(0L, math.floor((lat + 90.0) / 180.0 * n).toLong))
+    var z = 0L
+    var i = 0
+    while (i < b) {
+      z |= ((x >>> i) & 1L) << (2 * i) | ((y >>> i) & 1L) << (2 * i + 1)
+      i += 1
+    }
+    z
+  }
+
   /** Quirk-compat variants: reproduce the reference's behavior bit-for-bit
     * where representable in Double (SURVEY §2A Q2/Q4/Q7). */
   def geoToUtmCompat(lat: Double, lon: Double, a: Double, f: Double,

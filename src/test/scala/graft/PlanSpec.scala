@@ -341,4 +341,53 @@ class PlanSpec extends AnyFunSuite {
       assert(shuffles <= 3, s"unexpected extra shuffles ($shuffles):\n${plan.take(2500)}")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("Track.stats: window + per-track aggregate share ONE shuffle") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val plan = Track.stats(SpatialJoin.extractPoints(docs))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1,
+      s"expected the groupBy to reuse the window partitioning (1 shuffle), found $shuffles:\n${plan.take(2500)}")
+  }
+
+  test("Track.geofenceTransitions: fence chain is join-free, one window shuffle") {
+    val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+    val plan = Track.geofenceTransitions(SpatialJoin.extractPoints(docs),
+        Corpus.Hotspots.toSeq, 25000.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"fence test planned a join:\n${plan.take(2500)}")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected 1 shuffle, found $shuffles:\n${plan.take(2500)}")
+  }
+
+  test("hotspotGi: 1-row globals broadcast; scatter aggregates map-side") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gi").toString
+    try {
+      val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+      Tiler.assign(SpatialJoin.extractPoints(docs), 6)
+        .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+        .write.parquet(s"$tmp/tiles")
+      val plan = Tiler.hotspotGi(spark.read.parquet(s"$tmp/tiles"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        s"globals not broadcast:\n${plan.take(2500)}")
+      assert("HashAggregate".r.findAllIn(plan).size >= 2,
+        s"no map-side partial aggregation:\n${plan.take(2500)}")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles <= 3, s"unexpected extra shuffles ($shuffles):\n${plan.take(2500)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("Layout.readBBox pushes the residual bbox filter into the pruned scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zl").toString
+    try {
+      val docs = Corpus.documentsDf(spark, 200, partitions = 2)
+      Layout.writeZOrdered(SpatialJoin.extractPoints(docs), tmp, bits = 16, numFiles = 4)
+      val plan = Layout.readBBox(spark, tmp, 40.2, -74.6, 41.2, -73.4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [IsNotNull(lat), IsNotNull(lon), GreaterThanOrEqual(lat,40.2)"),
+        s"bbox filter not pushed into the parquet scan:\n${plan.take(2500)}")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
