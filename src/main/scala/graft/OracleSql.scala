@@ -2183,6 +2183,37 @@ object OracleSql {
     ORDER BY tile_id"""
   }
 
+  /** q99: global Moran's I — queen contiguity over observed z=6 tiles,
+    * isolated tiles kept via LEFT JOIN (wn = 0), association order mirroring
+    * Tiler.moranI: (n / W) * num / den. */
+  def q99(nDocs: Long): String = {
+    val z = 6
+    val n = 1L << z
+    val mean = "(sv / n)"
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, t AS (
+      SELECT ${tileXExpr("lon", z)} AS x, ${tileYExpr("lat", z)} AS y,
+        CAST(count(*) AS DOUBLE) AS v
+      FROM parsed GROUP BY 1, 2
+    ), g AS (
+      SELECT count(*) AS n, SUM(v) AS sv FROM t
+    ), o(dx, dy) AS (VALUES
+      (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)
+    ), sc AS (
+      SELECT (x + dx + $n) % $n AS nx, y + dy AS ny, v
+      FROM t CROSS JOIN o WHERE y + dy BETWEEN 0 AND ${n - 1}
+    ), ws AS (
+      SELECT nx, ny, SUM(v) AS nsum, count(*) AS wn FROM sc GROUP BY 1, 2
+    ), j AS (
+      SELECT t.v, COALESCE(ws.nsum, 0.0) AS nsum, COALESCE(ws.wn, 0) AS wn
+      FROM t LEFT JOIN ws ON t.x = ws.nx AND t.y = ws.ny
+    )
+    SELECT count(*) AS n_tiles, CAST(SUM(wn) AS BIGINT) AS w_pairs,
+      CASE WHEN SUM(wn) > 0 AND SUM((v - $mean) * (v - $mean)) > 0.0
+        THEN round(count(*) / SUM(wn) * SUM((v - $mean) * (nsum - wn * $mean))
+          / SUM((v - $mean) * (v - $mean)), 6) + 0.0 END AS moran_i
+    FROM j CROSS JOIN g GROUP BY n, sv"""
+  }
+
   /** q98: the z-ordered-layout bbox read must equal a plain bbox filter
     * over the corpus, with the stored Morton key re-derived independently. */
   def q98(nDocs: Long): String =
@@ -2215,6 +2246,11 @@ object OracleSql {
     "q96_od_matrix" -> q96(nDocs),
     "q97_hotspot_gi" -> q97(nDocs),
     "q98_zorder_layout" -> q98(nDocs),
+    "q99_moran_i" -> q99(nDocs),
+    // streaming geofence reaches the same transition set as the batch
+    // operator (state carries last-inside across batches), so it shares
+    // q95's oracle verbatim
+    "q100_stream_geofence" -> q95(nDocs),
     "q32_spatial_join_salted" -> q32(nDocs),
     "q33_tile_histogram" -> q33(nDocs),
     "q34_knn" -> q34(nDocs),

@@ -1437,6 +1437,51 @@ object SparkEntry {
         .select(col("pid"), col("zkey"), col("lat"), col("lon"))
         .orderBy(col("pid"))
     }),
+    // q99: global Moran's I — ONE row summarizing spatial autocorrelation of
+    // the z=6 raster (queen contiguity over observed tiles). The corpus's
+    // hotspot clustering makes it strongly positive; the value itself is
+    // formula-mirrored in SQL.
+    "q99_moran_i" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val tiles = Tiler.assign(SpatialJoin.extractPoints(docs), 6)
+        .groupBy(col("tile_id")).agg(count(lit(1)).as("n_points"))
+      Tiler.moranI(tiles)
+    }),
+    // q100: STREAMING geofence transitions — per-track last-inside state
+    // carried across micro-batches (fMGWS, Append). The source is staged as
+    // two mtime-ordered files split by span offset (< 64 / >= 64), so every
+    // track whose fence flip straddles the threshold exercises the
+    // cross-batch state path; oracle = the batch q95 SQL verbatim.
+    "q100_stream_geofence" -> ((spark, dir) => {
+      val s = prep(spark)
+      implicit val ss: SparkSession = s
+      val srcDir = new java.io.File(scratchDir("q100src", dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(srcDir)
+      srcDir.mkdirs()
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val pts = SpatialJoin.extractPoints(docs)
+        .select(col("doc_id"), col("offset"), col("lat"), col("lon"))
+      val now = System.currentTimeMillis()
+      stageSingleParquet(pts.where(col("offset") < 64), srcDir, "b0", now - 600000L)
+      stageSingleParquet(pts.where(col("offset") >= 64), srcDir, "b1", now)
+      val sch = s.read.parquet(s"${srcDir.getPath}/b0.parquet").schema
+      val outBase = scratchDir("q100", dir)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
+      val q = graft.streaming.Streams.geofenceStream(s,
+          s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+            .parquet(srcDir.getPath),
+          Corpus.Hotspots.toSeq, radiusM = 25000.0)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$outBase/data")
+        .option("checkpointLocation", s"$outBase/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$outBase/data").orderBy(col("doc_id"), col("offset"))
+    }),
     // q84: stream-STREAM interval join under Trigger.AvailableNow — the
     // last Structured Streaming operator class (joins between two streams
     // with watermark-bounded state). Each side is staged as TWO

@@ -213,4 +213,46 @@ object Tiler {
       .select(col("tile_id"), col("wn"), col("wsum").cast("long").as("wsum"),
         when(den > 0.0, round((col("wsum") - mean * col("wn")) / den, 6) + 0.0).as("gi"))
   }
+
+  /** Global Moran's I spatial autocorrelation over the (sparse) tile raster
+    * with binary queen contiguity (8 neighbours, observed tiles only):
+    *   I = (n / W) * sum_i (xi - m)(sum_nbr_i - wn_i * m) / sum_i (xi - m)^2
+    * where sum_nbr_i / wn_i are the observed-neighbour value sum / count
+    * (so sum_j w_ij (xj - m) = sum_nbr_i - wn_i * m) and W = sum wn_i.
+    * Returns ONE row (n_tiles, w_pairs, moran_i): positive = clustered,
+    * ~0 = random, negative = dispersed. Isolated tiles keep their
+    * denominator contribution via the left join (wn = 0).
+    *
+    * Same scale shape as [[hotspotGi]]: bounded 8x scatter of the
+    * aggregated tile table, one equi-join, everything else folds into one
+    * global aggregate. */
+  def moranI(tiles: DataFrame, valueCol: String = "n_points"): DataFrame = {
+    val t = tiles.select(col("tile_id"), col(valueCol).cast("double").as("v"))
+    val globals = t.agg(count(lit(1)).as("n"), sum("v").as("sv"))
+    val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 } yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val z = shiftrightunsigned(col("tile_id"), 58)
+    val x = shiftrightunsigned(col("tile_id"), 29).bitwiseAND(lit((1L << 29) - 1))
+    val y = col("tile_id").bitwiseAND(lit((1L << 29) - 1))
+    val nbr = t
+      .select(z.as("z"), x.as("x"), y.as("y"), col("v"), explode(offs).as("o"))
+      .select(col("z"),
+        pmod(col("x") + col("o.dx"), expr("shiftleft(1L, cast(z as int))")).as("nx"),
+        (col("y") + col("o.dy")).as("ny"), col("v"))
+      .where(col("ny") >= 0 && col("ny") < expr("shiftleft(1L, cast(z as int))"))
+      .groupBy((shiftleft(col("z"), 58) + shiftleft(col("nx"), 29) + col("ny")).as("tile_id"))
+      .agg(sum(col("v")).as("nsum"), count(lit(1)).as("wn"))
+    val mean = col("sv") / col("n")
+    t.join(nbr, Seq("tile_id"), "left")
+      .select(col("v"), coalesce(col("nsum"), lit(0.0)).as("nsum"),
+        coalesce(col("wn"), lit(0L)).as("wn"))
+      .crossJoin(broadcast(globals))
+      .agg(count(lit(1)).as("n_tiles"), sum(col("wn")).as("w_pairs"),
+        sum((col("v") - mean) * (col("nsum") - col("wn") * mean)).as("num"),
+        sum((col("v") - mean) * (col("v") - mean)).as("den"))
+      .select(col("n_tiles"), col("w_pairs"),
+        when(col("w_pairs") > 0 && col("den") > 0.0,
+          round(col("n_tiles") / col("w_pairs") * col("num") / col("den"), 6) + 0.0)
+          .as("moran_i"))
+  }
 }

@@ -163,6 +163,47 @@ object Streams {
 
   /** Custom keyed state: per-user session counting with a 30-minute gap rule
     * (flatMapGroupsWithState, update mode). */
+  final case class FenceState(inside: Boolean)
+  final case class FenceHit(doc_id: String, offset: Int, lat: Double,
+                            lon: Double, transition: String)
+
+  /** Streaming geofence enter/exit detection: per-track last-inside state
+    * carried ACROSS micro-batches (flatMapGroupsWithState, Append), so a
+    * transition whose two points land in different batches is still seen.
+    * `points` must carry (doc_id, offset, lat, lon); the fence-inside flag
+    * is computed as a batch column (codegen'd haversine chain — state only
+    * does the lag logic). Rows are sorted by offset WITHIN a batch; across
+    * batches the source must deliver each track's points in offset order
+    * (the usual CDC/ingest-ordering contract; the gate stages files that
+    * way). Batch semantics ≡ [[graft.engine.Track.geofenceTransitions]]. */
+  def geofenceStream(spark: SparkSession, points: DataFrame,
+                     fences: Seq[(Double, Double)], radiusM: Double): DataFrame = {
+    import spark.implicits._
+    val inside = least(fences.map { case (fla, flo) =>
+      call_function("st_haversine", lit(fla), lit(flo), col("lat"), col("lon"))
+    }: _*) <= lit(radiusM)
+    points
+      .select(col("doc_id"), col("offset").cast("int"),
+        col("lat").cast("double"), col("lon").cast("double"), inside.as("inside"))
+      .as[(String, Int, Double, Double, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FenceState, FenceHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (doc: String, rows: Iterator[(String, Int, Double, Double, Boolean)],
+         state: GroupState[FenceState]) =>
+          var last = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[FenceHit]
+          for ((_, off, la, lo, in) <- rows.toSeq.sortBy(_._2)) {
+            if (last.exists(_.inside != in))
+              out += FenceHit(doc, off, la, lo, if (in) "enter" else "exit")
+            last = Some(FenceState(in))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF()
+  }
+
   def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
     events

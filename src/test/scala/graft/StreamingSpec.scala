@@ -176,6 +176,48 @@ class StreamingSpec extends AnyFunSuite {
       "emitted window counts disagree with batch")
   }
 
+  test("streaming geofence equals batch transitions incl. cross-batch flips") {
+    import spark.implicits._
+    val dir = tmp()
+    val fences = Seq((40.7128, -74.0060), (51.5074, -0.1278))
+    // 30 tracks oscillating near fence 0; split files by offset so flips
+    // straddle the batch boundary (offset 20 -> 30 crosses it)
+    val rng = new java.util.Random(3)
+    val rows = (0 until 30).flatMap { t =>
+      (0 until 6).map { i =>
+        val in = rng.nextBoolean()
+        val (la, lo) = if (in) (40.7128 + rng.nextGaussian() * 0.05,
+          -74.0060 + rng.nextGaussian() * 0.05)
+        else (10.0 + rng.nextGaussian(), 10.0 + rng.nextGaussian())
+        (f"t$t%02d", i * 10, la, lo)
+      }
+    }
+    val df = rows.toDF("doc_id", "offset", "lat", "lon")
+    df.where(col("offset") < 30).coalesce(1).write.parquet(s"$dir/src")
+    val f0 = new java.io.File(s"$dir/src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(f0.setLastModified(System.currentTimeMillis() - 600000L))
+    val late = new java.io.File(s"$dir/late")
+    df.where(col("offset") >= 30).coalesce(1).write.parquet(late.getPath)
+    val part = late.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(s"$dir/src/late.parquet").toPath)
+    val schema = spark.read.parquet(s"$dir/src").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/src")
+    val q = Streams.geofenceStream(spark, stream, fences, 25000.0)
+      .writeStream.format("memory").queryName("gf_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT doc_id, offset, transition FROM gf_out")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val want = graft.engine.Track.geofenceTransitions(df, fences, 25000.0)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(4))).toSet
+    val cross = want.filter { case (_, off, _) => off == 30 }
+    assert(cross.nonEmpty, "fixture has no cross-batch flip — weaken the rng")
+    assert(got == want)
+  }
+
   test("stateful sessionization matches the batch window computation") {
     val dir = "/root/testdata/sf0.001"
     val schema = spark.read.parquet(eventsDir).schema

@@ -170,6 +170,56 @@ class TrackSpec extends AnyFunSuite {
     }
   }
 
+  test("Tiler.moranI matches the brute-force statistic and detects clustering") {
+    val z = 6
+    val tiles = Tiler.assign(ptsDf, z).groupBy(col("tile_id"))
+      .agg(count(lit(1)).as("n_points"))
+    val row = Tiler.moranI(tiles).collect().head
+    val (gn, gw, gi) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+
+    val counts = trackRows.groupBy(p => K.tileIdOf(p._3, p._4, z).longValue())
+      .map { case (t, v) => t -> v.size.toDouble }
+    val mean = counts.values.sum / counts.size
+    var num = 0.0; var den = 0.0; var w = 0L
+    for ((tid, v) <- counts) {
+      val zz = tid >>> 58; val xx = (tid >>> 29) & ((1L << 29) - 1); val yy = tid & ((1L << 29) - 1)
+      val nPer = 1L << zz
+      val nbrs = for {
+        dx <- -1 to 1; dy <- -1 to 1; if dx != 0 || dy != 0
+        nx = ((xx + dx) % nPer + nPer) % nPer; ny = yy + dy
+        if ny >= 0 && ny < nPer
+        t = (zz << 58) + (nx << 29) + ny
+        if counts.contains(t)
+      } yield counts(t)
+      num += (v - mean) * (nbrs.sum - nbrs.size * mean)
+      den += (v - mean) * (v - mean)
+      w += nbrs.size
+    }
+    val want = counts.size.toDouble / w * num / den
+    assert(gn == counts.size && gw == w)
+    assert(math.abs(gi - graft.core.GeoMath.roundTo(want, 6)) < 1e-6, s"I=$gi vs $want")
+  }
+
+  test("Tiler.moranI sign: smooth gradient positive, checkerboard negative") {
+    import org.apache.spark.sql.Row
+    def raster(f: (Long, Long) => Long) = {
+      val rows = for (x <- 0L until 8L; y <- 0L until 8L)
+        yield Row((6L << 58) + (x << 29) + y, f(x, y))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows),
+        new org.apache.spark.sql.types.StructType()
+          .add("tile_id", "long").add("n_points", "long"))
+    }
+    // NOTE x wraps mod 2^z=64 but our 8x8 block sits away from the seam.
+    // Anti-correlation fixture is STRIPES, not a checkerboard: under queen
+    // contiguity a checkerboard's four diagonal neighbours share its colour
+    // (I ~ 0); stripes oppose on 6 of 8 neighbours.
+    val smooth = Tiler.moranI(raster((x, _) => x * 10 + 1)).collect().head.getDouble(2)
+    val stripes = Tiler.moranI(raster((x, _) => if (x % 2 == 0) 10 else 1))
+      .collect().head.getDouble(2)
+    assert(smooth > 0.5, s"gradient raster should autocorrelate, I=$smooth")
+    assert(stripes < -0.3, s"stripes should anti-correlate, I=$stripes")
+  }
+
   test("Layout round-trips, prunes files, and readBBox equals the plain filter") {
     val dir = TestTmp.dir("layout")
     Layout.writeZOrdered(ptsDf, dir, bits = 16, numFiles = 8)
