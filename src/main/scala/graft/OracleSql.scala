@@ -2214,6 +2214,33 @@ object OracleSql {
     FROM j CROSS JOIN g GROUP BY n, sv"""
   }
 
+  /** q101: gridded IDW — per scattered (point, window-tile) pair the
+    * distance to the tile CENTRE (st_tile_center mirrored; sinh via exp),
+    * then the weighted-mean ratio. DECIMAL traps: (nx + 0.5) must go
+    * through CAST(... AS DOUBLE) or DuckDB runs exact decimal arithmetic. */
+  def q101(nDocs: Long): String = {
+    val z = 7
+    val n = 1L << z
+    val cLat = s"(atan(${sinhSql(s"(pi() - 2.0 * pi() * (CAST(ny AS DOUBLE) + 0.5) / $n.0)")}) * 180.0 / pi())"
+    val cLon = s"((CAST(nx AS DOUBLE) + 0.5) / $n.0 * 360.0 - 180.0)"
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, pv AS (
+      SELECT lat, lon, CAST("offset" + 1 AS DOUBLE) AS v,
+        ${tileXExpr("lon", z)} AS x, ${tileYExpr("lat", z)} AS y
+      FROM parsed
+    ), o(dx, dy) AS (VALUES
+      (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+    ), sc AS (
+      SELECT (x + dx + $n) % $n AS nx, y + dy AS ny, lat, lon, v
+      FROM pv CROSS JOIN o WHERE y + dy BETWEEN 0 AND ${n - 1}
+    ), cd AS (
+      SELECT nx, ny, v, ${haversineSql(cLat, cLon, "lat", "lon")} AS dist FROM sc
+    )
+    SELECT ${z.toLong << 58} + nx * ${1L << 29} + ny AS tile_id,
+      count(*) AS n_contrib,
+      round(SUM(v / (dist * dist)) / SUM(1.0 / (dist * dist)), 6) + 0.0 AS est
+    FROM cd WHERE dist > 0.0 GROUP BY 1 ORDER BY tile_id"""
+  }
+
   /** q98: the z-ordered-layout bbox read must equal a plain bbox filter
     * over the corpus, with the stored Morton key re-derived independently. */
   def q98(nDocs: Long): String =
@@ -2247,6 +2274,7 @@ object OracleSql {
     "q97_hotspot_gi" -> q97(nDocs),
     "q98_zorder_layout" -> q98(nDocs),
     "q99_moran_i" -> q99(nDocs),
+    "q101_idw" -> q101(nDocs),
     // streaming geofence reaches the same transition set as the batch
     // operator (state carries last-inside across batches), so it shares
     // q95's oracle verbatim

@@ -1437,6 +1437,17 @@ object SparkEntry {
         .select(col("pid"), col("zkey"), col("lat"), col("lon"))
         .orderBy(col("pid"))
     }),
+    // q101: IDW interpolation — a synthetic per-point measurement (offset+1;
+    // the operator is value-agnostic) interpolated onto the z=7 grid:
+    // point samples -> continuous raster, incl. estimates for tiles with no
+    // points of their own. One bounded 9x explode + one shuffle.
+    "q101_idw" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val pts = SpatialJoin.extractPoints(docs)
+        .select(col("lat"), col("lon"), (col("offset") + lit(1)).cast("double").as("v"))
+      Tiler.idw(pts, zoom = 7, valueCol = "v").orderBy(col("tile_id"))
+    }),
     // q99: global Moran's I — ONE row summarizing spatial autocorrelation of
     // the z=6 raster (queen contiguity over observed tiles). The corpus's
     // hotspot clustering makes it strongly positive; the value itself is

@@ -45,6 +45,27 @@ object Layout {
       .write.mode("overwrite").parquet(s"$dir/manifest")
   }
 
+  /** The manifest must describe EXACTLY the files on disk — a crash between
+    * a data overwrite and its manifest rewrite would otherwise leave a stale
+    * manifest silently pruning with wrong bboxes. One directory listing per
+    * read (the same O(files) cost Iceberg pays to read its manifest list);
+    * fails loudly on any mismatch. */
+  private def verifyManifest(spark: SparkSession, dir: String,
+                             manifest: DataFrame): Unit = {
+    // compare scheme-normalized paths (file:/ vs file:/// spellings differ
+    // between _metadata.file_path and FileSystem.listStatus)
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val path = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = fs.listStatus(path).map(s => norm(s.getPath.toString))
+      .filter(p => p.endsWith(".parquet") && !p.contains("/_")).toSet
+    val inManifest = manifest.select("file").collect().map(r => norm(r.getString(0))).toSet
+    require(onDisk == inManifest,
+      s"layout manifest out of sync with $dir/data (" +
+        s"${(onDisk -- inManifest).size} unlisted, ${(inManifest -- onDisk).size} ghost " +
+        s"files) — rewrite the layout (interrupted writeZOrdered?)")
+  }
+
   /** Manifest rows whose file bbox intersects [south..north]x[west..east].
     * The box must not cross the antimeridian (east >= west). */
   private def hits(spark: SparkSession, dir: String, south: Double, west: Double,
@@ -52,9 +73,10 @@ object Layout {
     require(east >= west && north >= south,
       s"bbox must be south<=north, west<=east (no antimeridian wrap): " +
         s"[$south..$north]x[$west..$east]")
-    spark.read.parquet(s"$dir/manifest")
-      .where(col("min_lat") <= north && col("max_lat") >= south &&
-        col("min_lon") <= east && col("max_lon") >= west)
+    val man = spark.read.parquet(s"$dir/manifest")
+    verifyManifest(spark, dir, man)
+    man.where(col("min_lat") <= north && col("max_lat") >= south &&
+      col("min_lon") <= east && col("max_lon") >= west)
   }
 
   /** (selected, total) file counts for a bbox — the pruning observability

@@ -214,6 +214,45 @@ object Tiler {
         when(den > 0.0, round((col("wsum") - mean * col("wn")) / den, 6) + 0.0).as("gi"))
   }
 
+  /** Inverse-distance-weighted interpolation of a point measurement onto
+    * the z tile grid: every tile within Chebyshev radius `r` of an occupied
+    * tile gets est = sum(v_i / d_i^2) / sum(1 / d_i^2) over the points in
+    * its (2r+1)^2 window, d_i = haversine(tile centre, point). The cutoff
+    * is by tile adjacency (not metric radius) — the standard gridded-IDW
+    * search window. Points exactly on a tile centre (d = 0) are excluded
+    * (measure-zero; the limit est there is the point's own value).
+    *
+    * Output: (tile_id, n_contrib, est) — note tiles with NO points of
+    * their own still get estimates from neighbouring points (the point of
+    * interpolation: point samples -> continuous raster). Plan: one bounded
+    * (2r+1)^2 explode of the point table + ONE shuffle with map-side
+    * partial sums; scales with points, never materializes the full grid. */
+  def idw(points: DataFrame, zoom: Int, valueCol: String, r: Int = 1): DataFrame = {
+    require(r >= 1 && r <= 8, s"search radius out of range [1,8]: $r")
+    val offs = array((for (dx <- -r to r; dy <- -r to r) yield
+      struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
+    val n = 1L << zoom
+    points
+      .select(col("lat"), col("lon"), col(valueCol).cast("double").as("v"),
+        call_function("st_tile", col("lat"), col("lon"), lit(zoom)).as("t"))
+      .select(col("lat"), col("lon"), col("v"), col("t.x").as("x"), col("t.y").as("y"),
+        explode(offs).as("o"))
+      .select(col("lat"), col("lon"), col("v"),
+        pmod(col("x") + col("o.dx"), lit(n)).as("nx"),
+        (col("y") + col("o.dy")).as("ny"))
+      .where(col("ny") >= 0 && col("ny") < lit(n))
+      .withColumn("c", call_function("st_tile_center", lit(zoom), col("nx"), col("ny")))
+      .withColumn("dist", call_function("st_haversine",
+        col("c.lat"), col("c.lon"), col("lat"), col("lon")))
+      .where(col("dist") > 0.0)
+      .groupBy((lit(zoom.toLong << 58) + shiftleft(col("nx"), 29) + col("ny")).as("tile_id"))
+      .agg(count(lit(1)).as("n_contrib"),
+        sum(col("v") / (col("dist") * col("dist"))).as("sw"),
+        sum(lit(1.0) / (col("dist") * col("dist"))).as("w"))
+      .select(col("tile_id"), col("n_contrib"),
+        (round(col("sw") / col("w"), 6) + 0.0).as("est"))
+  }
+
   /** Global Moran's I spatial autocorrelation over the (sparse) tile raster
     * with binary queen contiguity (8 neighbours, observed tiles only):
     *   I = (n / W) * sum_i (xi - m)(sum_nbr_i - wn_i * m) / sum_i (xi - m)^2

@@ -131,6 +131,8 @@ object GraftFunctions {
       si(TileT, "tileXyz", Seq(dbl(a(0)), dbl(a(1)), int(a(2))))),
     "st_tile_bounds" -> ((a: Seq[Expression]) =>
       si(BoxT, "tileBoundsOf", Seq(int(a(0)), lng(a(1)), lng(a(2))))),
+    "st_tile_center" -> ((a: Seq[Expression]) =>
+      si(PointT, "tileCenterOf", Seq(int(a(0)), lng(a(1)), lng(a(2))))),
     "st_tile_polyfill" -> ((a: Seq[Expression]) =>
       si(ArrayType(LongType), "tilePolyfill", Seq(a(0), int(a(1))))),
     // predicates

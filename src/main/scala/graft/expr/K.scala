@@ -255,6 +255,18 @@ object K {
     new GenericInternalRow(Array[Any](b(0), b(1), b(2), b(3)))
   }
 
+  /** st_tile_center(z,x,y) -> struct<lat,lon>: the tile's centre point
+    * (web-mercator midpoint, the reference location for raster
+    * interpolation). One formula — NOT the bounds midpoint — so the SQL
+    * mirror can reproduce it bit-for-bit modulo sinh ulp. */
+  def tileCenterOf(z: Int, x: Long, y: Long): InternalRow = {
+    val n = (1L << z).toDouble
+    val lon = (x + 0.5) / n * 360.0 - 180.0
+    val t = math.Pi - 2.0 * math.Pi * (y + 0.5) / n
+    val lat = GeoMath.toDegrees(math.atan(math.sinh(t)))
+    new GenericInternalRow(Array[Any](lat, lon))
+  }
+
   /** st_tile_polyfill(ring, z) -> array<long> of packed tile ids. */
   def tilePolyfill(ring: ArrayData, z: Int): ArrayData = {
     val r = ringOf(ring)

@@ -220,6 +220,43 @@ class TrackSpec extends AnyFunSuite {
     assert(stripes < -0.3, s"stripes should anti-correlate, I=$stripes")
   }
 
+  test("Tiler.idw matches the brute-force gridded interpolation") {
+    val z = 7
+    import spark.implicits._
+    val pts = trackRows.map(p => (p._3, p._4, (p._2 + 1).toDouble))
+      .toDF("lat", "lon", "v").repartition(4)
+    val got = Tiler.idw(pts, z, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    val nPer = 1L << z
+    val contrib = scala.collection.mutable.Map.empty[Long, List[(Double, Double)]]
+    for ((_, off, la, lo) <- trackRows) {
+      val t = K.tileIdOf(la, lo, z).longValue()
+      val xx = (t >>> 29) & ((1L << 29) - 1); val yy = t & ((1L << 29) - 1)
+      for (dx <- -1 to 1; dy <- -1 to 1) {
+        val nx = ((xx + dx) % nPer + nPer) % nPer; val ny = yy + dy
+        if (ny >= 0 && ny < nPer) {
+          val c = K.tileCenterOf(z, nx, ny)
+          val d = Dist.haversine(c.getDouble(0), c.getDouble(1), la, lo)
+          if (d > 0.0) {
+            val tid = (z.toLong << 58) + (nx << 29) + ny
+            contrib(tid) = ((off + 1).toDouble, d) :: contrib.getOrElse(tid, Nil)
+          }
+        }
+      }
+    }
+    assert(got.keySet == contrib.keySet)
+    // interpolation must reach tiles holding no points of their own
+    val occupied = trackRows.map(p => K.tileIdOf(p._3, p._4, z).longValue()).toSet
+    assert((got.keySet -- occupied).nonEmpty, "no empty tile got an estimate")
+    for ((tid, (nc, est)) <- got) {
+      val cs = contrib(tid)
+      assert(nc == cs.size)
+      val want = cs.map { case (v, d) => v / (d * d) }.sum / cs.map { case (_, d) => 1.0 / (d * d) }.sum
+      assert(math.abs(est - graft.core.GeoMath.roundTo(want, 6)) < 1e-6, s"tile $tid: $est vs $want")
+    }
+  }
+
   test("Layout round-trips, prunes files, and readBBox equals the plain filter") {
     val dir = TestTmp.dir("layout")
     Layout.writeZOrdered(ptsDf, dir, bits = 16, numFiles = 8)
@@ -235,5 +272,14 @@ class TrackSpec extends AnyFunSuite {
     assert(sel < tot, s"bbox selected all $tot files — z-clustering failed")
     // empty-result box (mid-Pacific) must prune to zero rows without error
     assert(Layout.readBBox(spark, dir, -5.0, -150.0, -4.0, -149.0).count() == 0L)
+    // stale-manifest crash window must fail LOUDLY, not prune wrongly: after
+    // tampering with the data dir the file-set check rejects every read
+    val victim = new java.io.File(s"$dir/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(victim.delete())
+    val ex = intercept[IllegalArgumentException] {
+      Layout.readBBox(spark, dir, south, west, north, east).count()
+    }
+    assert(ex.getMessage.contains("manifest out of sync"))
   }
 }
