@@ -45,47 +45,53 @@ object Layout {
       .write.mode("overwrite").parquet(s"$dir/manifest")
   }
 
-  /** The manifest must describe EXACTLY the files on disk — a crash between
-    * a data overwrite and its manifest rewrite would otherwise leave a stale
-    * manifest silently pruning with wrong bboxes. One directory listing per
-    * read (the same O(files) cost Iceberg pays to read its manifest list);
+  private final case class Entry(file: String, minLat: Double, maxLat: Double,
+                                 minLon: Double, maxLon: Double)
+
+  /** Load the manifest ONCE (one Spark job — it is file-count-sized, the
+    * driver holds it by design, like Iceberg's manifest list) and verify it
+    * describes EXACTLY the files on disk: a crash between a data overwrite
+    * and its manifest rewrite would otherwise leave a stale manifest
+    * silently pruning with wrong bboxes. One directory listing per read;
     * fails loudly on any mismatch. */
-  private def verifyManifest(spark: SparkSession, dir: String,
-                             manifest: DataFrame): Unit = {
+  private def loadManifest(spark: SparkSession, dir: String): Seq[Entry] = {
     // compare scheme-normalized paths (file:/ vs file:/// spellings differ
     // between _metadata.file_path and FileSystem.listStatus)
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val entries = spark.read.parquet(s"$dir/manifest")
+      .select("file", "min_lat", "max_lat", "min_lon", "max_lon").collect()
+      .map(r => Entry(r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
     val path = new org.apache.hadoop.fs.Path(s"$dir/data")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val onDisk = fs.listStatus(path).map(s => norm(s.getPath.toString))
-      .filter(p => p.endsWith(".parquet") && !p.contains("/_")).toSet
-    val inManifest = manifest.select("file").collect().map(r => norm(r.getString(0))).toSet
+    val onDisk = fs.listStatus(path).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .map(p => norm(p.toString)).toSet
+    val inManifest = entries.map(e => norm(e.file)).toSet
     require(onDisk == inManifest,
       s"layout manifest out of sync with $dir/data (" +
         s"${(onDisk -- inManifest).size} unlisted, ${(inManifest -- onDisk).size} ghost " +
         s"files) — rewrite the layout (interrupted writeZOrdered?)")
+    entries
   }
 
-  /** Manifest rows whose file bbox intersects [south..north]x[west..east].
+  /** Manifest entries whose file bbox intersects [south..north]x[west..east].
     * The box must not cross the antimeridian (east >= west). */
-  private def hits(spark: SparkSession, dir: String, south: Double, west: Double,
-                   north: Double, east: Double): DataFrame = {
+  private def hits(entries: Seq[Entry], south: Double, west: Double,
+                   north: Double, east: Double): Seq[Entry] = {
     require(east >= west && north >= south,
       s"bbox must be south<=north, west<=east (no antimeridian wrap): " +
         s"[$south..$north]x[$west..$east]")
-    val man = spark.read.parquet(s"$dir/manifest")
-    verifyManifest(spark, dir, man)
-    man.where(col("min_lat") <= north && col("max_lat") >= south &&
-      col("min_lon") <= east && col("max_lon") >= west)
+    entries.filter(e => e.minLat <= north && e.maxLat >= south &&
+      e.minLon <= east && e.maxLon >= west)
   }
 
   /** (selected, total) file counts for a bbox — the pruning observability
     * hook (and the test gate that pruning actually skips files). */
   def pruneStats(spark: SparkSession, dir: String, south: Double, west: Double,
                  north: Double, east: Double): (Long, Long) = {
-    val sel = hits(spark, dir, south, west, north, east).count()
-    val tot = spark.read.parquet(s"$dir/manifest").count()
-    (sel, tot)
+    val entries = loadManifest(spark, dir)
+    (hits(entries, south, west, north, east).size.toLong, entries.size.toLong)
   }
 
   /** Read only the rows in the bbox, scanning only manifest-selected files.
@@ -93,9 +99,7 @@ object Layout {
     * box without being contained), and is pushed into the parquet scan. */
   def readBBox(spark: SparkSession, dir: String, south: Double, west: Double,
                north: Double, east: Double): DataFrame = {
-    // file-list-sized collect (one string per surviving file), never data
-    val files = hits(spark, dir, south, west, north, east)
-      .select("file").collect().map(_.getString(0))
+    val files = hits(loadManifest(spark, dir), south, west, north, east).map(_.file)
     val base =
       if (files.isEmpty) spark.read.parquet(s"$dir/data").where(lit(false))
       else spark.read.parquet(files.toIndexedSeq: _*)

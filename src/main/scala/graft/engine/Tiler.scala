@@ -147,6 +147,36 @@ object Tiler {
     * the single groupBy shuffles tile-sized data with map-side partial
     * aggregation. Weights overflow-check: sum(n·w) <= total_points · C(2r,r)²
     * — at r <= 8 that headroom is > 2^40 points. */
+  /** Shared neighbour-scatter machinery for the window operators
+    * (focalSmooth / hotspotGi / moranI): decode the packed tile_id, explode
+    * each row to its (dx, dy) window offsets, wrap x across the
+    * antimeridian (mod 2^z), clamp y at the poles, and re-pack the
+    * NEIGHBOUR position as `tile_id`. `keep` columns of `t` are carried
+    * through; the offset struct stays available as `o`. An in-plan
+    * assert_true rejects rows whose zoom makes the window wider than the x
+    * ring (2r+1 > 2^z) — the wrap would otherwise reach the same column
+    * from two different dx offsets and double-count contributions. */
+  private def scatterWindow(t: DataFrame, offs: org.apache.spark.sql.Column,
+                            width: Int, keep: Seq[String]): DataFrame = {
+    val z = shiftrightunsigned(col("tile_id"), 58)
+    val x = shiftrightunsigned(col("tile_id"), 29).bitwiseAND(lit((1L << 29) - 1))
+    val y = col("tile_id").bitwiseAND(lit((1L << 29) - 1))
+    val ring = expr("shiftleft(1L, cast(z as int))")
+    t.select(Seq(z.as("z"), x.as("x"), y.as("y"), explode(offs).as("o")) ++
+        keep.map(col): _*)
+      .where(assert_true(lit(width.toLong) <= ring,
+        lit(s"neighbour window of width $width is wider than the x ring at this zoom " +
+          "(wrapped columns would be double-counted)")).isNull)
+      .select(Seq(
+        (shiftleft(col("z"), 58) +
+          shiftleft(pmod(col("x") + col("o.dx"), ring), 29) +
+          (col("y") + col("o.dy"))).as("tile_id"),
+        (col("y") + col("o.dy")).as("ny"), ring.as("ring"), col("o")) ++
+        keep.map(col): _*)
+      .where(col("ny") >= 0 && col("ny") < col("ring"))
+      .drop("ny", "ring")
+  }
+
   def focalSmooth(tiles: DataFrame, r: Int = 1,
                   valueCol: String = "n_points"): DataFrame = {
     require(r >= 1 && r <= 8, s"kernel radius out of range [1,8]: $r")
@@ -154,19 +184,10 @@ object Tiler {
     val offs = array((for (dx <- -r to r; dy <- -r to r) yield
       struct(lit(dx).as("dx"), lit(dy).as("dy"),
         lit(w(dx + r) * w(dy + r)).as("w"))): _*)
-    val z = shiftrightunsigned(col("tile_id"), 58)
-    val x = shiftrightunsigned(col("tile_id"), 29).bitwiseAND(lit((1L << 29) - 1))
-    val y = col("tile_id").bitwiseAND(lit((1L << 29) - 1))
-    tiles
-      .select(z.as("z"), x.as("x"), y.as("y"), col(valueCol).cast("long").as("v"),
-        explode(offs).as("o"))
-      .select(col("z"),
-        pmod(col("x") + col("o.dx"), expr("shiftleft(1L, cast(z as int))")).as("nx"),
-        (col("y") + col("o.dy")).as("ny"),
-        (col("v") * col("o.w")).as("c"))
-      .where(col("ny") >= 0 && col("ny") < expr("shiftleft(1L, cast(z as int))"))
-      .groupBy((shiftleft(col("z"), 58) + shiftleft(col("nx"), 29) + col("ny")).as("tile_id"))
-      .agg(sum(col("c")).as("sm"))
+    scatterWindow(tiles.select(col("tile_id"), col(valueCol).cast("long").as("v")),
+        offs, 2 * r + 1, keep = Seq("v"))
+      .groupBy(col("tile_id"))
+      .agg(sum(col("v") * col("o.w")).as("sm"))
       .withColumn("z", shiftrightunsigned(col("tile_id"), 58).cast("int"))
       .select("tile_id", "z", "sm")
   }
@@ -194,16 +215,8 @@ object Tiler {
       sum(col("v") * col("v")).as("svv"))
     val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
       struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
-    val z = shiftrightunsigned(col("tile_id"), 58)
-    val x = shiftrightunsigned(col("tile_id"), 29).bitwiseAND(lit((1L << 29) - 1))
-    val y = col("tile_id").bitwiseAND(lit((1L << 29) - 1))
-    val window = t
-      .select(z.as("z"), x.as("x"), y.as("y"), col("v"), explode(offs).as("o"))
-      .select(col("z"),
-        pmod(col("x") + col("o.dx"), expr("shiftleft(1L, cast(z as int))")).as("nx"),
-        (col("y") + col("o.dy")).as("ny"), col("v"))
-      .where(col("ny") >= 0 && col("ny") < expr("shiftleft(1L, cast(z as int))"))
-      .groupBy((shiftleft(col("z"), 58) + shiftleft(col("nx"), 29) + col("ny")).as("tile_id"))
+    val window = scatterWindow(t, offs, width = 3, keep = Seq("v"))
+      .groupBy(col("tile_id"))
       .agg(sum(col("v")).as("wsum"), count(lit(1)).as("wn"))
     val mean = col("sv") / col("n")
     val s = sqrt(col("svv") / col("n") - mean * mean)
@@ -229,6 +242,9 @@ object Tiler {
     * partial sums; scales with points, never materializes the full grid. */
   def idw(points: DataFrame, zoom: Int, valueCol: String, r: Int = 1): DataFrame = {
     require(r >= 1 && r <= 8, s"search radius out of range [1,8]: $r")
+    require(2 * r + 1 <= (1L << zoom),
+      s"window of width ${2 * r + 1} is wider than the x ring at zoom $zoom — " +
+        "the wrap would double-count contributions")
     val offs = array((for (dx <- -r to r; dy <- -r to r) yield
       struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
     val n = 1L << zoom
@@ -270,16 +286,8 @@ object Tiler {
     val globals = t.agg(count(lit(1)).as("n"), sum("v").as("sv"))
     val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 } yield
       struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
-    val z = shiftrightunsigned(col("tile_id"), 58)
-    val x = shiftrightunsigned(col("tile_id"), 29).bitwiseAND(lit((1L << 29) - 1))
-    val y = col("tile_id").bitwiseAND(lit((1L << 29) - 1))
-    val nbr = t
-      .select(z.as("z"), x.as("x"), y.as("y"), col("v"), explode(offs).as("o"))
-      .select(col("z"),
-        pmod(col("x") + col("o.dx"), expr("shiftleft(1L, cast(z as int))")).as("nx"),
-        (col("y") + col("o.dy")).as("ny"), col("v"))
-      .where(col("ny") >= 0 && col("ny") < expr("shiftleft(1L, cast(z as int))"))
-      .groupBy((shiftleft(col("z"), 58) + shiftleft(col("nx"), 29) + col("ny")).as("tile_id"))
+    val nbr = scatterWindow(t, offs, width = 3, keep = Seq("v"))
+      .groupBy(col("tile_id"))
       .agg(sum(col("v")).as("nsum"), count(lit(1)).as("wn"))
     val mean = col("sv") / col("n")
     t.join(nbr, Seq("tile_id"), "left")

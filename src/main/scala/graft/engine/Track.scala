@@ -72,16 +72,25 @@ object Track {
                           radiusM: Double, idCol: String = "doc_id",
                           seqCol: String = "offset"): DataFrame = {
     require(fences.nonEmpty, "geofenceTransitions needs at least one fence centre")
-    def inside(la: Column, lo: Column): Column =
-      least(fences.map { case (fla, flo) =>
-        call_function("st_haversine", lit(fla), lit(flo), la, lo)
-      }: _*) <= lit(radiusM)
+    def inside(la: Column, lo: Column): Column = Track.minFenceDist(fences, la, lo) <= lit(radiusM)
     legs(pts, idCol, seqCol)
       .withColumn("inside", inside(col("lat"), col("lon")))
       .withColumn("p_inside", inside(col("p_lat"), col("p_lon")))
       .where(col("p_inside").isNotNull && col("p_inside") =!= col("inside"))
       .select(col(idCol), col(seqCol), col("lat"), col("lon"),
         when(col("inside"), lit("enter")).otherwise(lit("exit")).as("transition"))
+  }
+
+  /** Distance to the nearest fence centre as one codegen'd haversine chain
+    * (Spark's `least` needs >= 2 arguments, so a single fence is its own
+    * distance). Shared by the batch and streaming geofence operators. */
+  private[graft] def minFenceDist(fences: Seq[(Double, Double)],
+                                  la: Column, lo: Column): Column = {
+    require(fences.nonEmpty, "need at least one fence centre")
+    val ds = fences.map { case (fla, flo) =>
+      call_function("st_haversine", lit(fla), lit(flo), la, lo)
+    }
+    if (ds.lengthCompare(1) == 0) ds.head else least(ds: _*)
   }
 
   /** Origin-destination matrix: each track contributes one (first-tile,

@@ -179,9 +179,8 @@ object Streams {
   def geofenceStream(spark: SparkSession, points: DataFrame,
                      fences: Seq[(Double, Double)], radiusM: Double): DataFrame = {
     import spark.implicits._
-    val inside = least(fences.map { case (fla, flo) =>
-      call_function("st_haversine", lit(fla), lit(flo), col("lat"), col("lon"))
-    }: _*) <= lit(radiusM)
+    val inside =
+      graft.engine.Track.minFenceDist(fences, col("lat"), col("lon")) <= lit(radiusM)
     points
       .select(col("doc_id"), col("offset").cast("int"),
         col("lat").cast("double"), col("lon").cast("double"), inside.as("inside"))

@@ -220,6 +220,33 @@ class TrackSpec extends AnyFunSuite {
     assert(stripes < -0.3, s"stripes should anti-correlate, I=$stripes")
   }
 
+  test("single-fence geofence works (least() needs two args; one fence is its own chain)") {
+    val one = Track.geofenceTransitions(ptsDf, Fences.take(1), FenceR).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(4))).toSet
+    val expected = trackRows.groupBy(_._1).flatMap { case (id, rows) =>
+      val f = Fences.head
+      def in(la: Double, lo: Double) = Dist.haversine(f._1, f._2, la, lo) <= FenceR
+      rows.sortBy(_._2).sliding(2).collect {
+        case Seq(a, b) if in(a._3, a._4) != in(b._3, b._4) =>
+          (id, b._2, if (in(b._3, b._4)) "enter" else "exit")
+      }
+    }.toSet
+    assert(one == expected)
+  }
+
+  test("window-wider-than-ring is rejected, not double-counted") {
+    // idw: static require (zoom is a parameter)
+    intercept[IllegalArgumentException] { Tiler.idw(ptsDf, zoom = 1, valueCol = "offset") }
+    // focalSmooth: zoom is data — the in-plan assert fires at z=1 (ring 2 < 3)
+    import spark.implicits._
+    val tiny = Seq(((1L << 58) + (0L << 29) + 0L, 5L), ((1L << 58) + (1L << 29) + 1L, 7L))
+      .toDF("tile_id", "n_points")
+    val ex = intercept[Exception] { Tiler.focalSmooth(tiny).collect() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))).mkString(" | ")
+    assert(rootMsg(ex).contains("wider than the x ring"), rootMsg(ex))
+  }
+
   test("Tiler.idw matches the brute-force gridded interpolation") {
     val z = 7
     import spark.implicits._
