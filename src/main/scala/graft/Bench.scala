@@ -38,7 +38,7 @@ object Bench {
     "q89_ann_ivf_hier", "q90_dbscan", "q91_focal_smooth", "q92_zonal_stats",
     "q93_track_stats", "q94_bearing_destination", "q95_geofence_transitions",
     "q96_od_matrix", "q97_hotspot_gi", "q98_zorder_layout", "q99_moran_i",
-    "q101_idw")
+    "q101_idw", "q102_hilbert_layout")
 
   /** Per-query wall seconds: min of three runs (first run pays codegen/JIT;
     * the machine is shared and neighbor tenants cause multi-second stalls —

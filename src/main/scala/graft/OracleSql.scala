@@ -2241,6 +2241,37 @@ object OracleSql {
     FROM cd WHERE dist > 0.0 GROUP BY 1 ORDER BY tile_id"""
   }
 
+  /** q102: Hilbert layout — K.hilbert's xy2d fold replayed as `bits`
+    * chained CTE steps, each one rot + quadrant-accumulate over the
+    * previous step's (x, y, d). All-integer, so the compare is exact.
+    * NOTE DuckDB's ^ is exponentiation; bitwise xor is xor(a, b). */
+  def q102(nDocs: Long): String = {
+    val bits = 16
+    val n = 1L << bits
+    val x0 = s"LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * ${n}.0) AS BIGINT), 0), ${n - 1})"
+    val y0 = s"LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * ${n}.0) AS BIGINT), 0), ${n - 1})"
+    val steps = (0 until bits).map { i =>
+      val s = n >> (i + 1)
+      s"""k${i + 1} AS (
+      SELECT pid, lat, lon,
+        CASE WHEN (y // $s) % 2 = 0 THEN
+          (CASE WHEN (x // $s) % 2 = 1 THEN $n - 1 - y ELSE y END) ELSE x END AS x,
+        CASE WHEN (y // $s) % 2 = 0 THEN
+          (CASE WHEN (x // $s) % 2 = 1 THEN $n - 1 - x ELSE x END) ELSE y END AS y,
+        d + ${s * s} * xor(3 * ((x // $s) % 2), (y // $s) % 2) AS d
+      FROM k$i)"""
+    }.mkString(",\n    ")
+    s"""WITH ${parsedCte(docsGlob(nDocs))}, k0 AS (
+      SELECT doc_id || ':' || CAST("offset" AS VARCHAR) AS pid, lat, lon,
+        $x0 AS x, $y0 AS y, CAST(0 AS BIGINT) AS d
+      FROM parsed
+      WHERE lat >= ${d(-34.9)} AND lat <= ${d(-32.9)}
+        AND lon >= ${d(150.2)} AND lon <= ${d(152.2)}
+    ),
+    $steps
+    SELECT pid, d AS hkey, lat, lon FROM k$bits ORDER BY pid"""
+  }
+
   /** q98: the z-ordered-layout bbox read must equal a plain bbox filter
     * over the corpus, with the stored Morton key re-derived independently. */
   def q98(nDocs: Long): String =
@@ -2275,6 +2306,7 @@ object OracleSql {
     "q98_zorder_layout" -> q98(nDocs),
     "q99_moran_i" -> q99(nDocs),
     "q101_idw" -> q101(nDocs),
+    "q102_hilbert_layout" -> q102(nDocs),
     // streaming geofence reaches the same transition set as the batch
     // operator (state carries last-inside across batches), so it shares
     // q95's oracle verbatim

@@ -1448,6 +1448,22 @@ object SparkEntry {
         .select(col("lat"), col("lon"), (col("offset") + lit(1)).cast("double").as("v"))
       Tiler.idw(pts, zoom = 7, valueCol = "v").orderBy(col("tile_id"))
     }),
+    // q102: Hilbert-curve layout — q98's shape on the other space-filling
+    // curve (no Z jumps -> tighter file bboxes; A/B in BASELINE.md), bbox
+    // over a different hub (Sydney). The oracle replays the xy2d rot/
+    // accumulate fold as 16 chained all-integer CTE steps — exact compare.
+    "q102_hilbert_layout" -> ((spark, dir) => {
+      val s = prep(spark)
+      val docs = Corpus.storedDocs(s, corpusDocs(dir))
+      val pts = SpatialJoin.extractPoints(docs)
+        .select(concat_ws(":", col("doc_id"), col("offset")).as("pid"),
+          col("lat"), col("lon"))
+      val out = scratchDir("q102", dir)
+      Layout.writeZOrdered(pts, out, bits = 16, numFiles = 16, curve = "hilbert")
+      Layout.readBBox(s, out, south = -34.9, west = 150.2, north = -32.9, east = 152.2)
+        .select(col("pid"), col("zkey").as("hkey"), col("lat"), col("lon"))
+        .orderBy(col("pid"))
+    }),
     // q99: global Moran's I — ONE row summarizing spatial autocorrelation of
     // the z=6 raster (queen contiguity over observed tiles). The corpus's
     // hotspot clustering makes it strongly positive; the value itself is

@@ -26,13 +26,23 @@ object Layout {
 
   /** Write `pts` (must carry lat/lon) z-ordered into `dir/data` as
     * `numFiles` range-partitioned files plus `dir/manifest` with per-file
-    * (file, min/max lat/lon, n_rows). `bits` is the Morton resolution per
+    * (file, min/max lat/lon, n_rows). `bits` is the curve resolution per
     * axis — 16 gives ~600 m cells at the equator, far finer than any
-    * realistic file extent. */
+    * realistic file extent. `curve` picks the space-filling curve:
+    * "morton" (st_zorder, default) or "hilbert" (st_hilbert — no Z jumps,
+    * so file bboxes come out tighter and pruning skips more files; the
+    * measured A/B lives in BASELINE.md). The key column is `zkey` either
+    * way. */
   def writeZOrdered(pts: DataFrame, dir: String, bits: Int = 16,
-                    numFiles: Int = 16): Unit = {
+                    numFiles: Int = 16, curve: String = "morton"): Unit = {
+    val fn = curve match {
+      case "morton" => "st_zorder"
+      case "hilbert" => "st_hilbert"
+      case other => throw new IllegalArgumentException(
+        s"unknown curve '$other' (expected morton or hilbert)")
+    }
     val spark = pts.sparkSession
-    pts.withColumn("zkey", call_function("st_zorder", col("lat"), col("lon"), lit(bits)))
+    pts.withColumn("zkey", call_function(fn, col("lat"), col("lon"), lit(bits)))
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(s"$dir/data")

@@ -251,6 +251,8 @@ object GraftFunctions {
       si(PointT, "destination", a.take(4).map(dbl))),
     "st_zorder" -> ((a: Seq[Expression]) =>
       si(LongType, "zorder", Seq(dbl(a(0)), dbl(a(1)), int(a(2))), nullable = false)),
+    "st_hilbert" -> ((a: Seq[Expression]) =>
+      si(LongType, "hilbert", Seq(dbl(a(0)), dbl(a(1)), int(a(2))), nullable = false)),
     "st_vincenty" -> ((a: Seq[Expression]) => a.length match {
       case 4 => si(DoubleType, "vincenty", a.take(4).map(dbl) ++ Seq(litA, litF))
       case 6 => si(DoubleType, "vincenty", a.take(6).map(dbl))
@@ -466,6 +468,8 @@ object GraftFunctions {
     call_function("st_destination", lat, lon, bearingDeg, distM)
   def st_zorder(lat: Column, lon: Column, bits: Column): Column =
     call_function("st_zorder", lat, lon, bits)
+  def st_hilbert(lat: Column, lon: Column, bits: Column): Column =
+    call_function("st_hilbert", lat, lon, bits)
   def olc_encode(lat: Column, lon: Column, len: Column): Column =
     call_function("olc_encode", lat, lon, len)
   def olc_decode(code: Column): Column = call_function("olc_decode", code)

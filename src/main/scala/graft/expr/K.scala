@@ -667,6 +667,39 @@ object K {
       GeoMath.toDegrees(phi2), GeoMath.wrap180(GeoMath.toDegrees(lam2))))
   }
 
+  /** st_hilbert(lat, lon, bits): Hilbert-curve key over the same
+    * equirectangular quantization as [[zorder]] — consecutive keys are
+    * always grid-adjacent (no Z-curve jumps), so range-partitioned files
+    * get tighter bboxes and bbox pruning skips more files. Standard
+    * iterative xy2d (rot + quadrant accumulate), exact integer arithmetic
+    * end to end. bits in [1, 31]. */
+  def hilbert(lat: Double, lon: Double, bits: Int): Long = {
+    val b = if (bits < 1) 1 else if (bits > 31) 31 else bits
+    val n = 1L << b
+    var x = math.min(n - 1, math.max(0L, math.floor((lon + 180.0) / 360.0 * n).toLong))
+    var y = math.min(n - 1, math.max(0L, math.floor((lat + 90.0) / 180.0 * n).toLong))
+    var d = 0L
+    var s = n / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // canonical rot: reflect with the FULL grid extent (n-1), not s-1 —
+      // keeps x/y in [0, n) so bit tests stay floor-div-expressible (the
+      // s-1 variant walks a valid Hilbert curve too, but through negative
+      // intermediates whose bit tests SQL cannot mirror)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = n - 1 - x
+          y = n - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
   /** st_zorder(lat, lon, bits): Morton / Z-order key over the equirectangular
     * grid with 2^bits cells per axis — lon quantized into the even bits, lat
     * into the odd bits. Range-partitioning and sorting a point table by this

@@ -87,6 +87,25 @@ class TrackSpec extends AnyFunSuite {
     assert((ks.max - ks.min).toDouble / (1L << 32).toDouble < 0.001)
   }
 
+  test("st_hilbert is a bijection whose consecutive keys are grid-adjacent") {
+    val b = 4
+    val n = 1 << b
+    // cell centres of the full n x n grid
+    def keyOf(ix: Int, iy: Int): Long =
+      K.hilbert(-90.0 + (iy + 0.5) * 180.0 / n, -180.0 + (ix + 0.5) * 360.0 / n, b)
+    val cells = for (ix <- 0 until n; iy <- 0 until n) yield (ix, iy)
+    val keys = cells.map { case (ix, iy) => keyOf(ix, iy) -> ((ix, iy)) }.toMap
+    assert(keys.size == n * n, "hilbert keys collide — not a bijection")
+    assert(keys.keySet == (0L until (n.toLong * n)).toSet)
+    // THE Hilbert property (and what Morton lacks): walking the key order
+    // never jumps — consecutive cells are Manhattan-distance-1 neighbours
+    for (d <- 0L until (n.toLong * n - 1)) {
+      val (x1, y1) = keys(d); val (x2, y2) = keys(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump between d=$d ($x1,$y1) and d+1 ($x2,$y2)")
+    }
+  }
+
   test("Track.stats matches the brute-force per-track oracle") {
     val got = Track.stats(ptsDf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
