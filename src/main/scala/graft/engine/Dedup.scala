@@ -261,10 +261,78 @@ object Dedup {
     * per call instead of accumulating all of them), and convergence costs
     * one count action per round (documented driver actions, like Knn's
     * adaptive loop). */
+  /** Edge cap (BOTH-direction rows) below which [[connectedComponents]]
+    * runs a driver union-find instead of distributed label rounds: each
+    * round costs 2 shuffles + a snapshot + a count action, which dominates
+    * wall time when the edge list is small (a 600k-edge DBSCAN core graph
+    * collects in ~50 MB and resolves in milliseconds). Nodes are NEVER
+    * collected — only edge endpoints — so a corpus of 10^9 singletons with
+    * 100 dup pairs still takes the driver path. Override with
+    * spark.graft.cc.driverEdgeCap (0 disables). */
+  val DriverEdgeCap = 400000L
+
+  /** Total order matching Spark's least() for the id types the driver
+    * regime supports; None = unsupported, caller falls back to the
+    * distributed path. */
+  private def driverLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: String, y: String) => x < y
+    case _ => throw new IllegalStateException(s"unsupported driver-CC id: $a")
+  }
+
+  private def driverRegimeType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.LongType ||
+      dt == org.apache.spark.sql.types.IntegerType ||
+      dt == org.apache.spark.sql.types.StringType
+
+  /** Driver union-find over the collected undirected edges: per-root
+    * MINIMUM member as the representative — the identical fixpoint the
+    * distributed rounds converge to. */
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+                               nodes: DataFrame, edges: DataFrame): DataFrame = {
+    import scala.collection.mutable
+    val parent = mutable.HashMap.empty[Any, Any]
+    def find(a: Any): Any = {
+      var r = a
+      while (parent.getOrElse(r, r) != r) {
+        val p = parent(r)
+        parent(r) = parent.getOrElse(p, p) // path halving
+        r = parent(r)
+      }
+      r
+    }
+    val endpoints = mutable.HashSet.empty[Any]
+    edges.where(col("src") < col("dst")).collect().foreach { row =>
+      endpoints += row.get(0)
+      endpoints += row.get(1)
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) parent(ra) = rb
+    }
+    val minOfRoot = mutable.HashMap.empty[Any, Any]
+    // all edge ENDPOINTS, not parent.keySet — a node that was only ever a
+    // union TARGET never appears as a key but still needs its mapping row
+    val members = endpoints.toSeq
+    members.foreach { m =>
+      val r = find(m)
+      val cur = minOfRoot.get(r)
+      if (cur.isEmpty || driverLt(m, cur.get)) minOfRoot(r) = m
+    }
+    val idType = nodes.schema("doc_id").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("mrep", idType)))
+    val rows = members.map(m => org.apache.spark.sql.Row(m, minOfRoot(find(m))))
+    val mapDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    nodes.select(col("doc_id").as("id")).distinct()
+      .join(broadcast(mapDf), Seq("id"), "left_outer")
+      .select(col("id").as("doc_id"), coalesce(col("mrep"), col("id")).as("rep"))
+  }
+
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 30): DataFrame = {
     val spark = nodes.sparkSession
-    val rounds = new Durable.Rounds(spark, "cc")
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
@@ -280,6 +348,11 @@ object Dedup {
       require(orphans.isEmpty,
         s"pair endpoint(s) missing from nodes: ${orphans.mkString(", ")} — " +
           "edges through them would be silently ignored")
+      val cap = spark.conf.getOption("spark.graft.cc.driverEdgeCap")
+        .map(_.toLong).getOrElse(DriverEdgeCap)
+      if (driverRegimeType(nodes.schema("doc_id").dataType) && edges.count() <= cap)
+        return driverComponents(spark, nodes, edges)
+      val rounds = new Durable.Rounds(spark, "cc")
       // id type is whatever the caller's doc_id is (long or string); the
       // "minimum" representative is numeric or lexicographic accordingly
       var labels = rounds.commit(

@@ -636,24 +636,52 @@ class PipelineSpec extends AnyFunSuite {
     // chain 0-1-2-3 (diameter 3, needs multi-round propagation),
     // pair {5,7}, singletons 4,6,8,9
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 7L)).toDF("doc_a", "doc_b")
+    // small edge list -> the DRIVER union-find regime (also covers the
+    // union-TARGET-only endpoint case: every i+1 in the chain is a target)
     val got = Dedup.connectedComponents(nodes, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 4L,
       5L -> 5L, 6L -> 6L, 7L -> 5L, 8L -> 8L, 9L -> 9L))
-    // a too-small round budget must THROW, never return a partial clustering
-    intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(nodes, pairs, maxIter = 1)
-    }
+    // a too-small round budget must THROW, never return a partial
+    // clustering — distributed path forced (the driver regime has no rounds)
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    try {
+      val dist = Dedup.connectedComponents(nodes, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(dist == got, "driver and distributed regimes disagree")
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(nodes, pairs, maxIter = 1)
+      }
+    } finally spark.conf.unset("spark.graft.cc.driverEdgeCap")
+  }
+
+  test("connected components: driver and distributed regimes agree on a random graph") {
+    import spark.implicits._
+    val rng = new java.util.Random(31L)
+    val nodes = (0L until 400L).toDF("doc_id")
+    val pairs = (0 until 300).map(_ => (rng.nextInt(400).toLong, rng.nextInt(400).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val driver = Dedup.connectedComponents(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    val dist = try Dedup.connectedComponents(nodes, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.driverEdgeCap")
+    assert(driver == dist)
+    assert(driver.size == 400)
   }
 
   test("connected components: 1000-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // the worst-case topology for pure min-label propagation (diameter 999
     // would need 999 rounds); pointer doubling must close it in ~10 — the
-    // maxIter budget here is the gate
+    // maxIter budget here is the gate. Distributed path forced: by default
+    // a 999-edge graph takes the driver regime.
     val nodes = (0L until 1000L).toDF("doc_id")
     val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val got = Dedup.connectedComponents(nodes, pairs, maxIter = 15).collect()
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    val got = try Dedup.connectedComponents(nodes, pairs, maxIter = 15).collect()
+      finally spark.conf.unset("spark.graft.cc.driverEdgeCap")
     assert(got.length == 1000)
     assert(got.forall(_.getLong(1) == 0L), "chain did not collapse to min id 0")
   }
