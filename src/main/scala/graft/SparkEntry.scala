@@ -1021,7 +1021,7 @@ object SparkEntry {
           explode(array(index.levels.map(l => substring(col("cell"), 1, l)): _*)))
       val outBase = scratchDir("q69", dir)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(outBase))
-      val q = graft.streaming.Streams.spatialJoinStream(pts, index.cells)
+      val q = graft.streaming.Streams.spatialJoinStream(pts, index.cells, index.rings)
         .select(col("doc_id"), col("offset"), col("poly_id"))
         .writeStream
         .format("parquet")
@@ -1034,6 +1034,7 @@ object SparkEntry {
       // the sink holds the results now; release the cached covering (the
       // readback below no longer references it)
       index.cells.unpersist()
+      index.rings.unpersist()
       s.read.parquet(s"$outBase/data")
         .orderBy(col("doc_id"), col("offset"), col("poly_id"))
     }),
@@ -1507,7 +1508,17 @@ object SparkEntry {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(s"$outBase/data").orderBy(col("doc_id"), col("offset"))
+      // a corpus yielding ZERO transitions writes no data files and a bare
+      // read would fail on schema inference instead of returning an empty
+      // frame (r05 advisory) — read with the sink's schema (all-nullable,
+      // exactly what parquet inference yields), leaving the non-empty path
+      // byte-identical
+      val fenceSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.Encoders
+          .product[graft.streaming.Streams.FenceHit].schema
+          .fields.map(_.copy(nullable = true)))
+      s.read.schema(fenceSchema).parquet(s"$outBase/data")
+        .orderBy(col("doc_id"), col("offset"))
     }),
     // q84: stream-STREAM interval join under Trigger.AvailableNow — the
     // last Structured Streaming operator class (joins between two streams

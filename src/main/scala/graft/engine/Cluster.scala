@@ -143,17 +143,29 @@ object Cluster {
       .where(col("lat").isNotNull && col("lon").isNotNull)
       .select(col("pid"))
     val degrees = prs.groupBy(col("pid_a").as("pid")).agg(count(lit(1)).as("nn"))
-    val flagged = base.join(degrees, Seq("pid"), "left_outer")
-      .select(col("pid"),
-        (coalesce(col("nn"), lit(0L)) + lit(1L) >= minPts).as("is_core"))
+    // flagged is the second fact-sized frame with MANY consumers (core ids,
+    // core-edge semi-joins, border candidates, the final outer join, plus
+    // the CC regime's node set) — materialize it ONCE like prs. Before this,
+    // the final plan re-evaluated the upstream point pipeline + the degree
+    // aggregation FOUR times (r06 before-plan: 4 identical parse subtrees,
+    // 4 identical degree exchanges); one bounded snapshot (one row per
+    // point, smaller than prs in any regime where DBSCAN is meaningful)
+    // replaces all of them with parquet reads.
+    val flagged = Durable.durable(
+      base.join(degrees, Seq("pid"), "left_outer")
+        .select(col("pid"),
+          (coalesce(col("nn"), lit(0L)) + lit(1L) >= minPts).as("is_core")))
     val coreIds = flagged.where(col("is_core")).select(col("pid"))
     // each unordered core-core edge once (pairs carry both directions)
     val coreEdges = prs.where(col("pid_a") < col("pid_b"))
       .join(coreIds.withColumnRenamed("pid", "pid_a"), Seq("pid_a"), "left_semi")
       .join(coreIds.withColumnRenamed("pid", "pid_b"), Seq("pid_b"), "left_semi")
+    // validateNodes = false: core-edge endpoints are semi-joined against
+    // coreIds above, so endpoint ⊆ nodes holds by construction
     val labels = Dedup.connectedComponents(
       coreIds.select(col("pid").as("doc_id")),
-      coreEdges.select(col("pid_a").as("doc_a"), col("pid_b").as("doc_b")))
+      coreEdges.select(col("pid_a").as("doc_a"), col("pid_b").as("doc_b")),
+      maxIter = 30, validateNodes = false)
     val coreLabeled = labels.select(col("doc_id").as("pid"), col("rep").as("cluster"))
     val borderLabeled = prs
       .join(flagged.where(!col("is_core")).select(col("pid").as("pid_a")),

@@ -273,11 +273,17 @@ object Dedup {
 
   /** Total order matching Spark's least() for the id types the driver
     * regime supports; None = unsupported, caller falls back to the
-    * distributed path. */
+    * distributed path. Strings compare as UTF-8 BYTES (UTF8String), not
+    * UTF-16 code units: the distributed rounds' min()/least() compare
+    * UTF8String binary, and for ids with supplementary-plane characters the
+    * two orders differ — the elected representative must not depend on
+    * which regime ran (r05 advisory). */
   private def driverLt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: Long, y: Long) => x < y
     case (x: Int, y: Int) => x < y
-    case (x: String, y: String) => x < y
+    case (x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
     case _ => throw new IllegalStateException(s"unsupported driver-CC id: $a")
   }
 
@@ -331,7 +337,17 @@ object Dedup {
   }
 
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30): DataFrame =
+    connectedComponents(nodes, pairs, maxIter, validateNodes = true)
+
+  /** `validateNodes = false` skips the endpoint⊆nodes fail-fast action for
+    * callers that construct the edge set from the node set themselves
+    * (dbscan semi-joins its core edges against the core ids, so the
+    * containment holds by construction) — one fewer Spark action per call,
+    * identical output. External callers keep the default check. */
+  private[engine] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                                          maxIter: Int,
+                                          validateNodes: Boolean): DataFrame = {
     val spark = nodes.sparkSession
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -342,15 +358,21 @@ object Dedup {
       // the propagation join and split components with no error — fail fast
       // instead (one dimension-sized anti-join action, consistent with the
       // throw-on-non-convergence contract)
-      val orphans = edges.select(col("src").as("doc_id")).distinct()
-        .join(nodes.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-        .limit(5).collect().map(_.get(0))
-      require(orphans.isEmpty,
-        s"pair endpoint(s) missing from nodes: ${orphans.mkString(", ")} — " +
-          "edges through them would be silently ignored")
+      if (validateNodes) {
+        val orphans = edges.select(col("src").as("doc_id")).distinct()
+          .join(nodes.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+          .limit(5).collect().map(_.get(0))
+        require(orphans.isEmpty,
+          s"pair endpoint(s) missing from nodes: ${orphans.mkString(", ")} — " +
+            "edges through them would be silently ignored")
+      }
+      // cap <= 0 disables the driver regime outright (documented semantics;
+      // previously an EMPTY edge list still satisfied count <= 0 and took
+      // the driver path — same result, but the gate now matches its doc)
       val cap = spark.conf.getOption("spark.graft.cc.driverEdgeCap")
         .map(_.toLong).getOrElse(DriverEdgeCap)
-      if (driverRegimeType(nodes.schema("doc_id").dataType) && edges.count() <= cap)
+      if (cap > 0 && driverRegimeType(nodes.schema("doc_id").dataType) &&
+          edges.count() <= cap)
         return driverComponents(spark, nodes, edges)
       val rounds = new Durable.Rounds(spark, "cc")
       // id type is whatever the caller's doc_id is (long or string); the

@@ -106,6 +106,15 @@ object Knn {
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("pid"))
 
     while (round <= maxRounds && !unresolved.isEmpty) {
+      // persisted: the round's three consumers (the resolvedQ broadcast
+      // build, the resolvedRows probe, and the unresolved anti-join's own
+      // resolvedQ copy) otherwise EACH re-run the disk join + window —
+      // measured 3 evaluations per round in the r06 before-plan. The
+      // post-rank frame is bounded at k rows per unresolved query, so the
+      // cache is query-side-sized; lineage is NOT truncated (unlike
+      // localCheckpoint), so an executor loss just recomputes from the
+      // round checkpoint + cached points — the durability story is
+      // unchanged. Unpersisted at the bottom of the round.
       val cand = unresolved
         .withColumn("cell", explode(cf("st_cell_disk", col("qcell"), lit(round))))
         .join(pts, Seq("cell"), "inner")
@@ -114,6 +123,7 @@ object Knn {
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
         .select("qid", "q_lat", "q_lon", "qcell", "pid", "dist", "rank")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
       // a query resolves when it has k hits and the k-th is inside the
       // provable bound for this round's disk (pure column math, no UDF;
@@ -141,6 +151,7 @@ object Knn {
       unresolved = rounds.commit(
         unresolved.join(broadcast(resolvedQ), Seq("qid"), "left_anti"))
       rounds.dropPrevious() // this round's parts snapshot is already on disk
+      cand.unpersist() // parts + unresolved are durably committed above
       round += 1
     }
     // Exact completion for the residual: queries still unresolved after

@@ -53,6 +53,21 @@ object Layout {
         count(lit(1)).as("n_rows"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
+    // the manifest is derived from ROWS, so a zero-row part file (possible
+    // when repartitionByRange lands an empty range partition on skewed or
+    // duplicate zkeys) exists on disk but not in the manifest — and
+    // loadManifest's sync check would then loudly reject every read of an
+    // otherwise valid layout. Remove such files here: they carry no rows,
+    // so the layout's content is unchanged (r05 advisory).
+    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inManifest = spark.read.parquet(s"$dir/manifest")
+      .select("file").collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
+    fs.listStatus(dataPath).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+      .filterNot(p => inManifest.contains(p.toUri.getPath))
+      .foreach(p => fs.delete(p, false))
   }
 
   private final case class Entry(file: String, minLat: Double, maxLat: Double,

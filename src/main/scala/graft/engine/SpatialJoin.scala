@@ -50,9 +50,18 @@ object SpatialJoin {
     * stays bounded at |polys| * MaxCellsPerPolygon rows. */
   val MaxCellsPerPolygon = 1024
 
-  /** Polygon layer -> (poly_id, ring, cell) multi-resolution covering rows.
+  /** Polygon layer -> (poly_id, cell) multi-resolution covering rows.
     * Each polygon is covered at the finest level <= `level` that stays under
     * MaxCellsPerPolygon; the geohash prefix encodes its own level.
+    *
+    * The covering carries ONLY (poly_id, cell) — the ring geometry is NOT
+    * duplicated per covering cell. The joins re-attach each polygon's ring
+    * exactly once per MATCHED candidate via a second dimension join on
+    * poly_id (the same payload-dedup joinMulti always used): the broadcast /
+    * dimension shuffle shrinks by the per-polygon cell count times the
+    * geometry size, which at a production layer (10^6 polygons x up to 1024
+    * cells x KB-scale rings) is the difference between a feasible and an
+    * impossible broadcast.
     *
     * `compact` pipes the covering through `st_compact_cells` (H3
     * compactCells analogue): complete 32-sibling sets collapse into their
@@ -77,15 +86,19 @@ object SpatialJoin {
                    compact: Boolean = false): DataFrame = {
     val cover = call_function("st_cover_cells_adaptive",
       col("ring"), lit(level), lit(maxCells))
-    polys.select(col("poly_id"), col("ring"),
+    polys.select(col("poly_id"),
       explode(if (compact) call_function("st_compact_cells", cover) else cover)
         .as("cell"))
   }
 
-  /** Prepared polygon side: covering rows + the distinct covering levels.
-    * Build once per polygon-layer version and reuse across jobs — the
-    * covering and the levels probe are per-layer costs, not per-query. */
-  final case class PolygonIndex(cells: DataFrame, levels: Array[Int])
+  /** Prepared polygon side: covering rows (poly_id, cell), the distinct
+    * covering levels, and the ring geometry (poly_id, ring) — one row per
+    * polygon, attached to candidates AFTER the cell join so rings never
+    * multiply into the covering. Build once per polygon-layer version and
+    * reuse across jobs — the covering and the levels probe are per-layer
+    * costs, not per-query. */
+  final case class PolygonIndex(cells: DataFrame, levels: Array[Int],
+                                rings: DataFrame)
 
   /** PRECONDITION: rings must not cross the antimeridian — coverings and
     * PIP run in planar lon space. The covering KERNEL enforces it (throws
@@ -107,9 +120,11 @@ object SpatialJoin {
                  cache: Boolean = false, compact: Boolean = false): PolygonIndex = {
     val pc = polygonCells(polys, level, maxCells, compact)
     val pcc = if (cache) pc.cache() else pc
+    val rings = polys.select(col("poly_id"), col("ring"))
+    val ringsC = if (cache) rings.cache() else rings
     val levels = pcc.select(length(col("cell")).as("l"))
       .distinct().collect().map(_.getInt(0)).sorted
-    PolygonIndex(pcc, levels)
+    PolygonIndex(pcc, levels, ringsC)
   }
 
   /** Join extracted points against polygons: multi-resolution cell equi-join
@@ -127,7 +142,16 @@ object SpatialJoin {
            broadcastPolys: Boolean = true, salt: Int = 1): DataFrame =
     joinWithIndex(points, buildIndex(polys, level), broadcastPolys, salt)
 
-  /** Join against a prebuilt polygon index (static-layer fast path). */
+  /** Join against a prebuilt polygon index (static-layer fast path).
+    *
+    * Broadcast path: the cell join ships only (poly_id, cell) rows; each
+    * matched candidate then picks up its ring from a second broadcast keyed
+    * on poly_id (one ring per polygon — never one per covering cell), and
+    * the PIP refine runs last. Non-broadcast path: the ring-carrying
+    * covering is reconstructed with a DIMENSION-side join first, so the
+    * fact side still shuffles exactly once on the cell key (attaching rings
+    * after the shuffle join would re-shuffle fact-sized candidates by
+    * poly_id instead). */
   def joinWithIndex(points: DataFrame, index: PolygonIndex,
                     broadcastPolys: Boolean = true, salt: Int = 1): DataFrame = {
     val pc0 = index.cells
@@ -135,25 +159,35 @@ object SpatialJoin {
     val prefixes = array(levels.map(l => substring(col("cell"), 1, l)): _*)
     val keyedPoints = points
       .withColumn("jcell", explode(prefixes))
+    val outCols = points.columns.map(col) :+ col("poly_id")
     val refined: DataFrame => DataFrame = df =>
       df.where(call_function("st_point_in_polygon", col("lat"), col("lon"), col("ring")))
-        .drop("ring", "salt", "jcell")
+        .select(outCols: _*)
+    // fat covering for the non-broadcast arms: (poly_id, cell, ring) rebuilt
+    // on the dimension side (rings attach before the fact-side shuffle)
+    def fat: DataFrame = pc0.join(index.rings, Seq("poly_id"))
     if (salt <= 1) {
-      val pc = {
-        val base = pc0.withColumnRenamed("cell", "jcell")
-        // non-broadcast path: hint sort-merge so both sides range-partition
-        // on the cell key (the "range-partition join" path for polygon
-        // layers too large to broadcast)
-        if (broadcastPolys) broadcast(base) else base.hint("merge")
-      }
-      refined(keyedPoints.join(pc, Seq("jcell"), "inner"))
+      if (broadcastPolys)
+        refined(keyedPoints
+          .join(broadcast(pc0.withColumnRenamed("cell", "jcell")), Seq("jcell"), "inner")
+          .join(broadcast(index.rings), Seq("poly_id"), "inner"))
+      else
+        // hint sort-merge so both sides range-partition on the cell key
+        // (the "range-partition join" path for layers too large to broadcast)
+        refined(keyedPoints.join(
+          fat.withColumnRenamed("cell", "jcell").hint("merge"), Seq("jcell"), "inner"))
     } else {
       val saltedPoints = keyedPoints.withColumn(
         "salt", pmod(xxhash64(col("doc_id"), col("offset")), lit(salt)).cast("int"))
-      val saltedPolys0 = pc0.withColumnRenamed("cell", "jcell")
+      def salted(cells: DataFrame): DataFrame = cells
+        .withColumnRenamed("cell", "jcell")
         .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
-      val saltedPolys = if (broadcastPolys) broadcast(saltedPolys0) else saltedPolys0
-      refined(saltedPoints.join(saltedPolys, Seq("jcell", "salt"), "inner"))
+      if (broadcastPolys)
+        refined(saltedPoints
+          .join(broadcast(salted(pc0)), Seq("jcell", "salt"), "inner")
+          .join(broadcast(index.rings), Seq("poly_id"), "inner"))
+      else
+        refined(saltedPoints.join(salted(fat), Seq("jcell", "salt"), "inner"))
     }
   }
 
@@ -179,21 +213,33 @@ object SpatialJoin {
   def joinRangeWithIndex(points: DataFrame, index: PolygonIndex,
                          broadcastPolys: Boolean = true): DataFrame = {
     val pivot = index.levels.min
+    val outCols = points.columns.map(col) :+ col("poly_id")
     // join key = xxhash64 of the pivot prefix, not the string itself: long
     // hashing/equality beats per-row string hashing in the build-side probe
     // (measured -20% on the join phase at 1M docs). EXACT despite hashing:
     // a colliding pair has different pivot prefixes, and `cell startsWith
     // ccell` forces equal pivot prefixes (len(ccell) >= pivot), so no
     // collision can survive the containment re-check below.
-    val pc0 = index.cells.select(col("poly_id"), col("ring"),
-      col("cell").as("ccell"), xxhash64(substring(col("cell"), 1, pivot)).as("pkey"))
-    val pc = if (broadcastPolys) broadcast(pc0) else pc0.hint("merge")
-    points
-      .withColumn("pkey", xxhash64(substring(col("cell"), 1, pivot)))
-      .join(pc, Seq("pkey"), "inner")
-      .where(col("cell").startsWith(col("ccell")))
+    def keyed(cells: DataFrame): DataFrame = cells.select(
+      Seq(col("poly_id"), col("cell").as("ccell"),
+        xxhash64(substring(col("cell"), 1, pivot)).as("pkey")) ++
+        (if (cells.columns.contains("ring")) Seq(col("ring")) else Nil): _*)
+    val probed = points.withColumn("pkey", xxhash64(substring(col("cell"), 1, pivot)))
+    val cand =
+      if (broadcastPolys)
+        // ring-free covering in the broadcast; the prefix-containment filter
+        // prunes candidates BEFORE each survivor picks up its ring from the
+        // one-row-per-polygon broadcast
+        probed.join(broadcast(keyed(index.cells)), Seq("pkey"), "inner")
+          .where(col("cell").startsWith(col("ccell")))
+          .join(broadcast(index.rings), Seq("poly_id"), "inner")
+      else
+        probed.join(keyed(index.cells.join(index.rings, Seq("poly_id"))).hint("merge"),
+            Seq("pkey"), "inner")
+          .where(col("cell").startsWith(col("ccell")))
+    cand
       .where(call_function("st_point_in_polygon", col("lat"), col("lon"), col("ring")))
-      .drop("ring", "pkey", "ccell")
+      .select(outCols: _*)
   }
 
   def joinRange(points: DataFrame, polys: DataFrame, level: Int = DefaultLevel,
@@ -227,49 +273,55 @@ object SpatialJoin {
     // per-ring covering, compacted (st_compact_cells — complete sibling
     // sets collapse, coverage exactly preserved): fewer (poly_id, cell)
     // rows enter the dedup/prune shuffles and the broadcast below
-    val cells0 = polys
+    val rawCells = polys
       .select(col("poly_id"), explode(col("rings")).as("ring"))
       .select(col("poly_id"),
         explode(call_function("st_compact_cells",
           call_function("st_cover_cells_adaptive",
             col("ring"), lit(level), lit(maxCells)))).as("cell"))
-      .dropDuplicates("poly_id", "cell")
-    // drop cells strictly nested under a coarser cell of the SAME polygon:
-    // coverage is unchanged (the coarser cell contains them) and the
-    // remaining per-polygon cells are pairwise disjoint.
-    // Broadcast the build side of this self-anti-join ONLY on the
-    // broadcastPolys path: the broadcastPolys=false branch exists precisely
-    // because the covering (up to |polys| * maxCells rows) is too large to
-    // ship to the driver — there the prune runs as a shuffled sort-merge
-    // anti-join keyed on poly_id, where both sides co-partition and each
-    // polygon's cells (<= maxCells) meet within one task.
-    def pruneNested(hintSide: DataFrame => DataFrame): DataFrame =
-      cells0.alias("a").join(hintSide(cells0).alias("b"),
-          col("a.poly_id") === col("b.poly_id") &&
-            length(col("b.cell")) < length(col("a.cell")) &&
-            col("a.cell").startsWith(col("b.cell")), "left_anti")
-        .select(col("a.poly_id").as("poly_id"), col("a.cell").as("cell"))
-    val pruned =
-      if (broadcastPolys) pruneNested(broadcast) else pruneNested(_.hint("merge"))
-    val ringsDim = polys.select(col("poly_id"), col("rings"))
-    // Broadcast path: the pruned covering is DIMENSION-sized (it is about
-    // to be broadcast anyway), so collect it once and serve both consumers
-    // from the driver copy — the levels probe reads the collected rows and
-    // the join side is a LocalRelation. One covering computation, no
-    // executor cache pinned for the session (a .cache() here is never
+    // Nested-cell prune: drop cells strictly nested under a coarser cell of
+    // the SAME polygon — coverage is unchanged (the coarser cell contains
+    // them) and the remaining per-polygon cells are pairwise disjoint.
+    //
+    // Broadcast path: the covering is DIMENSION-sized (it is about to be
+    // broadcast anyway), so collect the RAW per-ring covering once and run
+    // the dedup + prune as driver set operations — the pre-r06 formulation
+    // ran a dropDuplicates shuffle plus a broadcast anti-join and then
+    // collected the result anyway, paying two extra dimension-side jobs for
+    // work a hash set does in microseconds at this size. The levels probe
+    // reads the same driver copy and the join side is a LocalRelation. No
+    // executor cache is pinned for the session (a .cache() here is never
     // unpersistable: the returned lazy plan still references it).
-    // Non-broadcast path (big dimension): keep the distributed plan and pay
-    // one recompute for the levels probe.
+    //
+    // Non-broadcast path (big dimension): keep the fully distributed plan —
+    // dropDuplicates, then the prune as a shuffled sort-merge anti-join
+    // keyed on poly_id, where both sides co-partition and each polygon's
+    // cells (<= maxCells) meet within one task.
+    val ringsDim = polys.select(col("poly_id"), col("rings"))
     val (levels, pc) =
       if (broadcastPolys) {
-        val rows = pruned.collect()
-        val ls = rows.map(_.getString(1).length).distinct.sorted
-        val local = pruned.sparkSession.createDataFrame(
-          java.util.Arrays.asList(rows: _*), pruned.schema)
+        val rows = rawCells.collect()
+        val byPoly = rows.groupBy(_.getString(0))
+          .view.mapValues(_.map(_.getString(1)).toSet)
+        val keep = byPoly.toSeq.sortBy(_._1).flatMap { case (poly, cells) =>
+          val lens = cells.map(_.length)
+          cells.toSeq.sorted
+            .filterNot(c => lens.exists(l => l < c.length && cells(c.substring(0, l))))
+            .map(c => org.apache.spark.sql.Row(poly, c))
+        }
+        val ls = keep.map(_.getString(1).length).distinct.sorted
+        val local = rawCells.sparkSession.createDataFrame(
+          java.util.Arrays.asList(keep: _*), rawCells.schema)
         (ls, broadcast(local.withColumnRenamed("cell", "jcell")))
       } else {
+        val cells0 = rawCells.dropDuplicates("poly_id", "cell")
+        val pruned = cells0.alias("a").join(cells0.hint("merge").alias("b"),
+            col("a.poly_id") === col("b.poly_id") &&
+              length(col("b.cell")) < length(col("a.cell")) &&
+              col("a.cell").startsWith(col("b.cell")), "left_anti")
+          .select(col("a.poly_id").as("poly_id"), col("a.cell").as("cell"))
         val ls = pruned.select(length(col("cell")).as("l"))
-          .distinct().collect().map(_.getInt(0)).sorted
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq
         (ls, pruned.withColumnRenamed("cell", "jcell").hint("merge"))
       }
     val prefixes = array(levels.map(l => substring(col("cell"), 1, l)): _*)

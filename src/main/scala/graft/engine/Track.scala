@@ -66,16 +66,26 @@ object Track {
     * transition row is emitted wherever a track's inside-flag flips between
     * consecutive points. The fence set is dimension-sized (driver Seq) and
     * becomes a chain of codegen'd haversines under `least` — no join, no
-    * extra shuffle; the only exchange is the track window. Inside-ness is
-    * computed AFTER the window on plain attributes (see object doc). */
+    * extra shuffle; the only exchange is the track window.
+    *
+    * The inside flag is computed ONCE per point BEFORE the window (a
+    * Generate barrier upstream keeps the span parse single-evaluation, so
+    * only cheap struct-field reads feed the chain) and the PREDECESSOR flag
+    * is `lag(inside)` — one boolean through the exchange. The earlier
+    * formulation lagged raw (lat, lon) and evaluated the fence chain on
+    * both ends post-window, which Catalyst expanded to 3 chain evaluations
+    * per row in the Filter plus 1 in the Project (~60+ haversines/row at 20
+    * fences, measured in the r06 before-plan); this shape pays exactly one
+    * chain per point — the same pre-state shape Streams.geofenceStream
+    * already uses. */
   def geofenceTransitions(pts: DataFrame, fences: Seq[(Double, Double)],
                           radiusM: Double, idCol: String = "doc_id",
                           seqCol: String = "offset"): DataFrame = {
     require(fences.nonEmpty, "geofenceTransitions needs at least one fence centre")
-    def inside(la: Column, lo: Column): Column = Track.minFenceDist(fences, la, lo) <= lit(radiusM)
-    legs(pts, idCol, seqCol)
-      .withColumn("inside", inside(col("lat"), col("lon")))
-      .withColumn("p_inside", inside(col("p_lat"), col("p_lon")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col(seqCol))
+    pts.select(col(idCol), col(seqCol), col("lat"), col("lon"),
+        (Track.minFenceDist(fences, col("lat"), col("lon")) <= lit(radiusM)).as("inside"))
+      .withColumn("p_inside", lag(col("inside"), 1).over(w))
       .where(col("p_inside").isNotNull && col("p_inside") =!= col("inside"))
       .select(col(idCol), col(seqCol), col("lat"), col("lon"),
         when(col("inside"), lit("enter")).otherwise(lit("exit")).as("transition"))

@@ -27,10 +27,15 @@ object Streams {
         call_function("st_tile_id", col("pt.lat"), col("pt.lon"), lit(zoom)))
 
   /** Stream-static spatial join: streaming points against the static
-    * polygon-cell dimension (broadcast; no streaming state needed). */
-  def spatialJoinStream(points: DataFrame, polyCells: DataFrame): DataFrame =
+    * polygon-cell dimension (broadcast; no streaming state needed).
+    * polyCells carries (poly_id, cell) only; `rings` (poly_id, ring — one
+    * row per polygon) attaches to matched candidates in a second broadcast
+    * join, mirroring the batch path's geometry-dedup shape. */
+  def spatialJoinStream(points: DataFrame, polyCells: DataFrame,
+                        rings: DataFrame): DataFrame =
     points
       .join(broadcast(polyCells.withColumnRenamed("cell", "jcell")), Seq("jcell"))
+      .join(broadcast(rings), Seq("poly_id"))
       .where(call_function("st_point_in_polygon", col("lat"), col("lon"), col("ring")))
       .drop("ring")
 

@@ -119,7 +119,8 @@ class StreamingSpec extends AnyFunSuite {
         .withColumn("jcell", explode(array(levels.map(l => substring(col("cell"), 1, l)): _*)))
 
     val stream = spark.readStream.schema(schema).parquet(dir)
-    val q = Streams.spatialJoinStream(pointsOf(stream), polyCells)
+    val q = Streams.spatialJoinStream(pointsOf(stream), polyCells,
+        polys.select(col("poly_id"), col("ring")))
       .select("doc_id", "offset", "poly_id")
       .writeStream.format("memory").queryName("sj_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
