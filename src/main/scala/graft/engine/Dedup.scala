@@ -292,11 +292,16 @@ object Dedup {
       dt == org.apache.spark.sql.types.IntegerType ||
       dt == org.apache.spark.sql.types.StringType
 
-  /** Driver union-find over the collected undirected edges: per-root
-    * MINIMUM member as the representative — the identical fixpoint the
-    * distributed rounds converge to. */
+  /** Driver union-find over the collected edge rows — orientation- and
+    * duplicate-insensitive (union is idempotent), so the caller hands over
+    * its RAW pair rows with no both-direction union, no distinct and no
+    * orientation filter. Per-root MINIMUM member as the representative —
+    * the identical fixpoint the distributed rounds converge to.
+    * `distinctNodes = true` when the caller cannot guarantee unique node
+    * rows. */
   private def driverComponents(spark: org.apache.spark.sql.SparkSession,
-                               nodes: DataFrame, edges: DataFrame): DataFrame = {
+                               nodes: DataFrame, edges: DataFrame,
+                               distinctNodes: Boolean): DataFrame = {
     import scala.collection.mutable
     val parent = mutable.HashMap.empty[Any, Any]
     def find(a: Any): Any = {
@@ -309,7 +314,7 @@ object Dedup {
       r
     }
     val endpoints = mutable.HashSet.empty[Any]
-    edges.where(col("src") < col("dst")).collect().foreach { row =>
+    edges.collect().foreach { row =>
       endpoints += row.get(0)
       endpoints += row.get(1)
       val (ra, rb) = (find(row.get(0)), find(row.get(1)))
@@ -331,7 +336,8 @@ object Dedup {
     val rows = members.map(m => org.apache.spark.sql.Row(m, minOfRoot(find(m))))
     val mapDf = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
-    nodes.select(col("doc_id").as("id")).distinct()
+    val nodeIds = nodes.select(col("doc_id").as("id"))
+    (if (distinctNodes) nodeIds.distinct() else nodeIds)
       .join(broadcast(mapDf), Seq("id"), "left_outer")
       .select(col("id").as("doc_id"), coalesce(col("mrep"), col("id")).as("rep"))
   }
@@ -340,26 +346,33 @@ object Dedup {
                           maxIter: Int = 30): DataFrame =
     connectedComponents(nodes, pairs, maxIter, validateNodes = true)
 
-  /** `validateNodes = false` skips the endpoint⊆nodes fail-fast action for
-    * callers that construct the edge set from the node set themselves
-    * (dbscan semi-joins its core edges against the core ids, so the
-    * containment holds by construction) — one fewer Spark action per call,
-    * identical output. External callers keep the default check. */
+  /** `validateNodes = false` is the trusted-caller mode for callers that
+    * construct the edge set FROM the node set themselves (dbscan semi-joins
+    * its core edges against the core ids, so endpoint ⊆ nodes holds by
+    * construction, and its node rows are unique by the operator's pid
+    * contract): it skips the endpoint-containment fail-fast action AND the
+    * node-distinct shuffles — identical output, fewer jobs. External
+    * callers keep the default checks. */
   private[engine] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                                           maxIter: Int,
                                           validateNodes: Boolean): DataFrame = {
     val spark = nodes.sparkSession
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .cache() // reused every round; unpersisted in the finally below
+    // RAW pair rows, cached once: the driver regime consumes them directly
+    // (union-find is orientation- and duplicate-insensitive), so the
+    // both-direction union + distinct shuffle is deferred to the
+    // distributed path — the only regime whose per-round joins need it
+    val rawEdges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .cache()
+    var roundEdges: Option[DataFrame] = None // distributed-path cache, see finally
     try {
       // a pair endpoint missing from `nodes` would silently DROP its edges in
       // the propagation join and split components with no error — fail fast
       // instead (one dimension-sized anti-join action, consistent with the
       // throw-on-non-convergence contract)
       if (validateNodes) {
-        val orphans = edges.select(col("src").as("doc_id")).distinct()
+        val endpoints = rawEdges.select(col("src").as("doc_id"))
+          .unionByName(rawEdges.select(col("dst").as("doc_id"))).distinct()
+        val orphans = endpoints
           .join(nodes.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
           .limit(5).collect().map(_.get(0))
         require(orphans.isEmpty,
@@ -368,17 +381,27 @@ object Dedup {
       }
       // cap <= 0 disables the driver regime outright (documented semantics;
       // previously an EMPTY edge list still satisfied count <= 0 and took
-      // the driver path — same result, but the gate now matches its doc)
+      // the driver path — same result, but the gate now matches its doc).
+      // The cap compares against 2x the pair-row count — the both-direction
+      // edge count of a dup-free single-direction pair set, preserving the
+      // documented cap meaning without paying the distinct to measure it.
       val cap = spark.conf.getOption("spark.graft.cc.driverEdgeCap")
         .map(_.toLong).getOrElse(DriverEdgeCap)
       if (cap > 0 && driverRegimeType(nodes.schema("doc_id").dataType) &&
-          edges.count() <= cap)
-        return driverComponents(spark, nodes, edges)
+          rawEdges.count() * 2 <= cap)
+        return driverComponents(spark, nodes, rawEdges,
+          distinctNodes = validateNodes)
+      val edges = rawEdges
+        .unionByName(rawEdges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .cache() // reused every round; unpersisted in the finally below
+      roundEdges = Some(edges)
       val rounds = new Durable.Rounds(spark, "cc")
       // id type is whatever the caller's doc_id is (long or string); the
       // "minimum" representative is numeric or lexicographic accordingly
+      val nodeIds = nodes.select(col("doc_id").as("id"))
       var labels = rounds.commit(
-        nodes.select(col("doc_id").as("id")).distinct()
+        (if (validateNodes) nodeIds.distinct() else nodeIds)
           .withColumn("rep", col("id")))
       var changed = 1L
       var i = 0
@@ -415,7 +438,10 @@ object Dedup {
       // removed at JVM exit (Durable.Rounds shutdown hook), or earlier if
       // the caller materializes the result and closes the session's scratch
       labels.select(col("id").as("doc_id"), col("rep"))
-    } finally edges.unpersist()
+    } finally {
+      roundEdges.foreach(_.unpersist())
+      rawEdges.unpersist()
+    }
   }
 
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, textCol: String = "text",
