@@ -353,9 +353,9 @@ object Dedup {
     * contract): it skips the endpoint-containment fail-fast action AND the
     * node-distinct shuffles — identical output, fewer jobs. External
     * callers keep the default checks. */
-  private[engine] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                                          maxIter: Int,
-                                          validateNodes: Boolean): DataFrame = {
+  private[graft] def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                                         maxIter: Int,
+                                         validateNodes: Boolean): DataFrame = {
     val spark = nodes.sparkSession
     // RAW pair rows, cached once: the driver regime consumes them directly
     // (union-find is orientation- and duplicate-insensitive), so the

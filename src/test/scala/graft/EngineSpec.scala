@@ -93,6 +93,22 @@ class EngineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("multi-ring join: driver-side covering prune (broadcast) equals distributed prune") {
+    // broadcastPolys=true runs the covering dedup + nested-cell prune as
+    // driver set operations on the collected rows; broadcastPolys=false runs
+    // the fully distributed dropDuplicates + sort-merge anti-join. Same
+    // survivor set -> identical join output.
+    val docs = Corpus.documentsDf(spark, NDocs, partitions = 4)
+    val mp = Corpus.polygonsHoled(spark).toDF()
+    val pts = SpatialJoin.extractPoints(docs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "offset", "poly_id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    val bc = rows(SpatialJoin.joinMulti(pts, mp))
+    val dist = rows(SpatialJoin.joinMulti(pts, mp, broadcastPolys = false))
+    assert(bc.nonEmpty && bc == dist)
+  }
+
   test("multi-ring join (holes + multipolygons) equals brute-force even-odd oracle") {
     val docs = Corpus.documentsDf(spark, NDocs, partitions = 4)
     val mp = Corpus.polygonsHoled(spark).toDF()

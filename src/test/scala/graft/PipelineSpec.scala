@@ -671,6 +671,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(driver.size == 400)
   }
 
+  test("connected components: trusted-caller mode equals the checked path in both regimes") {
+    import spark.implicits._
+    // trusted mode (validateNodes = false — dbscan's calling convention:
+    // nodes are distinct and cover every endpoint) must produce the same
+    // clustering as the default checked path, under BOTH regimes; the pair
+    // set mixes orientation and contains duplicates, which the raw-edge
+    // driver union-find must absorb
+    val rng = new java.util.Random(47L)
+    val nodes = (0L until 300L).toDF("doc_id")
+    val rawPairs = (0 until 250).map(_ => (rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .filter(p => p._1 != p._2)
+    val pairs = (rawPairs ++ rawPairs.take(40).map(p => (p._2, p._1))).toDF("doc_a", "doc_b")
+    def run(validate: Boolean): Map[Long, Long] =
+      Dedup.connectedComponents(nodes, pairs, maxIter = 30, validateNodes = validate)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val checkedDriver = run(validate = true)
+    val trustedDriver = run(validate = false)
+    assert(trustedDriver == checkedDriver)
+    spark.conf.set("spark.graft.cc.driverEdgeCap", "0")
+    val trustedDist = try run(validate = false)
+      finally spark.conf.unset("spark.graft.cc.driverEdgeCap")
+    assert(trustedDist == checkedDriver)
+    assert(checkedDriver.size == 300)
+  }
+
   test("connected components: 1000-node chain converges in O(log n) rounds") {
     import spark.implicits._
     // the worst-case topology for pure min-label propagation (diameter 999

@@ -303,6 +303,26 @@ class TrackSpec extends AnyFunSuite {
     }
   }
 
+  test("Layout with degenerate (all-identical) zkeys still reads back cleanly") {
+    import spark.implicits._
+    // every point identical -> one distinct zkey -> repartitionByRange can
+    // only fill one range partition; any zero-row part files the write
+    // leaves behind are removed after the manifest pass (the row-derived
+    // manifest can never list them), so the sync check must accept the
+    // layout and the full box must return every row
+    val dir = TestTmp.dir("layout_degen")
+    val pts = (0 until 200).map(i => (s"p$i", 40.0, -74.0)).toDF("pid", "lat", "lon")
+    Layout.writeZOrdered(pts, dir, bits = 16, numFiles = 8)
+    val got = Layout.readBBox(spark, dir, 39.0, -75.0, 41.0, -73.0)
+    assert(got.count() == 200L)
+    val (sel, tot) = Layout.pruneStats(spark, dir, 39.0, -75.0, 41.0, -73.0)
+    assert(sel == tot, "every manifest file intersects the box")
+    // on-disk parquet files == manifest entries (no ghost zero-row files)
+    val onDisk = new java.io.File(s"$dir/data").listFiles()
+      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(onDisk.toLong == tot, s"$onDisk files on disk vs $tot in manifest")
+  }
+
   test("Layout round-trips, prunes files, and readBBox equals the plain filter") {
     val dir = TestTmp.dir("layout")
     Layout.writeZOrdered(ptsDf, dir, bits = 16, numFiles = 8)
