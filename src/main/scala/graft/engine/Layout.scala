@@ -46,11 +46,18 @@ object Layout {
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(s"$dir/data")
-    spark.read.parquet(s"$dir/data")
+    // ONE distributed pass computes the per-file stats; the file-count-sized
+    // result is collected (the driver holds the manifest by design — see
+    // loadManifest) and serves BOTH consumers: the manifest write (from the
+    // local rows — no second scan of the data) and the zero-row-file sweep
+    // below.
+    val manifest = spark.read.parquet(s"$dir/data")
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min("lat").as("min_lat"), max("lat").as("max_lat"),
         min("lon").as("min_lon"), max("lon").as("max_lon"),
         count(lit(1)).as("n_rows"))
+    val rows = manifest.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), manifest.schema)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
     // the manifest is derived from ROWS, so a zero-row part file (possible
@@ -61,8 +68,7 @@ object Layout {
     // so the layout's content is unchanged (r05 advisory).
     val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
     val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val inManifest = spark.read.parquet(s"$dir/manifest")
-      .select("file").collect()
+    val inManifest = rows
       .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
     fs.listStatus(dataPath).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
