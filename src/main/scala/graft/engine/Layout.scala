@@ -46,34 +46,13 @@ object Layout {
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions("zkey")
       .write.mode("overwrite").parquet(s"$dir/data")
-    // ONE distributed pass computes the per-file stats; the file-count-sized
-    // result is collected (the driver holds the manifest by design — see
-    // loadManifest) and serves BOTH consumers: the manifest write (from the
-    // local rows — no second scan of the data) and the zero-row-file sweep
-    // below.
-    val manifest = spark.read.parquet(s"$dir/data")
+    spark.read.parquet(s"$dir/data")
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min("lat").as("min_lat"), max("lat").as("max_lat"),
         min("lon").as("min_lon"), max("lon").as("max_lon"),
         count(lit(1)).as("n_rows"))
-    val rows = manifest.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), manifest.schema)
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/manifest")
-    // the manifest is derived from ROWS, so a zero-row part file (possible
-    // when repartitionByRange lands an empty range partition on skewed or
-    // duplicate zkeys) exists on disk but not in the manifest — and
-    // loadManifest's sync check would then loudly reject every read of an
-    // otherwise valid layout. Remove such files here: they carry no rows,
-    // so the layout's content is unchanged (r05 advisory).
-    val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
-    val fs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val inManifest = rows
-      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath).toSet
-    fs.listStatus(dataPath).map(_.getPath)
-      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-      .filterNot(p => inManifest.contains(p.toUri.getPath))
-      .foreach(p => fs.delete(p, false))
   }
 
   private final case class Entry(file: String, minLat: Double, maxLat: Double,
@@ -94,14 +73,32 @@ object Layout {
       .map(r => Entry(r.getString(0), r.getDouble(1), r.getDouble(2),
         r.getDouble(3), r.getDouble(4))).toSeq
     val path = new org.apache.hadoop.fs.Path(s"$dir/data")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val onDisk = fs.listStatus(path).map(_.getPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
+    val onDiskPaths = fs.listStatus(path).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
-      .map(p => norm(p.toString)).toSet
+    val onDisk = onDiskPaths.map(p => norm(p.toString)).toSet
     val inManifest = entries.map(e => norm(e.file)).toSet
-    require(onDisk == inManifest,
+    // The manifest is derived from ROWS, so a ZERO-row part file (possible
+    // when repartitionByRange lands an empty range partition on skewed or
+    // duplicate zkeys) can exist on disk without a manifest entry. Such a
+    // file is provably content-free, so it cannot affect any read —
+    // tolerate it (verified by its parquet footer row count, a driver-local
+    // metadata read that only happens in this rare mismatch case; the
+    // common path costs nothing extra). A NON-empty unlisted file, or a
+    // manifest entry with no file behind it, still fails loudly: that is
+    // the interrupted-write crash window the check exists for (r05
+    // advisory).
+    val unlisted = onDiskPaths.filter(p => !inManifest.contains(norm(p.toString)))
+    val unlistedNonEmpty = unlisted.filter { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount > 0L finally r.close()
+    }
+    require(unlistedNonEmpty.isEmpty && (inManifest -- onDisk).isEmpty,
       s"layout manifest out of sync with $dir/data (" +
-        s"${(onDisk -- inManifest).size} unlisted, ${(inManifest -- onDisk).size} ghost " +
+        s"${unlistedNonEmpty.length} unlisted non-empty, " +
+        s"${(inManifest -- onDisk).size} ghost " +
         s"files) — rewrite the layout (interrupted writeZOrdered?)")
     entries
   }

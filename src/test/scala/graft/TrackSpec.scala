@@ -303,24 +303,39 @@ class TrackSpec extends AnyFunSuite {
     }
   }
 
-  test("Layout with degenerate (all-identical) zkeys still reads back cleanly") {
+  test("Layout tolerates zero-row ghost part files, still rejects non-empty ones") {
     import spark.implicits._
     // every point identical -> one distinct zkey -> repartitionByRange can
-    // only fill one range partition; any zero-row part files the write
-    // leaves behind are removed after the manifest pass (the row-derived
-    // manifest can never list them), so the sync check must accept the
-    // layout and the full box must return every row
+    // only fill one range partition. The manifest is derived from ROWS, so
+    // a zero-row part file can exist on disk without an entry; loadManifest
+    // must tolerate it (provably content-free — footer row count 0) while
+    // still failing loudly on any NON-empty unlisted file (the real
+    // interrupted-write crash window).
     val dir = TestTmp.dir("layout_degen")
     val pts = (0 until 200).map(i => (s"p$i", 40.0, -74.0)).toDF("pid", "lat", "lon")
     Layout.writeZOrdered(pts, dir, bits = 16, numFiles = 8)
-    val got = Layout.readBBox(spark, dir, 39.0, -75.0, 41.0, -73.0)
-    assert(got.count() == 200L)
-    val (sel, tot) = Layout.pruneStats(spark, dir, 39.0, -75.0, 41.0, -73.0)
-    assert(sel == tot, "every manifest file intersects the box")
-    // on-disk parquet files == manifest entries (no ghost zero-row files)
-    val onDisk = new java.io.File(s"$dir/data").listFiles()
-      .count(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-    assert(onDisk.toLong == tot, s"$onDisk files on disk vs $tot in manifest")
+    assert(Layout.readBBox(spark, dir, 39.0, -75.0, 41.0, -73.0).count() == 200L)
+    // inject a zero-row ghost with the data files' exact schema
+    val dataDir = new java.io.File(s"$dir/data")
+    spark.read.parquet(dataDir.getPath).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/_ghost_src")
+    val emptyPart = new java.io.File(s"$dir/_ghost_src").listFiles()
+      .filter(_.getName.endsWith(".parquet")).headOption
+    emptyPart.foreach { src =>
+      java.nio.file.Files.copy(src.toPath,
+        java.nio.file.Paths.get(dataDir.getPath, "part-99999-ghost.parquet"))
+      // tolerated: the ghost holds no rows, so the read is unchanged
+      assert(Layout.readBBox(spark, dir, 39.0, -75.0, 41.0, -73.0).count() == 200L)
+    }
+    // a NON-empty unlisted file (a duplicated real part file) must fail loudly
+    val realPart = dataDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.contains("ghost")).head
+    java.nio.file.Files.copy(realPart.toPath,
+      java.nio.file.Paths.get(dataDir.getPath, "part-99998-bad.parquet"))
+    val ex = intercept[IllegalArgumentException] {
+      Layout.readBBox(spark, dir, 39.0, -75.0, 41.0, -73.0).count()
+    }
+    assert(ex.getMessage.contains("manifest out of sync"))
   }
 
   test("Layout round-trips, prunes files, and readBBox equals the plain filter") {
