@@ -201,28 +201,42 @@ object Tiler {
     * wn the number of observed window tiles. x wraps at the antimeridian,
     * y clamps at the poles (same edge semantics as [[focalSmooth]]).
     *
-    * Plan shape: one bounded 9x explode of the ALREADY-AGGREGATED tile
-    * table scattered to neighbour positions, one hash shuffle grouping by
-    * target tile, an equi-join back to the observed tiles (both sides
-    * already partitioned by tile_id), and a broadcast of the 1-row global
-    * aggregate — the raster itself is never re-shuffled, so the operator
+    * Plan shape: ONE bounded 9x explode of the ALREADY-AGGREGATED tile
+    * table scattered to neighbour positions and ONE hash shuffle grouping
+    * by target tile — the self offset marks observedness and carries the
+    * tile's own value, so no join back to the tile table and no second
+    * evaluation of the input pipeline — plus a broadcast of the 1-row
+    * global aggregate (computed from the grouped frame; its exchange is
+    * reused). The raster itself is never re-shuffled, so the operator
     * scales with tile count, not point count. Values must be integral
-    * counts (exact double sums); n >= 2 tiles required for a defined std.
+    * counts (exact double sums); n >= 2 tiles required for a defined std;
+    * tile_id must be unique (an aggregated raster).
     */
   def hotspotGi(tiles: DataFrame, valueCol: String = "n_points"): DataFrame = {
     val t = tiles.select(col("tile_id"), col(valueCol).cast("double").as("v"))
-    val globals = t.agg(count(lit(1)).as("n"), sum("v").as("sv"),
-      sum(col("v") * col("v")).as("svv"))
     val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
       struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
-    val window = scatterWindow(t, offs, width = 3, keep = Seq("v"))
+    // ONE evaluation of `tiles`: the dx=dy=0 contribution every observed
+    // tile scatters to itself doubles as (a) the observedness marker that
+    // used to need a join back to t and (b) the carrier of the tile's own
+    // value for the global mean/std — so the upstream pipeline feeding
+    // `tiles` runs once instead of three times (t, window, globals), and
+    // the t⋈window equi-join disappears. Requires tile_id unique in
+    // `tiles` (an aggregated raster — already the documented contract; a
+    // duplicated id would double window sums in the old shape too).
+    val isSelf = col("o.dx") === 0 && col("o.dy") === 0
+    val grouped = scatterWindow(t, offs, width = 3, keep = Seq("v"))
       .groupBy(col("tile_id"))
-      .agg(sum(col("v")).as("wsum"), count(lit(1)).as("wn"))
+      .agg(sum(col("v")).as("wsum"), count(lit(1)).as("wn"),
+        max(when(isSelf, lit(1))).as("self_n"),
+        max(when(isSelf, col("v"))).as("v_self"))
+      .where(col("self_n") === 1)
+    val globals = grouped.agg(count(lit(1)).as("n"), sum("v_self").as("sv"),
+      sum(col("v_self") * col("v_self")).as("svv"))
     val mean = col("sv") / col("n")
     val s = sqrt(col("svv") / col("n") - mean * mean)
     val den = s * sqrt((col("n") * col("wn") - col("wn") * col("wn")) / (col("n") - 1.0))
-    t.join(window, "tile_id")
-      .crossJoin(broadcast(globals))
+    grouped.crossJoin(broadcast(globals))
       .select(col("tile_id"), col("wn"), col("wsum").cast("long").as("wsum"),
         when(den > 0.0, round((col("wsum") - mean * col("wn")) / den, 6) + 0.0).as("gi"))
   }
@@ -276,24 +290,36 @@ object Tiler {
     * (so sum_j w_ij (xj - m) = sum_nbr_i - wn_i * m) and W = sum wn_i.
     * Returns ONE row (n_tiles, w_pairs, moran_i): positive = clustered,
     * ~0 = random, negative = dispersed. Isolated tiles keep their
-    * denominator contribution via the left join (wn = 0).
+    * denominator contribution (wn = 0 from the lone self row).
     *
-    * Same scale shape as [[hotspotGi]]: bounded 8x scatter of the
-    * aggregated tile table, one equi-join, everything else folds into one
-    * global aggregate. */
+    * Same scale shape as [[hotspotGi]]: ONE bounded 9x scatter of the
+    * aggregated tile table (8 neighbours + the self observedness marker),
+    * one shuffle, everything else folds into one global aggregate —
+    * the input pipeline is evaluated once. tile_id must be unique. */
   def moranI(tiles: DataFrame, valueCol: String = "n_points"): DataFrame = {
     val t = tiles.select(col("tile_id"), col(valueCol).cast("double").as("v"))
-    val globals = t.agg(count(lit(1)).as("n"), sum("v").as("sv"))
-    val offs = array((for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 } yield
+    // Same single-evaluation shape as [[hotspotGi]]: scatter ALL nine
+    // offsets, but the self row only marks observedness and carries the
+    // tile's own value — it is excluded from nsum/wn, so the neighbour
+    // semantics (8 queen neighbours, observed only) are unchanged and the
+    // old t-left-join-nbr (a second and third evaluation of `tiles`)
+    // disappears. Isolated observed tiles receive just their self row:
+    // nsum = 0 / wn = 0, exactly what the left join's coalesce produced.
+    val offs = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
       struct(lit(dx).as("dx"), lit(dy).as("dy"))): _*)
-    val nbr = scatterWindow(t, offs, width = 3, keep = Seq("v"))
+    val isSelf = col("o.dx") === 0 && col("o.dy") === 0
+    val grouped = scatterWindow(t, offs, width = 3, keep = Seq("v"))
       .groupBy(col("tile_id"))
-      .agg(sum(col("v")).as("nsum"), count(lit(1)).as("wn"))
+      .agg(sum(when(!isSelf, col("v"))).as("nsum0"),
+        count(when(!isSelf, lit(1))).as("wn"),
+        max(when(isSelf, lit(1))).as("self_n"),
+        max(when(isSelf, col("v"))).as("v_self"))
+      .where(col("self_n") === 1)
+      .select(col("v_self").as("v"), coalesce(col("nsum0"), lit(0.0)).as("nsum"),
+        col("wn"))
+    val globals = grouped.agg(count(lit(1)).as("n"), sum("v").as("sv"))
     val mean = col("sv") / col("n")
-    t.join(nbr, Seq("tile_id"), "left")
-      .select(col("v"), coalesce(col("nsum"), lit(0.0)).as("nsum"),
-        coalesce(col("wn"), lit(0L)).as("wn"))
-      .crossJoin(broadcast(globals))
+    grouped.crossJoin(broadcast(globals))
       .agg(count(lit(1)).as("n_tiles"), sum(col("wn")).as("w_pairs"),
         sum((col("v") - mean) * (col("nsum") - col("wn") * mean)).as("num"),
         sum((col("v") - mean) * (col("v") - mean)).as("den"))
