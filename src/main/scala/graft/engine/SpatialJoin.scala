@@ -456,18 +456,38 @@ object SpatialJoin {
     else parts.reduce(_ unionByName _)
   }
 
-  /** Both containment answers from ONE spatial join: (doc_id, status) with
-    * status 'in' (>= 1 point in any polygon) or 'out'. A semi + anti pair of
-    * calls evaluates the underlying join twice; a user asking "which docs
-    * are covered and which are not" should pay it once — the hit set is
-    * computed once and the split is a single left-outer probe. */
+  /** Both containment answers from ONE PASS over the points: (doc_id,
+    * status) with status 'in' (>= 1 point in any polygon) or 'out'.
+    *
+    * The cell join runs LEFT_OUTER against the broadcast covering, so
+    * non-matching points stay in the stream and the per-doc max(hit)
+    * aggregate yields the split directly — the point pipeline is evaluated
+    * once and shuffled once (map-side partial max per doc). The previous
+    * shape (inner join for the hit set + a second distinct over the points
+    * for the domain) evaluated the upstream point extraction twice: the
+    * hit-set subtree and the domain subtree differ, so exchange reuse
+    * could never merge them. PIP on an unmatched candidate sees a null
+    * ring and returns null (= no hit). */
   def containmentSplit(points: DataFrame, polys: DataFrame,
                        level: Int = DefaultLevel): DataFrame = {
-    val hits = join(points, polys, level).select("doc_id").distinct()
-      .withColumn("hit", lit(1))
-    points.select("doc_id").distinct()
-      .join(hits, Seq("doc_id"), "left_outer")
+    val index = buildIndex(polys, level)
+    if (index.levels.isEmpty)
+      // empty polygon layer: every doc with >= 1 point is 'out' (what the
+      // join-then-probe shape produced); explode(array()) would instead
+      // drop every row and empty the domain
+      return points.select(col("doc_id")).distinct()
+        .withColumn("status", lit("out"))
+    val prefixes = array(index.levels.map(l => substring(col("cell"), 1, l)): _*)
+    points
+      .select(col("doc_id"), col("lat"), col("lon"), col("cell"))
+      .withColumn("jcell", explode(prefixes))
+      .join(broadcast(index.cells.withColumnRenamed("cell", "jcell")),
+        Seq("jcell"), "left_outer")
+      .join(broadcast(index.rings), Seq("poly_id"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(max(when(call_function("st_point_in_polygon",
+        col("lat"), col("lon"), col("ring")), 1).otherwise(0)).as("hit"))
       .select(col("doc_id"),
-        when(col("hit").isNotNull, lit("in")).otherwise(lit("out")).as("status"))
+        when(col("hit") === 1, lit("in")).otherwise(lit("out")).as("status"))
   }
 }

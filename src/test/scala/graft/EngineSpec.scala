@@ -173,6 +173,18 @@ class EngineSpec extends AnyFunSuite {
     points.unpersist()
   }
 
+  test("containment split on an EMPTY polygon layer: every doc is 'out'") {
+    // the single-pass shape explodes the covering-level prefixes; with no
+    // polygons there are no levels, and explode(array()) would silently
+    // empty the domain — this pins the guarded fallback
+    val docs = Corpus.documentsDf(spark, 50, partitions = 2)
+    val points = SpatialJoin.extractPoints(docs)
+    val polys = Corpus.polygons(spark).toDF().where(lit(false))
+    val split = SpatialJoin.containmentSplit(points, polys).collect()
+    assert(split.length == points.select("doc_id").distinct().count())
+    assert(split.forall(_.getString(1) == "out"))
+  }
+
   test("fixed-radius distance join equals brute force (incl. near-polar site)") {
     import spark.implicits._
     val docs = Corpus.documentsDf(spark, 500, partitions = 4)
