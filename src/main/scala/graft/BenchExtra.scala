@@ -50,7 +50,10 @@ object BenchExtra {
           try w.write(txt) finally w.close()
           System.err.println(s"[plans] wrote $outDir/$name.txt")
         }
-      case "time" =>
+      case "time" | "timecount" =>
+        // "time" = noop sink (computes every column, guide §1.4);
+        // "timecount" = fn().count(), the EXACT action the frozen Bench
+        // times — for A/B runs that must match the driver's shape.
         val n = args.lift(1).map(_.toInt).getOrElse(3)
         val names = if (args.length > 2) args.drop(2).toSeq else Bench.HeadlineQueries
         val results = names.map { name =>
@@ -58,7 +61,8 @@ object BenchExtra {
           val times = (1 to n).map { i =>
             spark.sparkContext.setJobDescription(s"$name run $i")
             val t0 = System.nanoTime()
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            if (mode == "timecount") fn(spark, sfDir).count()
+            else fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val dt = (System.nanoTime() - t0) / 1e9
             spark.sparkContext.setJobDescription(null)
             dt
@@ -70,9 +74,10 @@ object BenchExtra {
           .mkString("{", ",", "}")
         val la = java.lang.management.ManagementFactory.getOperatingSystemMXBean
           .getSystemLoadAverage
-        println(s"""{"metric":"noop_per_query","n":$n,"loadavg":$la,"queries":$qs,"sf":"$sfDir"}""")
+        val metric = if (mode == "timecount") "count_per_query" else "noop_per_query"
+        println(s"""{"metric":"$metric","n":$n,"loadavg":$la,"queries":$qs,"sf":"$sfDir"}""")
       case other =>
-        System.err.println(s"unknown mode $other (plans|time)")
+        System.err.println(s"unknown mode $other (plans|time|timecount)")
         sys.exit(2)
     }
     spark.stop()
