@@ -138,6 +138,21 @@ object Cluster {
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
     val spark = points.sparkSession
     Durable.ensureCheckpointDir(spark)
+    // the upstream point pipeline feeds two eager builds — the pair join
+    // (whose a/b sides already share one exchange) and the flag table's
+    // base — so without this it is evaluated twice during the build phase.
+    // Persist for the duration of the two Durable builds (the q34/§5
+    // pattern: cache filled by the first build, read by the second,
+    // released before returning; lineage is NOT truncated, so a lost cache
+    // partition recomputes from the caller's input as before).
+    val pts = points.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      dbscanBuilt(pts, epsM, minPts, level)
+    } finally pts.unpersist()
+  }
+
+  private def dbscanBuilt(points: DataFrame, epsM: Double, minPts: Int,
+                          level: Int): DataFrame = {
     val prs = Durable.durable(neighborPairs(points, epsM, level))
     val base = points
       .where(col("lat").isNotNull && col("lon").isNotNull)
